@@ -1,0 +1,218 @@
+"""Adaptive input embeddings (Baevski & Auli 2019) and adaptive softmax
+(Grave et al. 2017) with weight tying.
+
+Replaces the reference's AdaptiveEmbedding
+(/root/reference/tell/modules/token_embedders/adaptive.py:11-80) and
+AdaptiveSoftmax (/root/reference/tell/modules/softmax.py:43-222).
+
+Weight tying is trivial in the functional design: the softmax apply functions
+take the *embedding params* as an argument and read the same pytree leaves —
+no TiedLinear indirection. Flagship topology (config.yaml:28-76): cutoffs
+[5000, 20000, 50265], factor 1 (all band dims = 1024), tie_adaptive_weights
+on, tie_adaptive_proj off (each tail keeps a free input->band-dim projection).
+
+TPU-native twist: the reference keeps the adaptive-softmax FLOP savings by
+gathering only the rows whose target lands in a tail cluster
+(softmax.py:184-188) — a dynamic shape. We keep the savings under static
+shapes with MoE-style *capacity compaction*: each tail gets a fixed row
+budget, in-cluster rows are compacted to the front with a stable argsort and
+gathered; overflow rows (rare — tail tokens are by construction infrequent)
+fall back to head-only loss and are counted for logging.
+
+Reference quirks replicated:
+* every band's row `padding_idx` is pinned to zero (nn.Embedding zeroes and
+  excludes it from grads; adaptive.py:42). With padding_idx=0 this pins
+  global ids 0, 5000 and 20000. We pin via `.at[...].set(0)` in apply, which
+  also zeroes the gradient.
+Deviation (documented): the reference passes ignore_index=pad to *every*
+cluster's cross-entropy (criteria/adaptive_loss.py:59), which accidentally
+ignores relative index `pad` inside tail clusters (global ids cutoff_i+pad).
+We mask on the true pad id only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import dropout
+from .linear import init_linear, linear
+
+
+def band_ranges(cutoffs: tuple[int, ...]) -> list[tuple[int, int]]:
+    """[(lo, hi)] for each band given full cutoffs ending at vocab_size."""
+    out = []
+    prev = 0
+    for c in cutoffs:
+        out.append((prev, c))
+        prev = c
+    return out
+
+
+def init_adaptive_embedding(rng: jax.Array, cutoffs: tuple[int, ...],
+                            initial_dim: int, factor: float, output_dim: int,
+                            padding_idx: int = 0) -> dict:
+    """cutoffs must end at vocab_size, e.g. (5000, 20000, 50265)."""
+    bands = []
+    for i, (lo, hi) in enumerate(band_ranges(cutoffs)):
+        d = int(initial_dim // (factor ** i))
+        re, rp = jax.random.split(jax.random.fold_in(rng, i))
+        embed = jax.random.normal(re, (hi - lo, d), jnp.float32) * (d ** -0.5)
+        if 0 <= padding_idx < hi - lo:
+            embed = embed.at[padding_idx].set(0.0)
+        proj = init_linear(rp, d, output_dim, bias=False)["w"]
+        bands.append({"embed": embed, "proj": proj})
+    return {"bands": bands}
+
+
+def adaptive_embed(params: dict, ids: jax.Array, cutoffs: tuple[int, ...],
+                   output_dim: int, padding_idx: int = 0,
+                   scale_embeds: bool = True) -> jax.Array:
+    """ids: int array of any shape -> [..., output_dim]."""
+    result = jnp.zeros(ids.shape + (output_dim,), jnp.float32)
+    for i, (lo, hi) in enumerate(band_ranges(cutoffs)):
+        band = params["bands"][i]
+        table = band["embed"]
+        if 0 <= padding_idx < hi - lo:
+            table = table.at[padding_idx].set(0.0)  # pinned row: zero grad too
+        rel = jnp.clip(ids - lo, 0, hi - lo - 1)
+        e = jnp.take(table, rel, axis=0)
+        in_band = ((ids >= lo) & (ids < hi))[..., None]
+        e = jnp.where(in_band, e, 0.0)
+        result = result + jnp.dot(e, band["proj"],
+                                  preferred_element_type=jnp.float32)
+    if scale_embeds:
+        result = result * (output_dim ** 0.5)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Adaptive softmax
+# ---------------------------------------------------------------------------
+
+def init_adaptive_softmax(rng: jax.Array, cutoffs: tuple[int, ...],
+                          input_dim: int, factor: float = 1.0,
+                          tied: bool = True, tie_proj: bool = False) -> dict:
+    """Owns only the untied pieces; tied tables are read from the embedding.
+
+    Head word logits come from band-0 embeddings (TiedHeadModule,
+    softmax.py:11-40); `class_proj` produces one logit per tail cluster.
+    Each tail i projects input_dim -> band dim then hits band i+1's table.
+    """
+    n_tails = len(cutoffs) - 1
+    rc = jax.random.fold_in(rng, 1000)
+    p: dict = {
+        "class_proj": init_linear(rc, input_dim, n_tails, bias=False),
+        "tail_projs": [],
+    }
+    assert tied and not tie_proj, "untied adaptive softmax not needed yet"
+    for i in range(n_tails):
+        d = int(input_dim // (factor ** (i + 1)))
+        p["tail_projs"].append(
+            init_linear(jax.random.fold_in(rng, i), input_dim, d, bias=False))
+    return p
+
+
+def _head_logits(sm: dict, emb: dict, x: jax.Array,
+                 padding_idx: int = 0) -> jax.Array:
+    """[N, cutoff0 + n_tails]: band-0 word logits ++ tail-cluster logits."""
+    table = emb["bands"][0]["embed"]
+    if 0 <= padding_idx < table.shape[0]:
+        table = table.at[padding_idx].set(0.0)
+    word = jnp.dot(x, table.T, preferred_element_type=jnp.float32)
+    cls = linear(sm["class_proj"], x)
+    return jnp.concatenate([word, cls.astype(word.dtype)], axis=-1)
+
+
+def _tail_logits(sm: dict, emb: dict, x: jax.Array, i: int,
+                 padding_idx: int = 0, drop_rate: float = 0.0,
+                 rng: jax.Array | None = None,
+                 deterministic: bool = True) -> jax.Array:
+    """Tail cluster i (band i+1) logits for rows x: [N, band_size]."""
+    h = linear(sm["tail_projs"][i], x)
+    h = dropout(h, drop_rate, rng, deterministic)
+    table = emb["bands"][i + 1]["embed"]
+    if 0 <= padding_idx < table.shape[0]:
+        table = table.at[padding_idx].set(0.0)
+    return jnp.dot(h, table.T, preferred_element_type=jnp.float32)
+
+
+def _xent(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Per-row cross entropy, fp32."""
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[:, None], axis=-1)[:, 0]
+    return lse - picked.astype(jnp.float32)
+
+
+def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
+                          targets: jax.Array, cutoffs: tuple[int, ...],
+                          pad_id: int = 1, padding_idx: int = 0,
+                          tail_capacity: tuple[int, ...] | None = None,
+                          drop_rate: float = 0.0,
+                          rng: jax.Array | None = None,
+                          deterministic: bool = True
+                          ) -> tuple[jax.Array, jax.Array, dict]:
+    """Summed CE loss over clusters, as in criteria/adaptive_loss.py:30-75.
+
+    x: [N, D] decoder outputs, targets: [N] token ids.
+    Returns (loss_sum, sample_size = non-pad token count, aux dict).
+    """
+    ranges = band_ranges(cutoffs)
+    c0 = ranges[0][1]
+    not_pad = targets != pad_id
+
+    x = dropout(x, drop_rate, rng, deterministic)
+
+    # Head: targets in tail band i are remapped to class slot c0 + i
+    # (adapt_target, softmax.py:144-167).
+    head_t = targets
+    for i, (lo, hi) in enumerate(ranges[1:]):
+        head_t = jnp.where((targets >= lo) & (targets < hi), c0 + i, head_t)
+    head_lp = _xent(_head_logits(sm, emb, x, padding_idx), head_t)
+    loss = jnp.sum(head_lp * not_pad)
+
+    n_dropped = jnp.zeros((), jnp.int32)
+    for i, (lo, hi) in enumerate(ranges[1:]):
+        in_band = (targets >= lo) & (targets < hi) & not_pad
+        if tail_capacity is None:
+            tl = _tail_logits(sm, emb, x, i, padding_idx, drop_rate,
+                              rng, deterministic)
+            ce = _xent(tl, jnp.clip(targets - lo, 0, hi - lo - 1))
+            loss = loss + jnp.sum(ce * in_band)
+        else:
+            cap = tail_capacity[i]
+            # Stable argsort compacts in-band rows to the front.
+            order = jnp.argsort(~in_band, stable=True)
+            idx = order[:cap]
+            valid = jnp.take(in_band, idx)
+            xg = jnp.take(x, idx, axis=0)
+            tg = jnp.clip(jnp.take(targets, idx) - lo, 0, hi - lo - 1)
+            tl = _tail_logits(sm, emb, xg, i, padding_idx, drop_rate,
+                              rng, deterministic)
+            ce = _xent(tl, tg)
+            loss = loss + jnp.sum(ce * valid)
+            n_dropped = n_dropped + jnp.maximum(
+                jnp.sum(in_band.astype(jnp.int32)) - cap, 0)
+
+    sample_size = jnp.sum(not_pad.astype(jnp.int32))
+    return loss, sample_size, {"tail_dropped": n_dropped}
+
+
+def adaptive_log_probs(sm: dict, emb: dict, x: jax.Array,
+                       cutoffs: tuple[int, ...],
+                       padding_idx: int = 0) -> jax.Array:
+    """Full-vocab log-probs [N, V] (get_log_prob, softmax.py:193-222).
+
+    log p(w) = head_lsm[w]                     for w in band 0
+             = head_lsm[c0+i] + tail_lsm_i[w]  for w in tail i.
+    """
+    ranges = band_ranges(cutoffs)
+    c0 = ranges[0][1]
+    head = jax.nn.log_softmax(
+        _head_logits(sm, emb, x, padding_idx).astype(jnp.float32), axis=-1)
+    parts = [head[:, :c0]]
+    for i in range(len(ranges) - 1):
+        tl = jax.nn.log_softmax(
+            _tail_logits(sm, emb, x, i, padding_idx).astype(jnp.float32),
+            axis=-1)
+        parts.append(tl + head[:, c0 + i, None])
+    return jnp.concatenate(parts, axis=-1)

@@ -1,0 +1,58 @@
+"""Sinusoidal positional embeddings, tensor2tensor style.
+
+Matches the reference's SinusoidalPositionalEmbedding
+(/root/reference/tell/modules/token_embedders/positional.py:84-228): sin and
+cos blocks are *concatenated* (not interleaved), positions are pad-aware
+(non-pad token i gets position padding_idx + 1 + i, pads get padding_idx whose
+table row is zero). We precompute a static table once — no grow-on-demand,
+which would be a dynamic shape under jit — and compute positions with a
+cumsum over the non-pad mask instead of masked_scatter.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sinusoidal_table(n_positions: int, dim: int,
+                     padding_idx: int | None = None) -> jax.Array:
+    """Static [n_positions, dim] table; row padding_idx zeroed."""
+    max_ts, min_ts = 10000.0, 1.0
+    n_timescales = dim // 2
+    increment = math.log(max_ts / min_ts) / max(n_timescales - 1, 1)
+    inv_timescales = min_ts * np.exp(np.arange(n_timescales) * -increment)
+    scaled = np.arange(n_positions)[:, None] * inv_timescales[None, :]
+    signal = np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1)
+    if dim % 2 == 1:
+        signal = np.concatenate([signal, np.zeros((n_positions, 1))], axis=1)
+    if padding_idx is not None:
+        signal[padding_idx, :] = 0.0
+    return jnp.asarray(signal, jnp.float32)
+
+
+def make_positions(ids: jax.Array, padding_idx: int) -> jax.Array:
+    """Pad-aware positions: non-pad tokens count up from padding_idx + 1.
+
+    Right-padding only (the framework always right-pads). Equivalent to the
+    reference's make_positions with left_pad=False
+    (/root/reference/tell/modules/token_embedders/positional.py:231-268).
+    """
+    mask = ids != padding_idx
+    positions = jnp.cumsum(mask.astype(jnp.int32), axis=-1) + padding_idx
+    return jnp.where(mask, positions, padding_idx)
+
+
+def sinusoidal_embed(table: jax.Array, ids: jax.Array, padding_idx: int,
+                     start_pos: jax.Array | int = 0) -> jax.Array:
+    """Look up positional embeddings for a (possibly padded) id tensor.
+
+    start_pos shifts non-pad positions; used during incremental decode where
+    the carried decode state tracks how many tokens were already emitted.
+    """
+    positions = make_positions(ids, padding_idx)
+    mask = ids != padding_idx
+    positions = jnp.where(mask, positions + start_pos, padding_idx)
+    return jnp.take(table, positions, axis=0)

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The reference has no multi-device tests at all (SURVEY.md §4); we test every
+sharded code path on a virtual CPU mesh so multi-chip code is validated
+without a TPU pod.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Parity tests compare against fp32 numpy references; disable the bf16-speed
+# default matmul precision for the test session only.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

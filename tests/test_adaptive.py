@@ -1,0 +1,109 @@
+"""Adaptive embedding / softmax tests (SURVEY.md §4 invariant 2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tell_tpu.ops import (
+    adaptive_embed, adaptive_log_probs, adaptive_softmax_loss,
+    init_adaptive_embedding, init_adaptive_softmax,
+)
+
+CUTOFFS = (50, 200, 500)  # small-vocab analogue of (5000, 20000, 50265)
+D = 32
+
+
+def make_params(factor=1.0):
+    emb = init_adaptive_embedding(jax.random.PRNGKey(0), CUTOFFS,
+                                  initial_dim=D, factor=factor, output_dim=D)
+    sm = init_adaptive_softmax(jax.random.PRNGKey(1), CUTOFFS, D,
+                               factor=factor)
+    return emb, sm
+
+
+def test_log_probs_normalized():
+    emb, sm = make_params()
+    x = jax.random.normal(jax.random.PRNGKey(2), (7, D))
+    lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
+    assert lp.shape == (7, CUTOFFS[-1])
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.logsumexp(lp, axis=-1)), 0.0, atol=1e-4)
+
+
+def test_loss_equals_negative_log_prob():
+    """Cluster-factored CE loss == -log p from the factored distribution."""
+    emb, sm = make_params()
+    N = 16
+    x = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    targets = jax.random.randint(jax.random.PRNGKey(3), (N,), 0, CUTOFFS[-1])
+    targets = targets.at[0].set(1)  # one pad token
+    loss, n, _ = adaptive_softmax_loss(sm, emb, x, targets, CUTOFFS, pad_id=1)
+    lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
+    picked = jnp.take_along_axis(lp, targets[:, None], axis=-1)[:, 0]
+    expected = -jnp.sum(picked * (targets != 1))
+    np.testing.assert_allclose(float(loss), float(expected), rtol=1e-5)
+    assert int(n) == int(jnp.sum(targets != 1))
+
+
+def test_capacity_compaction_matches_dense():
+    emb, sm = make_params()
+    N = 32
+    x = jax.random.normal(jax.random.PRNGKey(2), (N, D))
+    targets = jax.random.randint(jax.random.PRNGKey(3), (N,), 0, CUTOFFS[-1])
+    dense, n1, _ = adaptive_softmax_loss(sm, emb, x, targets, CUTOFFS)
+    capped, n2, aux = adaptive_softmax_loss(sm, emb, x, targets, CUTOFFS,
+                                            tail_capacity=(N, N))
+    np.testing.assert_allclose(float(dense), float(capped), rtol=1e-5)
+    assert int(aux["tail_dropped"]) == 0
+    # Tiny capacity drops tail rows -> loss strictly smaller, dropped counted
+    tiny, _, aux2 = adaptive_softmax_loss(sm, emb, x, targets, CUTOFFS,
+                                          tail_capacity=(1, 1))
+    assert float(tiny) < float(dense)
+    n_tail = int(jnp.sum(targets >= CUTOFFS[0]))
+    assert int(aux2["tail_dropped"]) == max(n_tail - 2, 0)
+
+
+def test_embedding_bands_and_pinned_rows():
+    emb, _ = make_params()
+    ids = jnp.array([[0, 1, 49, 50, 199, 200, 499]])
+    out = adaptive_embed(emb, ids, CUTOFFS, D)
+    assert out.shape == (1, 7, D)
+    # padding_idx=0 pins band rows: global ids 0, 50, 200 embed to zero
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out[0, 3]), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out[0, 5]), 0.0, atol=1e-7)
+    assert np.abs(np.asarray(out[0, 1])).sum() > 0
+
+    # pinned rows receive zero gradient
+    def f(e):
+        return jnp.sum(adaptive_embed(e, ids, CUTOFFS, D) ** 2)
+    g = jax.grad(f)(emb)
+    np.testing.assert_allclose(np.asarray(g["bands"][0]["embed"][0]), 0.0)
+    np.testing.assert_allclose(np.asarray(g["bands"][1]["embed"][0]), 0.0)
+    assert np.abs(np.asarray(g["bands"][0]["embed"][1])).sum() > 0
+
+
+def test_tied_weights_get_gradients_from_loss():
+    """Tying: the embedding tables receive gradients through the softmax."""
+    emb, sm = make_params()
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, D))
+    targets = jnp.array([3, 60, 250, 7, 499, 51, 2, 180])
+
+    def f(e):
+        loss, n, _ = adaptive_softmax_loss(sm, e, x, targets, CUTOFFS)
+        return loss / n
+    g = jax.grad(f)(emb)
+    for b in range(3):
+        assert np.abs(np.asarray(g["bands"][b]["embed"])).sum() > 0
+
+
+def test_factor_reduces_tail_dims():
+    emb = init_adaptive_embedding(jax.random.PRNGKey(0), CUTOFFS,
+                                  initial_dim=D, factor=2.0, output_dim=D)
+    assert emb["bands"][0]["embed"].shape[1] == D
+    assert emb["bands"][1]["embed"].shape[1] == D // 2
+    assert emb["bands"][2]["embed"].shape[1] == D // 4
+    sm = init_adaptive_softmax(jax.random.PRNGKey(1), CUTOFFS, D, factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, D))
+    lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.logsumexp(lp, axis=-1)), 0.0, atol=1e-4)
