@@ -1,0 +1,144 @@
+"""Task model: multi-context news captioner.
+
+Replaces the transformer_* task models
+(/root/reference/tell/models/transformer_faces_objects.py:22-517 and its
+faces/flattened/glove siblings) with one config-driven model. The frozen
+towers (ResNet-152 grid, RoBERTa article encoder) plug in via
+`tell_tpu.models.backbones`; this module consumes their *features* so the
+same code serves training (precomputed features from the data pipeline) and
+serving (features computed on-device in the same jitted program).
+
+Generation is a fixed-length `lax.scan` with top-k sampling (k=1 == greedy,
+matching every shipped config's sampling_topk=1) and an EOS mask instead of
+the reference's dynamic active-set shrinking
+(transformer_faces_objects.py:399-494).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CaptionerConfig
+from .decoder import (
+    decoder_loss, decoder_log_probs, decoder_step, init_decode_state,
+    init_decoder,
+)
+
+
+def init_captioner(rng: jax.Array, cfg: CaptionerConfig) -> dict:
+    r_dec, r_bert = jax.random.split(rng)
+    params = {"decoder": init_decoder(r_dec, cfg.decoder)}
+    if cfg.weigh_bert:
+        # learned softmax-weighted sum over all encoder hidden layers
+        # (transformer_faces_objects.py:56-59, uniform init)
+        params["bert_weight"] = jax.random.uniform(
+            r_bert, (cfg.num_bert_layers,), jnp.float32)
+    return params
+
+
+def weighted_layer_sum(params: dict, hiddens: jax.Array) -> jax.Array:
+    """hiddens: [B, S, L, D] -> [B, S, D] with softmax(bert_weight) mixing
+    (transformer_faces_objects.py:355-364)."""
+    w = jax.nn.softmax(params["bert_weight"].astype(jnp.float32))
+    return jnp.einsum("bsld,l->bsd", hiddens, w.astype(hiddens.dtype))
+
+
+def mask_nan_embeds(embeds: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """NaN rows mark absent faces/objects: zero them and return the pad mask
+    (transformer_faces_objects.py:373-379)."""
+    mask = jnp.isnan(embeds).any(axis=-1)
+    return jnp.where(mask[..., None], 0.0, embeds), mask
+
+
+def build_contexts(params: dict, cfg: CaptionerConfig, batch: dict) -> dict:
+    """Assemble the decoder's context dict from encoder features.
+
+    batch keys (any subset matching cfg.decoder.contexts):
+      image_grid     [B, 49, 2048]   ResNet-152 7x7 grid, already flattened
+      article        [B, S, D] or article_hiddens [B, S, L, D] when weighing
+      article_mask   [B, S]          True = pad
+      face_embeds    [B, F, 512]     NaN rows = absent
+      obj_embeds     [B, O, 2048]    NaN rows = absent
+    """
+    contexts = {}
+    names = {c.name for c in cfg.decoder.contexts}
+    if "image" in names:
+        grid = batch["image_grid"]
+        pad = jnp.zeros(grid.shape[:2], bool)
+        contexts["image"] = (grid, pad)
+    if "article" in names:
+        if cfg.weigh_bert and "article_hiddens" in batch:
+            art = weighted_layer_sum(params, batch["article_hiddens"])
+        else:
+            art = batch["article"]
+        contexts["article"] = (art, batch["article_mask"])
+    if "faces" in names:
+        feats, mask = mask_nan_embeds(batch["face_embeds"])
+        contexts["faces"] = (feats, mask)
+    if "obj" in names:
+        feats, mask = mask_nan_embeds(batch["obj_embeds"])
+        contexts["obj"] = (feats, mask)
+    return contexts
+
+
+def captioner_loss(params: dict, cfg: CaptionerConfig, batch: dict,
+                   rng: jax.Array | None = None,
+                   deterministic: bool = True) -> tuple[jax.Array, dict]:
+    """Mean per-token loss in BITS (the reference reports loss/log2/sample,
+    transformer_faces_objects.py:82-90). batch['caption_ids']: [B, T]."""
+    contexts = build_contexts(params, cfg, batch)
+    loss_sum, size, aux = decoder_loss(params["decoder"], cfg.decoder,
+                                       batch["caption_ids"], contexts, rng,
+                                       deterministic)
+    size = jnp.maximum(size, 1)
+    loss = loss_sum / jnp.log(2.0) / size
+    return loss, {"sample_size": size, **aux}
+
+
+def generate(params: dict, cfg: CaptionerConfig, batch: dict,
+             rng: jax.Array | None = None, need_weights: bool = False
+             ) -> dict:
+    """Top-k sampled generation (greedy when sampling_topk == 1).
+
+    Returns {token_ids [B, gen_len+1] incl. seed <s>, log_probs [B, gen_len],
+    attns (optional per-step per-layer head-averaged maps)}.
+    """
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    B = batch["caption_ids"].shape[0] if "caption_ids" in batch else \
+        next(iter(contexts.values()))[0].shape[0]
+    state = init_decode_state(params["decoder"], dcfg, contexts, B)
+    seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, step_rng):
+        tokens, finished, state = carry
+        feats, state, attns = decoder_step(params["decoder"], dcfg, tokens,
+                                           state, need_weights=need_weights)
+        lp = decoder_log_probs(params["decoder"], dcfg, feats)  # [B, V]
+        topk_lp, topk_idx = jax.lax.top_k(lp, cfg.sampling_topk)
+        if cfg.sampling_topk == 1:
+            choice = jnp.zeros((B,), jnp.int32)
+            sel_lp = topk_lp[:, 0]
+        else:
+            scaled = topk_lp / cfg.sampling_temp
+            choice = jax.random.categorical(step_rng, scaled, axis=-1)
+            sel_lp = jnp.take_along_axis(topk_lp / cfg.sampling_temp,
+                                         choice[:, None], axis=-1)[:, 0]
+        sampled = jnp.take_along_axis(topk_idx, choice[:, None], axis=-1)[:, 0]
+        next_tok = jnp.where(finished, dcfg.pad_id, sampled)
+        sel_lp = jnp.where(finished, 0.0, sel_lp)
+        new_finished = finished | (sampled == dcfg.eos_id)
+        outs = (next_tok, sel_lp, attns if need_weights else ())
+        return (next_tok, new_finished, state), outs
+
+    step_rngs = jax.random.split(rng, cfg.gen_len)
+    (_, finished, _), (toks, lps, attns) = jax.lax.scan(
+        step, (seed, finished0, state), step_rngs)
+    token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
+    out = {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
+    if need_weights:
+        out["attns"] = attns
+    return out

@@ -1,0 +1,143 @@
+"""Decoder tests — SURVEY.md §4 invariant 1: step-decode(scan) must equal the
+full teacher-forced forward (the reference's incremental-state tests,
+generalized to the whole decoder stack)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tell_tpu.config import small_test_config
+from tell_tpu.models import (
+    decoder_forward, decoder_log_probs, decoder_step, init_captioner,
+    init_decode_state, init_decoder,
+)
+from tell_tpu.models.captioner import build_contexts, captioner_loss, generate
+
+CFG = small_test_config()
+DCFG = CFG.decoder
+
+
+def make_batch(rng, B=2, T=10):
+    ks = jax.random.split(rng, 8)
+    S = DCFG.context("article").max_len
+    face_embeds = jax.random.normal(ks[3], (B, 4, 16))
+    face_embeds = face_embeds.at[:, 2:].set(jnp.nan)  # 2 absent faces
+    caption = jax.random.randint(ks[5], (B, T), 4, DCFG.vocab_size)
+    caption = caption.at[:, 0].set(DCFG.bos_id)
+    caption = caption.at[:, -2].set(DCFG.eos_id)
+    caption = caption.at[:, -1].set(DCFG.pad_id)
+    return {
+        "image_grid": jax.random.normal(ks[0], (B, 9, 32)),
+        "article_hiddens": jax.random.normal(ks[1], (B, S, 3, 24)),
+        "article_mask": jnp.zeros((B, S), bool).at[:, 12:].set(True),
+        "face_embeds": face_embeds,
+        "obj_embeds": jax.random.normal(ks[4], (B, 8, 32)),
+        "caption_ids": caption,
+    }
+
+
+def test_step_decode_matches_full_forward():
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    contexts = build_contexts(params, CFG, batch)
+    ids = batch["caption_ids"][:, :-1]
+    full, _ = decoder_forward(params["decoder"], DCFG, ids, contexts)
+
+    state = init_decode_state(params["decoder"], DCFG, contexts,
+                              batch=ids.shape[0])
+
+    def step(state, toks):
+        feats, state, _ = decoder_step(params["decoder"], DCFG, toks, state)
+        return state, feats
+
+    _, stepped = jax.lax.scan(step, state, ids.T)
+    stepped = jnp.swapaxes(stepped, 0, 1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=2e-4)
+
+    # and the resulting log-prob distributions agree
+    lp_full = decoder_log_probs(params["decoder"], DCFG, full)
+    lp_step = decoder_log_probs(params["decoder"], DCFG, stepped)
+    np.testing.assert_allclose(np.asarray(lp_full), np.asarray(lp_step),
+                               atol=2e-3)
+
+
+def test_loss_is_finite_and_differentiable():
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    def f(p):
+        loss, aux = captioner_loss(p, CFG, batch)
+        return loss
+    loss, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # frozen-tower design: bert_weight gets a gradient (it mixes the hiddens)
+    assert np.abs(np.asarray(grads["bert_weight"])).sum() > 0
+
+
+def test_loss_decreases_with_sgd():
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def step(p):
+        (loss, _), g = jax.value_and_grad(
+            lambda q: captioner_loss(q, CFG, batch), has_aux=True)(p)
+        p = jax.tree.map(lambda a, b: a - 0.03 * b, p, g)
+        return p, loss
+
+    losses = []
+    for _ in range(12):
+        params, loss = step(params)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.2, losses
+
+
+def test_generate_greedy_semantics():
+    cfg = small_test_config()
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(jax.random.PRNGKey(1))
+    import dataclasses
+    cfg = dataclasses.replace(cfg, gen_len=12)
+    out = generate(params, cfg, batch, rng=jax.random.PRNGKey(2))
+    toks = np.asarray(out["token_ids"])
+    B = toks.shape[0]
+    assert toks.shape == (B, 13)
+    assert (toks[:, 0] == cfg.decoder.bos_id).all()
+    # greedy is deterministic
+    out2 = generate(params, cfg, batch, rng=jax.random.PRNGKey(99))
+    np.testing.assert_array_equal(toks, np.asarray(out2["token_ids"]))
+    # after an EOS, everything is pad
+    for b in range(B):
+        row = toks[b, 1:]
+        eos_pos = np.where(row == cfg.decoder.eos_id)[0]
+        if len(eos_pos):
+            assert (row[eos_pos[0] + 1:] == cfg.decoder.pad_id).all()
+
+
+def test_generate_matches_manual_argmax_rollout():
+    """Greedy scan rollout == python loop over decoder_step + argmax."""
+    import dataclasses
+    cfg = dataclasses.replace(small_test_config(), gen_len=6)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(jax.random.PRNGKey(1))
+    out = generate(params, cfg, batch)
+
+    contexts = build_contexts(params, cfg, batch)
+    B = batch["caption_ids"].shape[0]
+    state = init_decode_state(params["decoder"], cfg.decoder, contexts, B)
+    toks = jnp.full((B,), cfg.decoder.bos_id, jnp.int32)
+    finished = jnp.zeros((B,), bool)
+    seq = [toks]
+    for _ in range(6):
+        feats, state, _ = decoder_step(params["decoder"], cfg.decoder, toks,
+                                       state)
+        lp = decoder_log_probs(params["decoder"], cfg.decoder, feats)
+        nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.decoder.pad_id, nxt)
+        finished = finished | (nxt == cfg.decoder.eos_id)
+        seq.append(nxt)
+        toks = nxt
+    manual = np.stack([np.asarray(t) for t in seq], axis=1)
+    np.testing.assert_array_equal(np.asarray(out["token_ids"]), manual)
