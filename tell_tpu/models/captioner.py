@@ -105,9 +105,10 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     """
     dcfg = cfg.decoder
     contexts = build_contexts(params, cfg, batch)
-    B = batch["caption_ids"].shape[0] if "caption_ids" in batch else \
-        next(iter(contexts.values()))[0].shape[0]
-    state = init_decode_state(params["decoder"], dcfg, contexts, B)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    state = init_decode_state(params["decoder"], dcfg, contexts, B,
+                              dtype=feat0.dtype)
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
     finished0 = jnp.zeros((B,), bool)
     if rng is None:

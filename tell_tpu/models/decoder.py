@@ -106,7 +106,7 @@ def embed_tokens(params: dict, cfg: DecoderConfig, ids: jax.Array,
                        scale_embeds=cfg.scale_embeds)
     table = _pos_table(cfg.max_target_positions + cfg.pad_id + 2,
                        cfg.embed_dim, cfg.pad_id)
-    x = x + sinusoidal_embed(table, ids, cfg.pad_id, start_pos)
+    x = x + sinusoidal_embed(table, ids, cfg.pad_id, start_pos).astype(x.dtype)
     return dropout(x, cfg.dropout, rng, deterministic)
 
 

@@ -67,7 +67,8 @@ def init_adaptive_embedding(rng: jax.Array, cutoffs: tuple[int, ...],
 def adaptive_embed(params: dict, ids: jax.Array, cutoffs: tuple[int, ...],
                    output_dim: int, padding_idx: int = 0,
                    scale_embeds: bool = True) -> jax.Array:
-    """ids: int array of any shape -> [..., output_dim]."""
+    """ids: int array of any shape -> [..., output_dim] (param dtype)."""
+    out_dtype = params["bands"][0]["proj"].dtype
     result = jnp.zeros(ids.shape + (output_dim,), jnp.float32)
     for i, (lo, hi) in enumerate(band_ranges(cutoffs)):
         band = params["bands"][i]
@@ -82,7 +83,7 @@ def adaptive_embed(params: dict, ids: jax.Array, cutoffs: tuple[int, ...],
                                   preferred_element_type=jnp.float32)
     if scale_embeds:
         result = result * (output_dim ** 0.5)
-    return result
+    return result.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -18,8 +18,12 @@ import numpy as np
 
 
 def sinusoidal_table(n_positions: int, dim: int,
-                     padding_idx: int | None = None) -> jax.Array:
-    """Static [n_positions, dim] table; row padding_idx zeroed."""
+                     padding_idx: int | None = None) -> np.ndarray:
+    """Static [n_positions, dim] table; row padding_idx zeroed.
+
+    Returns host numpy (safe to cache across jit traces; XLA constant-folds
+    it at each use site).
+    """
     max_ts, min_ts = 10000.0, 1.0
     n_timescales = dim // 2
     increment = math.log(max_ts / min_ts) / max(n_timescales - 1, 1)
@@ -30,7 +34,7 @@ def sinusoidal_table(n_positions: int, dim: int,
         signal = np.concatenate([signal, np.zeros((n_positions, 1))], axis=1)
     if padding_idx is not None:
         signal[padding_idx, :] = 0.0
-    return jnp.asarray(signal, jnp.float32)
+    return np.asarray(signal, np.float32)
 
 
 def make_positions(ids: jax.Array, padding_idx: int) -> jax.Array:

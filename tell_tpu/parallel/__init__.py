@@ -1,0 +1,1 @@
+from .mesh import make_mesh, param_sharding_rules, shard_params, batch_sharding

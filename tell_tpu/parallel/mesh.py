@@ -1,0 +1,88 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-host torch DataParallel plus
+ZeroMQ process fan-out (SURVEY.md §2.10). Here parallelism is first-class:
+a ("data", "model") `jax.sharding.Mesh`, named-sharding rules over the param
+pytree, and XLA-inserted collectives over ICI. Batch dims shard over "data"
+(pure DP); the wide matmuls — attention head projections, FFN, adaptive
+embedding/softmax vocab bands — shard over "model" (TP).
+
+Rules are expressed on pytree paths, so they apply to any model built from
+tell_tpu.ops without per-model sharding code.
+"""
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), \
+        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# (path regex, PartitionSpec) — first match wins. Paths look like
+# "decoder/layers/0/attn/image/q_proj/w".
+_RULES: list[tuple[str, P]] = [
+    # attention: split heads over "model": q/k/v output dim, out_proj input dim
+    (r".*/attn/[^/]+/(q_proj|k_proj|v_proj)/w$", P(None, "model")),
+    (r".*/attn/[^/]+/(q_proj|k_proj|v_proj)/b$", P("model")),
+    (r".*/attn/[^/]+/out_proj/w$", P("model", None)),
+    # FFN: fc1 column-parallel, fc2 row-parallel
+    (r".*/fc1/(v|w)$", P(None, "model")),
+    (r".*/fc1/(g|b)$", P("model")),
+    (r".*/fc2/(v|w)$", P("model", None)),
+    # adaptive embedding bands + softmax: vocab-sharded tables
+    (r".*/embed/bands/\d+/embed$", P("model", None)),
+    (r".*/embed/bands/\d+/proj$", P(None, None)),
+    # everything else replicated
+    (r".*", P()),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_sharding_rules(params, mesh: Mesh):
+    """NamedSharding pytree matching `params` via the rule table."""
+    def rule(path, leaf):
+        s = _path_str(path)
+        for pattern, spec in _RULES:
+            if re.fullmatch(pattern, s):
+                # drop axes the leaf doesn't have (e.g. 1-D bias rules)
+                if len([a for a in spec if a is not None]) > leaf.ndim:
+                    spec = P()
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_sharding_rules(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def batch_sharding(mesh: Mesh, batch):
+    """Shard every batch leaf's leading dim over "data"."""
+    def f(leaf):
+        spec = P("data", *([None] * (leaf.ndim - 1)))
+        return NamedSharding(mesh, spec)
+    return jax.tree.map(f, batch)

@@ -9,7 +9,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session presets JAX_PLATFORMS=axon (one real TPU chip) via an
+# .axon_site sitecustomize that re-exports the env var, so the env alone is
+# not enough — jax.config.update below is authoritative. Tests always run on
+# the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,4 +24,5 @@ if "xla_force_host_platform_device_count" not in flags:
 # default matmul precision for the test session only.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
