@@ -1,0 +1,178 @@
+"""RoBERTa article encoder (frozen tower), JAX-native.
+
+Replaces the reference's torch.hub fairseq 'roberta.large'
+(/root/reference/tell/models/transformer_faces_objects.py:49-50) whose
+`extract_features(..., return_all_hiddens=True)` yields 25 hidden states
+that the captioner mixes with a learned softmax weighting (:352-368).
+
+Post-LN transformer encoder, exact (erf) GELU, pad-aware learned positions
+with RoBERTa's +2 offset. `convert_hf_roberta` maps a HuggingFace
+RobertaModel state dict onto the param pytree; activation parity vs
+transformers is tested in tests/test_roberta.py.
+
+The tower is frozen at train time (config.yaml no_grad ^roberta): its params
+live outside the trainable pytree and the encode is wrapped in
+jax.lax.stop_gradient by callers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RobertaConfig:
+    vocab_size: int = 50265
+    dim: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_dim: int = 4096
+    max_positions: int = 514  # 512 + pad offset 2
+    pad_id: int = 1
+    ln_eps: float = 1e-5
+
+    @staticmethod
+    def large() -> "RobertaConfig":
+        return RobertaConfig()
+
+    @staticmethod
+    def base() -> "RobertaConfig":
+        return RobertaConfig(dim=768, num_layers=12, num_heads=12,
+                             ffn_dim=3072)
+
+
+def _dense(rng, din, dout):
+    std = 0.02
+    return {"w": jax.random.normal(rng, (din, dout), jnp.float32) * std,
+            "b": jnp.zeros((dout,), jnp.float32)}
+
+
+def _ln(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_roberta(rng: jax.Array, cfg: RobertaConfig) -> dict:
+    ks = iter(jax.random.split(rng, 6 + 6 * cfg.num_layers))
+    params = {
+        "word_embed": jax.random.normal(
+            next(ks), (cfg.vocab_size, cfg.dim), jnp.float32) * 0.02,
+        "pos_embed": jax.random.normal(
+            next(ks), (cfg.max_positions, cfg.dim), jnp.float32) * 0.02,
+        "type_embed": jnp.zeros((1, cfg.dim), jnp.float32),
+        "embed_ln": _ln(cfg.dim),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "q": _dense(next(ks), cfg.dim, cfg.dim),
+            "k": _dense(next(ks), cfg.dim, cfg.dim),
+            "v": _dense(next(ks), cfg.dim, cfg.dim),
+            "attn_out": _dense(next(ks), cfg.dim, cfg.dim),
+            "attn_ln": _ln(cfg.dim),
+            "fc1": _dense(next(ks), cfg.dim, cfg.ffn_dim),
+            "fc2": _dense(next(ks), cfg.ffn_dim, cfg.dim),
+            "ffn_ln": _ln(cfg.dim),
+        })
+    return params
+
+
+def _apply_ln(p, x, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)
+            * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _lin(p, x):
+    return (jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+            + p["b"]).astype(x.dtype)
+
+
+def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
+                   return_all_hiddens: bool = True) -> jax.Array:
+    """ids: [B, S] -> [B, S, L+1, D] all hidden states (or [B, S, D] final).
+
+    Pad-aware positions: position = pad_id + cumsum(not_pad) (RoBERTa's
+    offset-by-2 convention). Padding keys are masked out of attention.
+    """
+    B, S = ids.shape
+    mask = ids != cfg.pad_id
+    positions = jnp.where(
+        mask, jnp.cumsum(mask.astype(jnp.int32), axis=1) + cfg.pad_id,
+        cfg.pad_id)
+    x = (jnp.take(params["word_embed"], ids, axis=0)
+         + jnp.take(params["pos_embed"], positions, axis=0)
+         + params["type_embed"][0])
+    x = _apply_ln(params["embed_ln"], x, cfg.ln_eps)
+
+    hiddens = [x]
+    H = cfg.num_heads
+    hd = cfg.dim // H
+    neg = jnp.where(mask, 0.0, -1e9)[:, None, None, :]  # [B,1,1,S]
+    for lp in params["layers"]:
+        q = _lin(lp["q"], x).reshape(B, S, H, hd)
+        k = _lin(lp["k"], x).reshape(B, S, H, hd)
+        v = _lin(lp["v"], x).reshape(B, S, H, hd)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (hd ** -0.5) + neg
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhts,bshd->bthd", probs, v,
+                       preferred_element_type=jnp.float32)
+        o = _lin(lp["attn_out"], o.reshape(B, S, cfg.dim).astype(x.dtype))
+        x = _apply_ln(lp["attn_ln"], x + o, cfg.ln_eps)
+        h = jax.nn.gelu(_lin(lp["fc1"], x).astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        h = _lin(lp["fc2"], h)
+        x = _apply_ln(lp["ffn_ln"], x + h, cfg.ln_eps)
+        hiddens.append(x)
+
+    if return_all_hiddens:
+        return jnp.stack(hiddens, axis=2)  # [B, S, L+1, D]
+    return x
+
+
+def convert_hf_roberta(state_dict: dict, cfg: RobertaConfig) -> dict:
+    """Map a HuggingFace RobertaModel state_dict to our pytree.
+
+    Works with either `roberta.`-prefixed (RobertaForMaskedLM) or bare
+    (RobertaModel) key names. Tensors arrive as torch tensors or numpy.
+    """
+    def get(name):
+        for key in (name, "roberta." + name):
+            if key in state_dict:
+                t = state_dict[key]
+                return jnp.asarray(np.asarray(getattr(t, "cpu", lambda: t)()))
+        raise KeyError(name)
+
+    def dense(name):
+        return {"w": get(name + ".weight").T, "b": get(name + ".bias")}
+
+    def ln(name):
+        return {"scale": get(name + ".weight"), "bias": get(name + ".bias")}
+
+    params = {
+        "word_embed": get("embeddings.word_embeddings.weight"),
+        "pos_embed": get("embeddings.position_embeddings.weight"),
+        "type_embed": get("embeddings.token_type_embeddings.weight"),
+        "embed_ln": ln("embeddings.LayerNorm"),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.layer.{i}."
+        params["layers"].append({
+            "q": dense(pre + "attention.self.query"),
+            "k": dense(pre + "attention.self.key"),
+            "v": dense(pre + "attention.self.value"),
+            "attn_out": dense(pre + "attention.output.dense"),
+            "attn_ln": ln(pre + "attention.output.LayerNorm"),
+            "fc1": dense(pre + "intermediate.dense"),
+            "fc2": dense(pre + "output.dense"),
+            "ffn_ln": ln(pre + "output.LayerNorm"),
+        })
+    return params
