@@ -1,0 +1,114 @@
+"""Token-budget bucketing into FIXED pad shapes.
+
+The reference uses AllenNLP's bucket iterator (batch 16, <=16384 tokens,
+sort by context+caption length; config.yaml:99-110) which emits arbitrary
+pad shapes — every batch a fresh shape. Under XLA that would recompile per
+shape, so we quantize: article lengths to {128, 256, 512}, caption lengths
+to {16, 32, 64, 100}, and pick the largest batch size within the token
+budget for each (article, caption) bucket, rounded down to a power of two.
+A handful of distinct shapes -> a handful of compiled programs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+PAD_ID = 1
+
+
+@dataclass(frozen=True)
+class BucketingConfig:
+    article_lengths: tuple[int, ...] = (128, 256, 512)
+    caption_lengths: tuple[int, ...] = (16, 32, 64, 100)
+    token_budget: int = 16384
+    max_batch: int = 64
+    min_batch: int = 1
+    sort_buffer: int = 8192  # max_instances_in_memory analogue
+    max_faces: int = 4
+    face_dim: int = 512
+    max_objects: int = 64
+    object_dim: int = 2048
+
+
+def _bucket_len(n: int, lengths: tuple[int, ...]) -> int:
+    for L in lengths:
+        if n <= L:
+            return L
+    return lengths[-1]
+
+
+def _batch_size(article_len: int, caption_len: int,
+                cfg: BucketingConfig) -> int:
+    per_example = article_len + caption_len
+    b = max(cfg.token_budget // per_example, cfg.min_batch)
+    b = min(b, cfg.max_batch)
+    return 1 << (b.bit_length() - 1)  # floor to power of two
+
+
+def _pad_ids(ids: np.ndarray, length: int) -> np.ndarray:
+    ids = np.asarray(ids, np.int32)[:length]
+    out = np.full((length,), PAD_ID, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+def pack_batch(examples: list[dict], article_len: int, caption_len: int,
+               cfg: BucketingConfig) -> dict:
+    """Stack ragged examples into one fixed-shape numpy batch."""
+    from .readers import pad_embeds
+
+    B = len(examples)
+    batch: dict = {
+        "context_ids": np.stack([_pad_ids(e["context_ids"], article_len)
+                                 for e in examples]),
+        "caption_ids": np.stack([_pad_ids(e["caption_ids"], caption_len)
+                                 for e in examples]),
+    }
+    batch["article_mask"] = batch["context_ids"] == PAD_ID
+    if "image_grid" in examples[0]:
+        batch["image_grid"] = np.stack(
+            [np.asarray(e["image_grid"], np.float32) for e in examples])
+    if "face_embeds" in examples[0]:
+        batch["face_embeds"] = np.stack(
+            [pad_embeds(e.get("face_embeds"), cfg.max_faces, cfg.face_dim)
+             for e in examples])
+    if "obj_embeds" in examples[0]:
+        batch["obj_embeds"] = np.stack(
+            [pad_embeds(e.get("obj_embeds"), cfg.max_objects, cfg.object_dim)
+             for e in examples])
+    return batch
+
+
+def bucket_batches(examples: Iterator[dict], cfg: BucketingConfig,
+                   drop_last: bool = False) -> Iterator[dict]:
+    """Group a stream of examples into fixed-shape batches.
+
+    Buffers up to sort_buffer examples, routes each to its (article, caption)
+    bucket, and emits a batch whenever a bucket fills. Mirrors the bucket
+    iterator's locality (similar lengths batch together) without its
+    arbitrary shapes.
+    """
+    buckets: dict[tuple[int, int], list[dict]] = {}
+    for ex in examples:
+        al = _bucket_len(len(ex["context_ids"]), cfg.article_lengths)
+        cl = _bucket_len(len(ex["caption_ids"]), cfg.caption_lengths)
+        key = (al, cl)
+        buckets.setdefault(key, []).append(ex)
+        b = _batch_size(al, cl, cfg)
+        if len(buckets[key]) >= b:
+            yield pack_batch(buckets[key][:b], al, cl, cfg)
+            buckets[key] = buckets[key][b:]
+    if not drop_last:
+        for (al, cl), rest in buckets.items():
+            b = _batch_size(al, cl, cfg)
+            while rest:
+                chunk = rest[:b]
+                # pad the final ragged batch by repeating the last example so
+                # shapes stay fixed; a "real" mask marks genuine rows
+                batch = pack_batch(chunk + [chunk[-1]] * (b - len(chunk)),
+                                   al, cl, cfg)
+                batch["real"] = np.arange(b) < len(chunk)
+                yield batch
+                rest = rest[b:]

@@ -1,0 +1,83 @@
+"""Offline preprocessing: article documents -> training shards.
+
+Replaces the reference's per-epoch Mongo + image-decode + frozen-ResNet work
+(SURVEY.md §2.5, §3.1 host path) with a run-once pipeline:
+
+  articles.jsonl (exported Mongo docs) + processed images
+      -> context assembly (readers.py) -> byte-BPE ids
+      -> ResNet-152 grid features (frozen tower, computed ONCE, fp16)
+      -> sharded .npz records (records.py)
+
+The reference recomputes the frozen ResNet on every epoch of every run; with
+the tower frozen, its output is a pure function of the image, so we hoist it
+out of training entirely — one of the structural wins over the reference.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterator
+
+import numpy as np
+
+from .readers import ReaderConfig, iter_examples
+from .records import write_shard
+from .tokenizer import RobertaTokenizer
+
+
+def read_articles_jsonl(path: str) -> Iterator[dict]:
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield json.loads(line)
+
+
+def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
+                     reader_cfg: ReaderConfig, out_dir: str, split: str,
+                     image_grid_fn: Callable[[str], np.ndarray] | None = None,
+                     objects_lookup=None, shard_size: int = 512,
+                     max_caption_len: int = 100) -> int:
+    """Returns the number of examples written."""
+    os.makedirs(out_dir, exist_ok=True)
+    count_tokens = lambda s: len(tokenizer.bpe.encode(s))  # noqa: E731
+
+    buf: list[dict] = []
+    n_total = 0
+    n_shard = 0
+
+    def flush():
+        nonlocal buf, n_shard
+        if buf:
+            write_shard(os.path.join(out_dir,
+                                     f"{split}-{n_shard:05d}.npz"), buf)
+            n_shard += 1
+            buf = []
+
+    for article in articles:
+        for ex in iter_examples(article, reader_cfg, count_tokens,
+                                objects_lookup):
+            rec = {
+                "context_ids": np.asarray(
+                    tokenizer.encode(ex["context"]), np.int32),
+                "caption_ids": np.asarray(
+                    tokenizer.encode(ex["caption"], max_len=max_caption_len),
+                    np.int32),
+                "image_hash": ex["image_hash"],
+                "caption": ex["caption"],
+            }
+            if ex.get("face_embeds") is not None:
+                rec["face_embeds"] = ex["face_embeds"]
+            if ex.get("obj_embeds") is not None:
+                rec["obj_embeds"] = ex["obj_embeds"]
+            if image_grid_fn is not None:
+                grid = image_grid_fn(ex["image_hash"])
+                if grid is None:
+                    continue  # mirrors the reference's skip-on-missing-image
+                rec["image_grid"] = grid.astype(np.float16)
+            buf.append(rec)
+            n_total += 1
+            if len(buf) >= shard_size:
+                flush()
+    flush()
+    return n_total
