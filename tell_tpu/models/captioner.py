@@ -81,6 +81,41 @@ def build_contexts(params: dict, cfg: CaptionerConfig, batch: dict) -> dict:
     return contexts
 
 
+def encode_contexts(frozen: dict, cfg: CaptionerConfig, batch: dict) -> dict:
+    """Run the frozen towers that still need computing for this batch.
+
+    The data pipeline precomputes ResNet grids; the RoBERTa article encode
+    runs on-device here (its 25-hidden-layer output is too large to store).
+    Gradients are stopped — the towers are frozen (config.yaml no_grad).
+    """
+    out = dict(batch)
+    if "context_ids" in batch and "article_hiddens" not in batch:
+        from .backbones.roberta import roberta_encode
+        rcfg = frozen["roberta_cfg"]
+        hiddens = roberta_encode(frozen["roberta"], rcfg,
+                                 batch["context_ids"],
+                                 return_all_hiddens=cfg.weigh_bert)
+        if not cfg.weigh_bert:
+            out["article"] = jax.lax.stop_gradient(hiddens)
+        else:
+            out["article_hiddens"] = jax.lax.stop_gradient(hiddens)
+        out["article_mask"] = batch["context_ids"] == rcfg.pad_id
+    if "image" in batch and "image_grid" not in batch:
+        from .backbones.resnet import resnet_forward
+        grid = resnet_forward(frozen["resnet"], frozen["resnet_cfg"],
+                              batch["image"])
+        out["image_grid"] = jax.lax.stop_gradient(grid)
+    return out
+
+
+def captioner_loss_e2e(params: dict, frozen: dict, cfg: CaptionerConfig,
+                       batch: dict, rng: jax.Array | None = None,
+                       deterministic: bool = True) -> tuple[jax.Array, dict]:
+    """Loss including frozen-tower encodes (the full training objective)."""
+    return captioner_loss(params, cfg, encode_contexts(frozen, cfg, batch),
+                          rng, deterministic)
+
+
 def captioner_loss(params: dict, cfg: CaptionerConfig, batch: dict,
                    rng: jax.Array | None = None,
                    deterministic: bool = True) -> tuple[jax.Array, dict]:

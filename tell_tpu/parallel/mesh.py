@@ -24,9 +24,10 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), \
-        f"mesh {n_data}x{n_model} != {len(devices)} devices"
-    arr = np.asarray(devices).reshape(n_data, n_model)
+    n = n_data * n_model
+    assert n <= len(devices), \
+        f"mesh {n_data}x{n_model} needs {n} devices, have {len(devices)}"
+    arr = np.asarray(devices[:n]).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import CaptionerConfig
-from ..models.captioner import captioner_loss
+from ..models.captioner import captioner_loss, captioner_loss_e2e
 
 
 def init_train_state(rng: jax.Array, cfg: CaptionerConfig,
@@ -28,13 +28,22 @@ def init_train_state(rng: jax.Array, cfg: CaptionerConfig,
 
 def make_train_step(cfg: CaptionerConfig,
                     optimizer: optax.GradientTransformation,
+                    frozen: dict | None = None,
                     donate: bool = True):
-    """Returns step(params, opt_state, batch, rng) -> (params', opt', metrics)."""
+    """Returns step(params, opt_state, batch, rng) -> (params', opt', metrics).
+
+    `frozen` carries the frozen-tower params (RoBERTa/ResNet); when given,
+    the step encodes raw context_ids/images on-device before the loss.
+    """
 
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
-            loss, aux = captioner_loss(p, cfg, batch, rng=rng,
-                                       deterministic=False)
+            if frozen is not None:
+                loss, aux = captioner_loss_e2e(p, frozen, cfg, batch,
+                                               rng=rng, deterministic=False)
+            else:
+                loss, aux = captioner_loss(p, cfg, batch, rng=rng,
+                                           deterministic=False)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

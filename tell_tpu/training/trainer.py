@@ -1,0 +1,209 @@
+"""Training loop.
+
+Owns what the reference delegated to AllenNLP's CallbackApexTrainer
+(/root/reference/tell/training/callback_apex_trainer.py:51-375): epoch loop,
+per-shape jitted train steps, validation, metric tracking with patience,
+checkpoint/recover, and structured logging. Callback events become plain
+hook lists; mixed precision is bf16-by-default XLA instead of apex.
+
+Device strategy: batches stream from the host loader into a (data, model)
+mesh; every distinct bucket shape compiles once and is reused (the
+fixed-shape set comes from data/bucketing.py).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from ..config import CaptionerConfig
+from ..parallel import batch_sharding, make_mesh, shard_params
+from .checkpoint import CheckpointManager
+from .optimizer import bert_adam
+from .train_step import make_train_step
+
+log = logging.getLogger("tell_tpu.trainer")
+
+
+@dataclass
+class TrainerConfig:
+    serialization_dir: str = "runs/default"
+    num_epochs: int = 100
+    patience: int = 30          # track_metrics callback analogue
+    keep_checkpoints: int = 10
+    log_every: int = 50
+    seed: int = 0
+    lr: float = 1e-4
+    warmup: float = 0.05
+    t_total: int = 437600
+    weight_decay: float = 1e-5
+    max_grad_norm: float = 0.1
+    b1: float = 0.9
+    b2: float = 0.98
+    n_data: int | None = None   # mesh axes; default all devices on data
+    n_model: int = 1
+
+
+class Trainer:
+    def __init__(self, cfg: CaptionerConfig, tcfg: TrainerConfig,
+                 train_batches: Callable[[int], Iterator[dict]],
+                 val_batches: Callable[[], Iterator[dict]] | None = None,
+                 frozen: dict | None = None,
+                 hooks: list | None = None):
+        """train_batches(epoch) / val_batches() yield fixed-shape numpy
+        batches (see data/bucketing.py)."""
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_batches = train_batches
+        self.val_batches = val_batches
+        self.frozen = frozen
+        self.hooks = hooks or []
+        self.optimizer = bert_adam(
+            lr=tcfg.lr, b1=tcfg.b1, b2=tcfg.b2,
+            weight_decay=tcfg.weight_decay,
+            max_grad_norm=tcfg.max_grad_norm, t_total=tcfg.t_total,
+            warmup=tcfg.warmup)
+        self.mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
+        self.ckpt = CheckpointManager(
+            os.path.join(tcfg.serialization_dir, "checkpoints"),
+            keep=tcfg.keep_checkpoints)
+        self._step_fn = jax.jit(
+            make_train_step(cfg, self.optimizer, frozen=self.frozen),
+            donate_argnums=(0, 1))
+        self._eval_fn = None
+        self.state: dict = {}
+        self.metrics_history: list[dict] = []
+
+    # -- state ------------------------------------------------------------
+    def initialize(self, rng: jax.Array | None = None) -> None:
+        from ..models import init_captioner
+        rng = jax.random.PRNGKey(self.tcfg.seed) if rng is None else rng
+        params = init_captioner(rng, self.cfg)
+        params = shard_params(params, self.mesh)
+        self.state = {
+            "params": params,
+            "opt": self.optimizer.init(params),
+            "step": 0,
+            "epoch": 0,
+            "best_metric": float("inf"),
+            "bad_epochs": 0,
+        }
+
+    def recover(self) -> bool:
+        """Resume from the latest checkpoint (tell train --recover)."""
+        if self.state == {}:
+            self.initialize()
+        restored = self.ckpt.restore(
+            template={"params": self.state["params"],
+                      "opt": self.state["opt"]})
+        if restored is None:
+            return False
+        state, meta = restored
+        self.state.update(state)
+        self.state.update({k: meta[k] for k in
+                           ("step", "epoch", "best_metric", "bad_epochs")
+                           if k in meta})
+        log.info("recovered at epoch %d step %d", self.state["epoch"],
+                 self.state["step"])
+        return True
+
+    # -- loops ------------------------------------------------------------
+    def train(self) -> dict:
+        if self.state == {}:
+            self.initialize()
+        t = self.tcfg
+        rng = jax.random.PRNGKey(t.seed + 17)
+        stop = False
+        while self.state["epoch"] < t.num_epochs and not stop:
+            epoch = self.state["epoch"]
+            em = self._train_epoch(epoch, rng)
+            val = self._validate()
+            em.update(val)
+            em["epoch"] = epoch
+            self.metrics_history.append(em)
+            self._write_metrics(em)
+
+            metric = val.get("val_loss", em.get("loss", float("inf")))
+            if metric < self.state["best_metric"]:
+                self.state["best_metric"] = metric
+                self.state["bad_epochs"] = 0
+                self.ckpt.save_best(
+                    {"params": self.state["params"]},
+                    {"epoch": epoch, "metric": metric})
+            else:
+                self.state["bad_epochs"] += 1
+                if self.state["bad_epochs"] >= t.patience:
+                    log.info("early stop: no improvement in %d epochs",
+                             t.patience)
+                    stop = True
+
+            self.state["epoch"] = epoch + 1
+            self.ckpt.save(
+                epoch, {"params": self.state["params"],
+                        "opt": self.state["opt"]},
+                {"step": self.state["step"], "epoch": self.state["epoch"],
+                 "best_metric": self.state["best_metric"],
+                 "bad_epochs": self.state["bad_epochs"]})
+            for hook in self.hooks:
+                hook(self, em)
+        return {"best_metric": self.state["best_metric"],
+                "epochs": self.state["epoch"]}
+
+    def _train_epoch(self, epoch: int, rng: jax.Array) -> dict:
+        t0 = time.time()
+        losses, sizes, skipped = [], [], 0
+        n_batches = 0
+        with self.mesh:
+            for batch in self.train_batches(epoch):
+                batch.pop("real", None)
+                batch = jax.device_put(batch,
+                                       batch_sharding(self.mesh, batch))
+                step_rng = jax.random.fold_in(rng, self.state["step"])
+                self.state["params"], self.state["opt"], m = self._step_fn(
+                    self.state["params"], self.state["opt"], batch, step_rng)
+                self.state["step"] += 1
+                n_batches += 1
+                losses.append(m["loss"])
+                sizes.append(m["sample_size"])
+                skipped += int(m["skipped"])
+                if n_batches % self.tcfg.log_every == 0:
+                    log.info("epoch %d step %d loss %.4f", epoch,
+                             self.state["step"], float(m["loss"]))
+        losses = [float(x) for x in losses]
+        return {"loss": float(np.mean(losses)) if losses else float("nan"),
+                "batches": n_batches, "skipped": skipped,
+                "epoch_seconds": time.time() - t0}
+
+    def _validate(self) -> dict:
+        if self.val_batches is None:
+            return {}
+        from ..models.captioner import captioner_loss, captioner_loss_e2e
+        if self._eval_fn is None:
+            if self.frozen is not None:
+                self._eval_fn = jax.jit(
+                    lambda p, b: captioner_loss_e2e(p, self.frozen, self.cfg,
+                                                    b)[0])
+            else:
+                self._eval_fn = jax.jit(
+                    lambda p, b: captioner_loss(p, self.cfg, b)[0])
+        losses = []
+        with self.mesh:
+            for batch in self.val_batches():
+                batch.pop("real", None)
+                batch = jax.device_put(batch,
+                                       batch_sharding(self.mesh, batch))
+                losses.append(float(self._eval_fn(self.state["params"],
+                                                  batch)))
+        return {"val_loss": float(np.mean(losses))} if losses else {}
+
+    def _write_metrics(self, em: dict) -> None:
+        os.makedirs(self.tcfg.serialization_dir, exist_ok=True)
+        path = os.path.join(self.tcfg.serialization_dir, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(em) + "\n")
