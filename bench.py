@@ -27,9 +27,10 @@ from tell_tpu.config import CaptionerConfig
 from tell_tpu.models import init_captioner
 from tell_tpu.models.captioner import generate
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", "100"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+BEAM = int(os.environ.get("BENCH_BEAM", "5"))
 BASELINE_CAPTIONS_PER_SEC = 2.8
 
 
@@ -56,7 +57,12 @@ def main():
         "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
     }
 
-    gen = jax.jit(lambda p, b: generate(p, cfg, b)["token_ids"])
+    if BEAM <= 1:
+        gen = jax.jit(lambda p, b: generate(p, cfg, b)["token_ids"])
+    else:
+        from tell_tpu.models.beam import beam_search
+        gen = jax.jit(lambda p, b: beam_search(p, cfg, b,
+                                               beam_size=BEAM)["token_ids"])
     jax.device_get(gen(params, batch))  # compile + warmup
 
     times = []
@@ -67,8 +73,9 @@ def main():
     dt = min(times)
     cps = B / dt
 
+    mode = "beam%d" % BEAM if BEAM > 1 else "greedy"
     print(json.dumps({
-        "metric": "captions_per_sec_greedy_b%d_len%d" % (B, GEN_LEN),
+        "metric": "captions_per_sec_%s_b%d_len%d" % (mode, B, GEN_LEN),
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / BASELINE_CAPTIONS_PER_SEC, 2),

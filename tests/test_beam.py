@@ -1,0 +1,77 @@
+"""Beam search tests: beam=1 == greedy, and beam=k == a brute-force python
+beam search that rescans every prefix with the full teacher-forced forward."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tell_tpu.config import small_test_config
+from tell_tpu.models import decoder_forward, decoder_log_probs, init_captioner
+from tell_tpu.models.beam import beam_search
+from tell_tpu.models.captioner import build_contexts, generate
+from tests.test_decoder import make_batch
+
+CFG = dataclasses.replace(small_test_config(), gen_len=6)
+
+
+def test_beam1_equals_greedy():
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    greedy = generate(params, CFG, batch)
+    beam = beam_search(params, CFG, batch, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(greedy["token_ids"]),
+                                  np.asarray(beam["token_ids"][:, 0]))
+
+
+def brute_force_beam(params, cfg, batch, beam_size, gen_len):
+    """Score prefixes with decoder_forward (teacher forcing) — O(V*beam)
+    hypotheses rescanned from scratch each step. Single batch element."""
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    hyps = [([dcfg.bos_id], 0.0, False)]
+    for _ in range(gen_len):
+        cands = []
+        for toks, score, fin in hyps:
+            if fin:
+                cands.append((toks + [dcfg.pad_id], score, True))
+                continue
+            ids = jnp.asarray([toks], jnp.int32)
+            feats, _ = decoder_forward(params["decoder"], dcfg, ids, contexts)
+            lp = np.asarray(
+                decoder_log_probs(params["decoder"], dcfg, feats)[0, -1],
+                np.float64)
+            for v in np.argsort(-lp)[: beam_size + 1]:
+                cands.append((toks + [int(v)], score + lp[v],
+                              int(v) == dcfg.eos_id))
+        cands.sort(key=lambda c: -c[1])
+        hyps = cands[:beam_size]
+    return hyps
+
+
+def test_beam_matches_brute_force():
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1), B=2)
+    batch1 = {k: v[:1] for k, v in batch.items()}
+
+    out = beam_search(params, CFG, batch1, beam_size=3)
+    ours = np.asarray(out["token_ids"][0])       # [beam, gen_len+1]
+    our_scores = np.asarray(out["scores"][0])
+
+    ref = brute_force_beam(params, CFG, batch1, beam_size=3, gen_len=6)
+    for b in range(3):
+        assert list(ours[b]) == ref[b][0], (b, list(ours[b]), ref[b][0])
+        np.testing.assert_allclose(our_scores[b], ref[b][1], atol=2e-3)
+
+
+def test_beam_batch_consistency():
+    """Each batch element's beams are independent of batchmates."""
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1), B=2)
+    full = beam_search(params, CFG, batch, beam_size=3)
+    for i in range(2):
+        solo = beam_search(params, CFG,
+                           {k: v[i:i+1] for k, v in batch.items()},
+                           beam_size=3)
+        np.testing.assert_array_equal(np.asarray(full["token_ids"][i]),
+                                      np.asarray(solo["token_ids"][0]))
