@@ -1,0 +1,178 @@
+"""`tnt` CLI — train / evaluate / preprocess / serve / score / bench.
+
+Replaces the reference's docopt CLI (/root/reference/tell/commands/
+__main__.py:3-97: `tell train CONFIG -f -r`, `tell evaluate CONFIG -m
+MODEL`) with argparse subcommands over the YAML experiment configs in
+expt/ (tell_tpu/config_io.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("config", help="experiment YAML (see expt/)")
+    p.add_argument("-o", "--overrides", default=None,
+                   help="JSON merged over the YAML config")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tnt",
+                                description="TPU-native Transform-and-Tell")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model")
+    _add_common(t)
+    t.add_argument("-r", "--recover", action="store_true",
+                   help="resume from the latest checkpoint")
+
+    e = sub.add_parser("evaluate", help="decode a split and score it")
+    _add_common(e)
+    e.add_argument("-m", "--model", default=None,
+                   help="checkpoint dir (default: <run>/checkpoints/best)")
+    e.add_argument("-s", "--split", default="test")
+    e.add_argument("-b", "--beam", type=int, default=1)
+    e.add_argument("--limit", type=int, default=None)
+
+    pre = sub.add_parser("preprocess", help="articles.jsonl -> shards")
+    _add_common(pre)
+    pre.add_argument("-s", "--split", default="train")
+
+    sv = sub.add_parser("serve", help="start the caption HTTP service")
+    _add_common(sv)
+    sv.add_argument("-m", "--model", default=None)
+    sv.add_argument("-p", "--port", type=int, default=5558)
+
+    sc = sub.add_parser("score", help="re-score a generations.jsonl")
+    sc.add_argument("generations")
+
+    return p
+
+
+def _load(args):
+    from ..config_io import load_experiment
+    return load_experiment(args.config, args.overrides)
+
+
+def _tokenizer(exp):
+    from ..data.tokenizer import RobertaTokenizer
+    return RobertaTokenizer.from_files(exp.data.vocab_file,
+                                       exp.data.merges_file)
+
+
+def _frozen_towers(exp):
+    """Load converted frozen-tower weights if present in the run dir."""
+    from ..models.backbones import RobertaConfig, init_roberta
+    import jax
+    rcfg = RobertaConfig.large()
+    path = os.path.join(exp.data.shards_dir, "..", "towers", "roberta")
+    if os.path.exists(path):
+        import orbax.checkpoint as ocp
+        roberta = ocp.PyTreeCheckpointer().restore(path)
+    else:
+        logging.warning("no converted RoBERTa weights at %s; using random "
+                        "init (quality will be garbage — convert with "
+                        "tools/convert_towers.py)", path)
+        roberta = init_roberta(jax.random.PRNGKey(0), rcfg)
+    return {"roberta": roberta, "roberta_cfg": rcfg}
+
+
+def _restore_params(exp, model_dir, template):
+    import orbax.checkpoint as ocp
+    path = model_dir or os.path.join(exp.trainer.serialization_dir,
+                                     "checkpoints", "best")
+    state = ocp.PyTreeCheckpointer().restore(path, item={"params": template})
+    return state["params"]
+
+
+def cmd_train(args) -> int:
+    from ..data.bucketing import bucket_batches
+    from ..data.records import RecordDataset
+    from ..training.trainer import Trainer
+
+    exp = _load(args)
+    train_ds = RecordDataset(os.path.join(exp.data.shards_dir,
+                                          "train-*.npz"), seed=exp.data.seed)
+    val_ds = RecordDataset(os.path.join(exp.data.shards_dir, "valid-*.npz"),
+                           seed=exp.data.seed)
+
+    def train_batches(epoch):
+        return bucket_batches(
+            train_ds.epoch(limit=exp.data.instances_per_epoch),
+            exp.bucketing)
+
+    def val_batches():
+        return bucket_batches(
+            val_ds.epoch(shuffle=False, limit=exp.data.val_limit),
+            exp.bucketing)
+
+    trainer = Trainer(exp.model, exp.trainer, train_batches, val_batches,
+                      frozen=_frozen_towers(exp))
+    if args.recover:
+        trainer.recover()
+    result = trainer.train()
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    import jax
+    from ..models import init_captioner
+    from .evaluate import evaluate_split
+
+    exp = _load(args)
+    template = init_captioner(jax.random.PRNGKey(0), exp.model)
+    params = _restore_params(exp, args.model, template)
+    metrics = evaluate_split(exp, params, _frozen_towers(exp),
+                             _tokenizer(exp), split=args.split,
+                             beam_size=args.beam, limit=args.limit)
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    from ..data.pipeline import preprocess_split, read_articles_jsonl
+
+    exp = _load(args)
+    n = preprocess_split(
+        read_articles_jsonl(exp.data.articles_jsonl), _tokenizer(exp),
+        exp.reader, exp.data.shards_dir, args.split)
+    print(json.dumps({"examples": n, "split": args.split}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    import jax
+    from ..models import init_captioner
+    from ..serving import CaptionService, serve
+
+    exp = _load(args)
+    template = init_captioner(jax.random.PRNGKey(0), exp.model)
+    params = _restore_params(exp, args.model, template)
+    service = CaptionService(params, _frozen_towers(exp), exp.model,
+                             _tokenizer(exp))
+    print(f"serving on :{args.port}")
+    serve(service, port=args.port)
+    return 0
+
+
+def cmd_score(args) -> int:
+    from .evaluate import score_file
+    print(json.dumps(score_file(args.generations), indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return {"train": cmd_train, "evaluate": cmd_evaluate,
+            "preprocess": cmd_preprocess, "serve": cmd_serve,
+            "score": cmd_score}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Evaluation command: decode a split, write generations.jsonl, score.
+
+Replaces /root/reference/tell/commands/evaluate.py:31-355 +
+scripts/compute_metrics.py: streams batches through the jitted decode
+(greedy or beam), writes one JSON line per sample (schema mirrors the
+reference's generations.jsonl: caption, generation, web_url, ...), then
+computes BLEU-1..4, ROUGE-L, CIDEr-D and entity P/R in one pass — no
+separate offline scorer needed, though `tnt score` can re-score any
+generations.jsonl.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config_io import ExperimentConfig
+from ..data.bucketing import bucket_batches
+from ..data.records import RecordDataset
+from ..data.tokenizer import RobertaTokenizer
+from ..evalm import CiderScorer, bleu_scores, entity_precision_recall, rouge_l
+
+
+def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
+                   tokenizer: RobertaTokenizer, split: str = "test",
+                   beam_size: int = 1, out_dir: str | None = None,
+                   limit: int | None = None) -> dict:
+    from ..models.beam import beam_search
+    from ..models.captioner import encode_contexts, generate
+
+    cfg = exp.model
+    out_dir = out_dir or exp.trainer.serialization_dir
+    os.makedirs(out_dir, exist_ok=True)
+    gen_path = os.path.join(out_dir, f"generations-{split}.jsonl")
+
+    if beam_size > 1:
+        decode = jax.jit(lambda p, b: beam_search(
+            p, cfg, encode_contexts(frozen, cfg, b),
+            beam_size=beam_size)["token_ids"][:, 0])
+    else:
+        decode = jax.jit(lambda p, b: generate(
+            p, cfg, encode_contexts(frozen, cfg, b))["token_ids"])
+
+    ds = RecordDataset(os.path.join(exp.data.shards_dir,
+                                    f"{split}-*.npz"), seed=0)
+    cands, refs = [], []
+    t0 = time.time()
+    n = 0
+    with open(gen_path, "w", encoding="utf-8") as f:
+        for batch in bucket_batches(ds.epoch(shuffle=False, limit=limit),
+                                    exp.bucketing):
+            real = batch.pop("real", np.ones(len(batch["caption_ids"]), bool))
+            captions = batch.pop("caption", None)
+            hashes = batch.pop("image_hash", None)
+            gen_ids = np.asarray(decode(params, batch))
+            for i in range(len(gen_ids)):
+                if not real[i]:
+                    continue
+                gen_text = tokenizer.decode(gen_ids[i])
+                ref_text = (str(captions[i]) if captions is not None else
+                            tokenizer.decode(batch["caption_ids"][i]))
+                f.write(json.dumps({
+                    "caption": ref_text,
+                    "generation": gen_text,
+                    "image_hash": (str(hashes[i]) if hashes is not None
+                                   else None),
+                }) + "\n")
+                cands.append(gen_text)
+                refs.append([ref_text])
+                n += 1
+    dt = time.time() - t0
+
+    metrics = score_generations(cands, refs)
+    metrics["n_samples"] = n
+    metrics["captions_per_sec"] = n / dt if dt > 0 else 0.0
+    with open(os.path.join(out_dir, f"evaluate-metrics-{split}.json"),
+              "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def score_generations(cands: list[str], refs: list[list[str]],
+                      ner=None) -> dict:
+    import re
+    strip = lambda t: re.sub(r"[^\w\s]", "", t)  # noqa: E731  (ref :106)
+    bleus = bleu_scores([strip(c) for c in cands],
+                        [[strip(r) for r in rs] for rs in refs])
+    cider = CiderScorer()
+    for c, rs in zip(cands, refs):
+        cider.append(strip(c), [strip(r) for r in rs])
+    cider_mean, _ = cider.compute()
+    metrics = {
+        "bleu-1": bleus[0] * 100, "bleu-2": bleus[1] * 100,
+        "bleu-3": bleus[2] * 100, "bleu-4": bleus[3] * 100,
+        "rouge-l": rouge_l(cands, refs) * 100,
+        # CiderScorer.compute is pycocoevalcap-scale (x10 internal); the
+        # reference's tables display that value x100 (generate_tables.py:32),
+        # so "54" == pycoco 0.54. Report on the same displayed scale.
+        "cider": cider_mean * 100,
+    }
+    if ner is not None:
+        gen_ents = [[t for t, _ in ner(c)] for c in cands]
+        ref_ents = [[t for t, _ in ner(rs[0])] for rs in refs]
+        pr = entity_precision_recall(gen_ents, ref_ents)
+        metrics["entity_precision"] = pr["precision"] * 100
+        metrics["entity_recall"] = pr["recall"] * 100
+    return metrics
+
+
+def score_file(path: str) -> dict:
+    cands, refs = [], []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            d = json.loads(line)
+            cands.append(d["generation"])
+            refs.append([d["caption"]])
+    return score_generations(cands, refs)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .captioner import build_contexts
-from .decoder import (decoder_log_probs, decoder_step, init_decode_state)
+from .decoder import decoder_step, decoder_top_k, init_decode_state
 
 
 def _tile_beam(x: jax.Array, beam: int) -> jax.Array:
@@ -53,23 +53,28 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
     paths0 = jnp.full((B, K, cfg.gen_len + 1), dcfg.pad_id, jnp.int32)
     paths0 = paths0.at[:, :, 0].set(dcfg.bos_id)
 
-    V = dcfg.vocab_size
-
     def step(carry, t):
         tokens, scores, finished, lengths, paths, state = carry
         feats, new_state, _ = decoder_step(params["decoder"], dcfg,
                                            tokens.reshape(B * K), state)
-        lp = decoder_log_probs(params["decoder"], dcfg, feats)
-        lp = lp.reshape(B, K, V).astype(jnp.float32)
+        # Exact per-beam top-K candidates: the global top-K over beams x V
+        # can only contain tokens in some beam's own top-K, so the [B, K*V]
+        # search collapses to [B, K*K] without approximation.
+        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        cand_lp = cand_lp.reshape(B, K, K)
+        cand_ids = cand_ids.reshape(B, K, K)
 
-        # finished beams: only <pad> continuation, at no cost
-        pad_only = jnp.full((V,), -jnp.inf).at[dcfg.pad_id].set(0.0)
-        lp = jnp.where(finished[:, :, None], pad_only[None, None, :], lp)
+        # finished beams: single <pad> continuation at no cost
+        fin_lp = jnp.full((K,), -jnp.inf).at[0].set(0.0)
+        cand_lp = jnp.where(finished[:, :, None], fin_lp[None, None, :],
+                            cand_lp)
+        cand_ids = jnp.where(finished[:, :, None], dcfg.pad_id, cand_ids)
 
-        total = scores[:, :, None] + lp                     # [B, K, V]
-        top_scores, top_flat = jax.lax.top_k(total.reshape(B, K * V), K)
-        parent = top_flat // V                              # [B, K]
-        tok = (top_flat % V).astype(jnp.int32)
+        total = scores[:, :, None] + cand_lp                # [B, K, K]
+        top_scores, top_flat = jax.lax.top_k(total.reshape(B, K * K), K)
+        parent = top_flat // K                              # [B, K]
+        tok = jnp.take_along_axis(cand_ids.reshape(B, K * K), top_flat,
+                                  axis=-1).astype(jnp.int32)
 
         # gather per-beam state by parent
         def g(x):  # [B, K, ...] gather on beam axis

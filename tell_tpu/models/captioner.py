@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .decoder import (
-    decoder_loss, decoder_log_probs, decoder_step, init_decode_state,
-    init_decoder,
+    decoder_loss, decoder_log_probs, decoder_step, decoder_top_k,
+    init_decode_state, init_decoder,
 )
 
 
@@ -153,8 +153,8 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
         tokens, finished, state = carry
         feats, state, attns = decoder_step(params["decoder"], dcfg, tokens,
                                            state, need_weights=need_weights)
-        lp = decoder_log_probs(params["decoder"], dcfg, feats)  # [B, V]
-        topk_lp, topk_idx = jax.lax.top_k(lp, cfg.sampling_topk)
+        topk_lp, topk_idx = decoder_top_k(params["decoder"], dcfg, feats,
+                                          cfg.sampling_topk)
         if cfg.sampling_topk == 1:
             choice = jnp.zeros((B,), jnp.int32)
             sel_lp = topk_lp[:, 0]

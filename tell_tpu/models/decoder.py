@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..config import DecoderConfig
 from ..ops.adaptive import (
     adaptive_embed, adaptive_log_probs, adaptive_softmax_loss,
-    init_adaptive_embedding, init_adaptive_softmax,
+    adaptive_top_k, init_adaptive_embedding, init_adaptive_softmax,
 )
 from ..ops.attention import (
     cross_attention_with_kv, init_cross_attention, precompute_kv,
@@ -251,6 +251,15 @@ def decoder_log_probs(params: dict, cfg: DecoderConfig,
                             cfg.full_cutoffs,
                             padding_idx=cfg.embed_padding_idx)
     return lp.reshape(*shape, cfg.vocab_size)
+
+
+def decoder_top_k(params: dict, cfg: DecoderConfig, feats: jax.Array,
+                  k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k next-token log-probs from step features [B, E] — the
+    decode hot path (never materializes the [B, V] distribution)."""
+    return adaptive_top_k(params["adaptive_softmax"], params["embed"],
+                          feats, cfg.full_cutoffs, k,
+                          padding_idx=cfg.embed_padding_idx)
 
 
 # ---------------------------------------------------------------------------

@@ -198,6 +198,37 @@ def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
     return loss, sample_size, {"tail_dropped": n_dropped}
 
 
+def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
+                   cutoffs: tuple[int, ...], k: int,
+                   padding_idx: int = 0) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k of the full factored distribution WITHOUT materializing
+    [N, V] log-probs — the decode-loop hot path.
+
+    Per-cluster top-k + prior shift, then top-k over the (n_clusters * k)
+    candidates. Exact because adding a cluster's scalar prior preserves
+    within-cluster order. Returns (log_probs [N, k], token_ids [N, k]).
+    """
+    ranges = band_ranges(cutoffs)
+    c0 = ranges[0][1]
+    head = jax.nn.log_softmax(
+        _head_logits(sm, emb, x, padding_idx).astype(jnp.float32), axis=-1)
+    vals, ids = jax.lax.top_k(head[:, :c0], k)
+    all_vals = [vals]
+    all_ids = [ids]
+    for i, (lo, hi) in enumerate(ranges[1:]):
+        tl = jax.nn.log_softmax(
+            _tail_logits(sm, emb, x, i, padding_idx).astype(jnp.float32),
+            axis=-1)
+        tv, ti = jax.lax.top_k(tl, min(k, hi - lo))
+        all_vals.append(tv + head[:, c0 + i, None])
+        all_ids.append(ti + lo)
+    cat_vals = jnp.concatenate(all_vals, axis=-1)
+    cat_ids = jnp.concatenate(all_ids, axis=-1)
+    final_vals, pos = jax.lax.top_k(cat_vals, k)
+    final_ids = jnp.take_along_axis(cat_ids, pos, axis=-1)
+    return final_vals, final_ids
+
+
 def adaptive_log_probs(sm: dict, emb: dict, x: jax.Array,
                        cutoffs: tuple[int, ...],
                        padding_idx: int = 0) -> jax.Array:

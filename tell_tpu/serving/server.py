@@ -1,0 +1,166 @@
+"""HTTP caption service.
+
+Keeps the API surface of the reference demo backend
+(/root/reference/demo/backend/tat/views.py:26-69): POST /caption takes an
+article (+ optional image features) and returns the generated caption with
+per-word attention payloads; POST /scrape fetches and sections an article
+URL (network-gated). The ZeroMQ ventilator/worker/sink + Django + client
+stack collapses into this one process: a threading HTTP frontend over a
+MicroBatcher over one jitted batched decode.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import numpy as np
+
+from ..config import CaptionerConfig
+from ..data.tokenizer import RobertaTokenizer
+from .batcher import MicroBatcher
+
+log = logging.getLogger("tell_tpu.serving")
+
+
+class CaptionService:
+    """Model worker: batches of raw requests -> captions (+ attention).
+
+    Mirrors CaptioningWorker (/root/reference/tell/tasks/captioner.py:50-444)
+    minus the per-request GPU fan-out: one batched decode per micro-batch.
+    """
+
+    def __init__(self, params: dict, frozen: dict, cfg: CaptionerConfig,
+                 tokenizer: RobertaTokenizer, max_batch: int = 32,
+                 article_len: int = 512, need_attention: bool = False):
+        from ..models.captioner import encode_contexts, generate
+
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.article_len = article_len
+        self.need_attention = need_attention
+        dcfg = cfg.decoder
+
+        def decode_fn(params, batch):
+            batch = encode_contexts(frozen, cfg, batch)
+            return generate(params, cfg, batch,
+                            need_weights=need_attention)
+
+        self._decode = jax.jit(decode_fn)
+        self._params = params
+        self.max_batch = max_batch
+        self._spec = {
+            "faces": (dcfg.context("faces").max_len
+                      if any(c.name == "faces" for c in dcfg.contexts)
+                      else 0, 512),
+            "obj": (dcfg.context("obj").max_len
+                    if any(c.name == "obj" for c in dcfg.contexts)
+                    else 0, 2048),
+        }
+        self.batcher = MicroBatcher(self._run, max_batch=max_batch)
+
+    def _pack(self, requests: list[dict]) -> dict:
+        B = len(requests)
+        dcfg = self.cfg.decoder
+        ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
+        for i, req in enumerate(requests):
+            toks = self.tokenizer.encode(req.get("context", ""),
+                                         max_len=self.article_len)
+            ids[i, : len(toks)] = toks
+        batch = {"context_ids": ids}
+        img_dim = 2048
+        grids = np.zeros((B, 49, img_dim), np.float32)
+        for i, req in enumerate(requests):
+            if "image_grid" in req:
+                grids[i] = np.asarray(req["image_grid"], np.float32)
+        batch["image_grid"] = grids
+        for name, key in (("faces", "face_embeds"), ("obj", "obj_embeds")):
+            n, dim = self._spec[name]
+            if n == 0:
+                continue
+            em = np.full((B, n, dim), np.nan, np.float32)
+            for i, req in enumerate(requests):
+                v = np.asarray(req.get(key, []), np.float32)
+                if v.size:
+                    k = min(n, v.shape[0])
+                    em[i, :k] = v[:k]
+            batch[key] = em
+        return batch
+
+    def _run(self, requests: list[dict]) -> list[dict]:
+        # pad the micro-batch to max_batch for a single compiled shape
+        n = len(requests)
+        padded = requests + [{"context": ""}] * (self.max_batch - n)
+        batch = self._pack(padded)
+        out = self._decode(self._params, batch)
+        token_ids = np.asarray(out["token_ids"])[:n]
+        results = []
+        for i in range(n):
+            results.append({
+                "caption": self.tokenizer.decode(token_ids[i]),
+                "token_ids": token_ids[i].tolist(),
+            })
+        if self.need_attention and "attns" in out:
+            # attns: per-layer dicts of [gen_len, B, 1, S'] head-averaged maps
+            for i in range(n):
+                results[i]["attns"] = {
+                    name: np.asarray(a)[:, i, 0].tolist()
+                    for name, a in out["attns"][0].items()
+                }
+        return results
+
+    def caption(self, request: dict) -> dict:
+        return self.batcher(request)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: CaptionService = None  # set by serve()
+
+    def log_message(self, fmt, *args):  # quiet
+        log.debug(fmt, *args)
+
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, {"status": "ok"})
+        elif self.path == "/stats":
+            self._send(200, self.service.batcher.stats)
+        else:
+            self._send(404, {"error": "not found"})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            req = json.loads(self.rfile.read(length) or b"{}")
+        except json.JSONDecodeError:
+            self._send(400, {"error": "bad json"})
+            return
+        if self.path == "/caption":
+            try:
+                self._send(200, self.service.caption(req))
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+        elif self.path == "/scrape":
+            self._send(501, {"error": "scraping requires network egress"})
+        else:
+            self._send(404, {"error": "not found"})
+
+
+def serve(service: CaptionService, port: int = 5558,
+          block: bool = True) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"service": service})
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    if block:
+        httpd.serve_forever()
+    else:
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

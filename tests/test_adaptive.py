@@ -62,6 +62,19 @@ def test_capacity_compaction_matches_dense():
     assert int(aux2["tail_dropped"]) == max(n_tail - 2, 0)
 
 
+def test_top_k_matches_full_log_probs():
+    from tell_tpu.ops.adaptive import adaptive_top_k
+    emb, sm = make_params()
+    x = jax.random.normal(jax.random.PRNGKey(7), (9, D))
+    lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
+    for k in (1, 5, 17):
+        vals, ids = adaptive_top_k(sm, emb, x, CUTOFFS, k)
+        ref_vals, ref_ids = jax.lax.top_k(lp, k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+
+
 def test_embedding_bands_and_pinned_rows():
     emb, _ = make_params()
     ids = jnp.array([[0, 1, 49, 50, 199, 200, 499]])

@@ -1,0 +1,52 @@
+"""CLI + config tests: every shipped experiment YAML parses into valid
+dataclasses; overrides merge; score subcommand round-trips."""
+import glob
+import json
+import os
+
+import pytest
+
+from tell_tpu.config_io import load_experiment
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(REPO, "expt", "*", "*.yaml"))))
+def test_experiment_configs_parse(path):
+    exp = load_experiment(path)
+    assert exp.model.decoder.vocab_size == 50265
+    assert exp.model.decoder.full_cutoffs[-1] == 50265
+    assert exp.trainer.t_total > 0
+    names = [c.name for c in exp.model.decoder.contexts]
+    if "9_" in path:
+        assert names == ["image", "article", "faces", "obj"]
+    if "4_" in path:
+        assert names == ["article"]
+
+
+def test_overrides_merge(tmp_path):
+    path = os.path.join(REPO, "expt", "nytimes", "9_transformer_objects.yaml")
+    exp = load_experiment(path, overrides=json.dumps(
+        {"trainer": {"lr": 0.5}, "model": {"decoder": {"dropout": 0.0}}}))
+    assert exp.trainer.lr == 0.5
+    assert exp.model.decoder.dropout == 0.0
+    assert exp.model.decoder.embed_dim == 1024  # untouched
+
+
+def test_unknown_key_fails(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("model:\n  decoder:\n    not_a_field: 3\n")
+    with pytest.raises(KeyError):
+        load_experiment(str(bad))
+
+
+def test_score_command(tmp_path, capsys):
+    from tell_tpu.commands.__main__ import main
+    gen = tmp_path / "g.jsonl"
+    with open(gen, "w") as f:
+        f.write(json.dumps({"caption": "the cat sat",
+                            "generation": "the cat sat"}) + "\n")
+    assert main(["score", str(gen)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["bleu-1"] > 99

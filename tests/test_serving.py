@@ -1,0 +1,100 @@
+"""Serving tests: micro-batcher coalescing + HTTP caption endpoint."""
+import http.client
+import json
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from tell_tpu.config import small_test_config
+from tell_tpu.models import init_captioner
+from tell_tpu.models.backbones import RobertaConfig, init_roberta
+from tell_tpu.serving import CaptionService, MicroBatcher, serve
+from tell_tpu.data.tokenizer import ByteBPE, RobertaTokenizer
+from tests.test_tokenizer import build_synthetic_vocab
+
+
+def test_microbatcher_coalesces():
+    calls = []
+
+    def run(batch):
+        calls.append(len(batch))
+        time.sleep(0.02)
+        return [x * 2 for x in batch]
+
+    mb = MicroBatcher(run, max_batch=8, max_wait_ms=50)
+    futs = [mb.submit(i) for i in range(12)]
+    results = [f.result(timeout=5) for f in futs]
+    assert results == [i * 2 for i in range(12)]
+    assert len(calls) <= 4  # coalesced, not 12 single-item calls
+    assert mb.stats["requests"] == 12
+    mb.shutdown()
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    import dataclasses
+    cfg = dataclasses.replace(small_test_config(), gen_len=5)
+    # service-sized contexts: faces/obj dims must match the packer (512/2048)
+    from tell_tpu.config import ContextSpec
+    dec = dataclasses.replace(
+        cfg.decoder,
+        contexts=(ContextSpec("image", 2048, 49),
+                  ContextSpec("article", 24, 16),
+                  ContextSpec("faces", 512, 2),
+                  ContextSpec("obj", 2048, 4)))
+    cfg = dataclasses.replace(cfg, decoder=dec)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    # num_layers must give num_bert_layers(=3) hidden states for weigh_bert
+    rcfg = RobertaConfig(vocab_size=cfg.decoder.vocab_size, dim=24,
+                         num_layers=2, num_heads=4, ffn_dim=32,
+                         max_positions=40)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(1), rcfg),
+              "roberta_cfg": rcfg}
+    vf, mf = build_synthetic_vocab(tmp_path_factory.mktemp("vocab"))
+    tok = RobertaTokenizer.from_files(vf, mf, max_len=16)
+    return CaptionService(params, frozen, cfg, tok, max_batch=4,
+                          article_len=16)
+
+
+def test_caption_service_direct(service):
+    out = service.caption({"context": "the news in the city today"})
+    assert "caption" in out and isinstance(out["caption"], str)
+    assert out["token_ids"][0] == 0
+
+
+def test_http_endpoint(service):
+    httpd = serve(service, port=15558, block=False)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", 15558, timeout=30)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+
+        body = json.dumps({"context": "the news today"})
+        conn.request("POST", "/caption", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        data = json.loads(resp.read())
+        assert "caption" in data
+
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] >= 1
+    finally:
+        httpd.shutdown()
+
+
+def test_concurrent_requests_batched(service):
+    results = [None] * 6
+    def worker(i):
+        results[i] = service.caption({"context": f"news item {i}"})
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    before = service.batcher.stats["batches"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None and "caption" in r for r in results)
