@@ -25,11 +25,6 @@ from .captioner import build_contexts
 from .decoder import decoder_step, decoder_top_k, init_decode_state
 
 
-def _tile_beam(x: jax.Array, beam: int) -> jax.Array:
-    """[B, ...] -> [B*beam, ...] with each row repeated beam times."""
-    return jnp.repeat(x, beam, axis=0)
-
-
 def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
                 beam_size: int = 5, length_penalty: float = 0.0) -> dict:
     """Returns {"token_ids": [B, beam, gen_len+1] sorted best-first,
@@ -40,10 +35,8 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
     B = feat0.shape[0]
     K = beam_size
 
-    tiled = {name: (_tile_beam(f, K), _tile_beam(m, K))
-             for name, (f, m) in contexts.items()}
-    state = init_decode_state(params["decoder"], dcfg, tiled, B * K,
-                              dtype=feat0.dtype)
+    state = init_decode_state(params["decoder"], dcfg, contexts, B,
+                              beam=K, dtype=feat0.dtype)
 
     tokens = jnp.full((B, K), dcfg.bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),

@@ -267,10 +267,17 @@ def decoder_top_k(params: dict, cfg: DecoderConfig, feats: jax.Array,
 # ---------------------------------------------------------------------------
 
 def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
-                      batch: int, dtype=jnp.float32) -> dict:
-    """Fixed-shape decode state pytree: conv ring buffers + static KV + step."""
+                      batch: int, beam: int = 1, dtype=jnp.float32) -> dict:
+    """Fixed-shape decode state pytree: conv ring buffers + static KV + step.
+
+    KV is stored UNtiled — one copy per batch element, shared by all beams.
+    During beam decode the beam axis rides the attention query's "time" axis
+    (cross-attention has no causal mask, so beams stay independent), which
+    cuts the dominant per-step HBM traffic (article K/V reads) by the beam
+    factor versus the reference-style tiled layout.
+    """
     return {
-        "conv": [init_conv_state(batch, cfg.conv_dim, k, dtype)
+        "conv": [init_conv_state(batch * beam, cfg.conv_dim, k, dtype)
                  for k in cfg.kernel_sizes],
         "kv": precompute_context_kv(params, cfg, contexts),
         "step": jnp.zeros((), jnp.int32),
@@ -280,18 +287,23 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
 def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
                  state: dict, need_weights: bool = False
                  ) -> tuple[jax.Array, dict, list[dict]]:
-    """One decode step. tokens: [B] -> (features [B, E], state', attns).
+    """One decode step. tokens: [B*beam] -> (features [B*beam, E], state',
+    attns). beam is inferred from tokens vs KV row counts.
 
     Deterministic (no dropout) — decoding never trains.
     """
-    x = embed_tokens(params, cfg, tokens[:, None], start_pos=state["step"])
-    x = x  # [B, 1, E]
+    R = tokens.shape[0]
+    first_kv = next(iter(state["kv"][0].values()))[0]
+    B = first_kv.shape[0]
+    K = R // B
+    x = embed_tokens(params, cfg, tokens[:, None],
+                     start_pos=state["step"])[:, 0]  # [R, E]
     new_conv = []
     all_attns = []
     for i, (lp, k) in enumerate(zip(params["layers"], cfg.kernel_sizes)):
-        # conv block, single step
-        residual = x[:, 0]
-        h = gehring_linear(lp["linear1"], x[:, 0])
+        # conv block, single step (row-wise)
+        residual = x
+        h = gehring_linear(lp["linear1"], x)
         if cfg.glu:
             h = glu(h)
         step_fn = (dynamic_conv_step if cfg.conv_type == "dynamic"
@@ -301,13 +313,14 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
                          weight_softmax=cfg.weight_softmax)
         new_conv.append(buf)
         h = gehring_linear(lp["linear2"], h)
-        h = layer_norm(lp["conv_ln"], residual + h)[:, None, :]
-        h, attns = _attn_and_ffn(lp, cfg, h, state["kv"][i], None, True,
-                                 need_weights)
-        x = h
+        h = layer_norm(lp["conv_ln"], residual + h)
+        # attention + FFN on [B, beam, E] against shared per-batch KV
+        h, attns = _attn_and_ffn(lp, cfg, h.reshape(B, K, -1),
+                                 state["kv"][i], None, True, need_weights)
+        x = h.reshape(R, -1)
         all_attns.append(attns)
     if "final_ln" in params:
         x = layer_norm(params["final_ln"], x)
     new_state = {"conv": new_conv, "kv": state["kv"],
                  "step": state["step"] + 1}
-    return x[:, 0], new_state, all_attns
+    return x, new_state, all_attns

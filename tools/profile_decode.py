@@ -1,0 +1,79 @@
+"""Ablation profiling of the decode step on the real chip."""
+import sys, os, time, dataclasses
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax, jax.numpy as jnp, jax.random as jr
+from tell_tpu.config import CaptionerConfig
+from tell_tpu.models import init_captioner
+from tell_tpu.models.captioner import build_contexts
+from tell_tpu.models.decoder import (init_decode_state, decoder_step,
+                                     decoder_top_k)
+
+B = int(os.environ.get("B", "320"))  # rows (= batch x beam)
+S = int(os.environ.get("S", "512"))
+STEPS = 100
+dtype = jnp.bfloat16
+
+cfg = CaptionerConfig()
+dcfg = cfg.decoder
+params = init_captioner(jr.PRNGKey(0), cfg)
+params = jax.tree.map(lambda x: x.astype(dtype)
+                      if x.dtype == jnp.float32 else x, params)
+ks = jr.split(jr.PRNGKey(1), 8)
+batch = {
+    "image_grid": jr.normal(ks[0], (B, 49, 2048), dtype),
+    "article": jr.normal(ks[1], (B, S, 1024), dtype),
+    "article_mask": jnp.zeros((B, S), bool),
+    "face_embeds": jr.normal(ks[2], (B, 4, 512), dtype),
+    "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
+}
+contexts = build_contexts(params, cfg, batch)
+state = init_decode_state(params["decoder"], dcfg, contexts, B, dtype=dtype)
+
+
+def timeit(name, fn, *args):
+    out = jax.device_get(fn(*args))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:40s} {min(ts)*1000:9.1f} ms  ({min(ts)*1000/STEPS:6.2f} ms/step)")
+
+
+@jax.jit
+def scan_step_only(params, state):
+    def step(carry, _):
+        toks, st = carry
+        feats, st, _ = decoder_step(params["decoder"], dcfg, toks, st)
+        return (toks, st), feats[:, 0]
+    (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
+                                 None, length=STEPS)
+    return outs
+
+
+@jax.jit
+def scan_step_topk(params, state):
+    def step(carry, _):
+        toks, st = carry
+        feats, st, _ = decoder_step(params["decoder"], dcfg, toks, st)
+        lp, ids = decoder_top_k(params["decoder"], dcfg, feats, 5)
+        return (ids[:, 0].astype(jnp.int32), st), lp[:, 0]
+    (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
+                                 None, length=STEPS)
+    return outs
+
+
+@jax.jit
+def scan_topk_only(params, feats):
+    def step(carry, _):
+        lp, ids = decoder_top_k(params["decoder"], dcfg, carry, 5)
+        return carry + lp[:, :1].astype(carry.dtype), lp[:, 0]
+    _, outs = jax.lax.scan(step, feats, None, length=STEPS)
+    return outs
+
+
+feats0 = jr.normal(ks[4], (B, 1024), dtype)
+timeit("decoder_step only x100", scan_step_only, params, state)
+timeit("decoder_step + top_k x100", scan_step_topk, params, state)
+timeit("adaptive top_k only x100", scan_topk_only, params, feats0)
