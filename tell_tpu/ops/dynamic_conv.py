@@ -70,6 +70,21 @@ def _conv_with_weights(x: jax.Array, w: jax.Array, kernel_size: int,
     return out.reshape(B, T, C)
 
 
+def _can_fuse(params: dict, query, weight_dropout: float,
+              deterministic: bool, num_heads: int, C: int) -> bool:
+    """The fused Pallas path covers the decoder's exact configuration:
+    self-predicted weights, no predictor bias, no conv bias, and no active
+    weight-dropout (the kernel is deterministic)."""
+    from .kernels.dispatch import fused_kernels_enabled
+    return (fused_kernels_enabled()
+            and query is None
+            and "b" not in params["weight_linear"]
+            and "conv_bias" not in params
+            and (deterministic or weight_dropout == 0.0)
+            and C % num_heads == 0
+            and C % 128 == 0)
+
+
 def dynamic_conv(params: dict, x: jax.Array, *, kernel_size: int,
                  num_heads: int, weight_softmax: bool = True,
                  weight_dropout: float = 0.0,
@@ -78,6 +93,13 @@ def dynamic_conv(params: dict, x: jax.Array, *, kernel_size: int,
                  query: jax.Array | None = None) -> jax.Array:
     """Full-sequence dynamic conv. x: [B, T, C] -> [B, T, C]."""
     B, T, C = x.shape
+    if _can_fuse(params, query, weight_dropout, deterministic, num_heads, C):
+        from .kernels.dynamic_conv import fused_dynamic_conv
+        w = params["weight_linear"]["w"]  # [C, H*K] (h-major)
+        w_km = w.reshape(C, num_heads, kernel_size) \
+                .transpose(0, 2, 1).reshape(C, kernel_size * num_heads)
+        return fused_dynamic_conv(x, w_km.astype(x.dtype), kernel_size,
+                                  num_heads, weight_softmax)
     q = x if query is None else query
     w = linear(params["weight_linear"], q)
     w = w.reshape(B, T, num_heads, kernel_size)
