@@ -58,6 +58,11 @@ def _load(args):
     return load_experiment(args.config, args.overrides)
 
 
+def _adapter(exp):
+    from ..models.registry import get_model
+    return get_model(exp.model_type, exp.model)
+
+
 def _tokenizer(exp):
     from ..data.tokenizer import RobertaTokenizer
     return RobertaTokenizer.from_files(exp.data.vocab_file,
@@ -68,7 +73,7 @@ def _frozen_towers(exp):
     """Load converted frozen-tower weights if present in the run dir."""
     from ..models.backbones import RobertaConfig, init_roberta
     import jax
-    rcfg = RobertaConfig.large()
+    rcfg = getattr(RobertaConfig, exp.data.roberta)()
     path = os.path.join(exp.data.shards_dir, "..", "towers", "roberta")
     if os.path.exists(path):
         import orbax.checkpoint as ocp
@@ -111,7 +116,7 @@ def cmd_train(args) -> int:
             exp.bucketing)
 
     trainer = Trainer(exp.model, exp.trainer, train_batches, val_batches,
-                      frozen=_frozen_towers(exp))
+                      frozen=_frozen_towers(exp), adapter=_adapter(exp))
     if args.recover:
         trainer.recover()
     result = trainer.train()
@@ -121,11 +126,11 @@ def cmd_train(args) -> int:
 
 def cmd_evaluate(args) -> int:
     import jax
-    from ..models import init_captioner
     from .evaluate import evaluate_split
 
     exp = _load(args)
-    template = init_captioner(jax.random.PRNGKey(0), exp.model)
+    adapter = _adapter(exp)
+    template = adapter.init(jax.random.PRNGKey(0), adapter.config)
     params = _restore_params(exp, args.model, template)
     metrics = evaluate_split(exp, params, _frozen_towers(exp),
                              _tokenizer(exp), split=args.split,
@@ -147,11 +152,11 @@ def cmd_preprocess(args) -> int:
 
 def cmd_serve(args) -> int:
     import jax
-    from ..models import init_captioner
     from ..serving import CaptionService, serve
 
     exp = _load(args)
-    template = init_captioner(jax.random.PRNGKey(0), exp.model)
+    adapter = _adapter(exp)
+    template = adapter.init(jax.random.PRNGKey(0), adapter.config)
     params = _restore_params(exp, args.model, template)
     service = CaptionService(params, _frozen_towers(exp), exp.model,
                              _tokenizer(exp))

@@ -39,11 +39,18 @@ class DataConfig:
     seed: int = 1234
     instances_per_epoch: int | None = 65536
     val_limit: int | None = None
+    # frozen article tower: "large" (the real model), "base", or "tiny"
+    # (2-layer smoke-test tower for CI/CPU runs)
+    roberta: str = "large"
 
 
 @dataclass
 class ExperimentConfig:
     name: str = "experiment"
+    # reference registry name (SURVEY.md §2.3): transformer_faces_objects /
+    # transformer_faces / transformer_flattened / transformer_glove /
+    # baseline_glove / transformer_pointer / transformer_pointer_2
+    model_type: str = "captioner"
     model: CaptionerConfig = field(default_factory=CaptionerConfig)
     trainer: TrainerConfig = field(default_factory=TrainerConfig)
     data: DataConfig = field(default_factory=DataConfig)
@@ -94,6 +101,7 @@ def load_experiment(path: str, overrides: str | dict | None = None
         spec = _deep_merge(spec, overrides)
     return ExperimentConfig(
         name=spec.get("name", "experiment"),
+        model_type=spec.get("model_type", "captioner"),
         model=_build(CaptionerConfig, spec.get("model"), "model"),
         trainer=_build(TrainerConfig, spec.get("trainer"), "trainer"),
         data=_build(DataConfig, spec.get("data"), "data"),

@@ -47,6 +47,14 @@ def _batch_size(article_len: int, caption_len: int,
     return 1 << (b.bit_length() - 1)  # floor to power of two
 
 
+def _pad_masks(masks: np.ndarray, length: int) -> np.ndarray:
+    """Copy/proper masks pad with -1 (roberta_indexer.py:185-200)."""
+    masks = np.asarray(masks, np.int32)[:length]
+    out = np.full((length,), -1, np.int32)
+    out[: len(masks)] = masks
+    return out
+
+
 def _pad_ids(ids: np.ndarray, length: int) -> np.ndarray:
     ids = np.asarray(ids, np.int32)[:length]
     out = np.full((length,), PAD_ID, np.int32)
@@ -67,6 +75,13 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
                                  for e in examples]),
     }
     batch["article_mask"] = batch["context_ids"] == PAD_ID
+    if "proper_masks" in examples[0]:
+        batch["proper_masks"] = np.stack(
+            [_pad_masks(e["proper_masks"], article_len) for e in examples])
+    if "caption_copy_masks" in examples[0]:
+        batch["caption_copy_masks"] = np.stack(
+            [_pad_masks(e["caption_copy_masks"], caption_len)
+             for e in examples])
     if "image_grid" in examples[0]:
         batch["image_grid"] = np.stack(
             [np.asarray(e["image_grid"], np.float32) for e in examples])

@@ -15,6 +15,7 @@ out of training entirely — one of the structural wins over the reference.
 from __future__ import annotations
 
 import json
+import re
 import os
 from typing import Callable, Iterator
 
@@ -23,6 +24,20 @@ import numpy as np
 from .readers import ReaderConfig, iter_examples
 from .records import write_shard
 from .tokenizer import RobertaTokenizer
+
+
+def entity_occurrences(text: str, entities: list[str]
+                       ) -> list[tuple[int, int, int]]:
+    """All occurrences of each entity string as (start, end, 1-based index)
+    — the copy readers' span sets (nytimes_copy_matched.py:36-326 store
+    spaCy spans; we re-find the surface strings in the assembled text)."""
+    spans = []
+    for i, name in enumerate(entities):
+        if not name:
+            continue
+        for m in re.finditer(re.escape(name), text):
+            spans.append((m.start(), m.end(), i + 1))
+    return spans
 
 
 def read_articles_jsonl(path: str) -> Iterator[dict]:
@@ -57,15 +72,35 @@ def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
     for article in articles:
         for ex in iter_examples(article, reader_cfg, count_tokens,
                                 objects_lookup):
-            rec = {
-                "context_ids": np.asarray(
-                    tokenizer.encode(ex["context"]), np.int32),
-                "caption_ids": np.asarray(
-                    tokenizer.encode(ex["caption"], max_len=max_caption_len),
-                    np.int32),
-                "image_hash": ex["image_hash"],
-                "caption": ex["caption"],
-            }
+            if ex.get("copy_entities") is not None:
+                # pointer models: indexed entity masks
+                # (roberta_indexer_names_matched.py:170-202)
+                ents = ex["copy_entities"]
+                ctx_spans = entity_occurrences(ex["context"], ents)
+                cap_spans = entity_occurrences(ex["caption"], ents)
+                context_ids, proper = tokenizer.encode_with_indexed_spans(
+                    ex["context"], ctx_spans)
+                caption_ids, cmask = tokenizer.encode_with_indexed_spans(
+                    ex["caption"], cap_spans, max_len=max_caption_len)
+                rec = {
+                    "context_ids": np.asarray(context_ids, np.int32),
+                    "caption_ids": np.asarray(caption_ids, np.int32),
+                    "proper_masks": np.asarray(proper, np.int32),
+                    "caption_copy_masks": np.asarray(cmask, np.int32),
+                    "image_hash": ex["image_hash"],
+                    "caption": ex["caption"],
+                }
+            else:
+                rec = {
+                    "context_ids": np.asarray(
+                        tokenizer.encode(ex["context"]), np.int32),
+                    "caption_ids": np.asarray(
+                        tokenizer.encode(ex["caption"],
+                                         max_len=max_caption_len),
+                        np.int32),
+                    "image_hash": ex["image_hash"],
+                    "caption": ex["caption"],
+                }
             if ex.get("face_embeds") is not None:
                 rec["face_embeds"] = ex["face_embeds"]
             if ex.get("obj_embeds") is not None:

@@ -117,6 +117,10 @@ class ReaderConfig:
     use_objects: bool = True
     use_faces: bool = True
     use_caption_names: bool = False
+    # pointer models (nytimes_copy_matched / goodnews_copy_matched readers,
+    # SURVEY.md §2.5): emit per-entity character spans so the tokenizer can
+    # build indexed copy/proper masks
+    emit_copy_masks: bool = False
     n_faces: int | None = None
     max_faces: int = 4
     max_objects: int = 64
@@ -167,9 +171,19 @@ def iter_examples(article: dict, cfg: ReaderConfig,
             obj_embeds = (np.asarray(feats[: cfg.max_objects], np.float32)
                           if len(feats) else np.zeros((0, 2048), np.float32))
 
+        context_text = "\n".join(paragraphs).strip()
+        copy_entities = None
+        if cfg.emit_copy_masks:
+            ents = []
+            for e in section.get("named_entities", []):
+                if e.get("label") in ENTITY_LABELS and e["text"] not in ents:
+                    ents.append(e["text"])
+            copy_entities = ents
+
         yield {
-            "context": "\n".join(paragraphs).strip(),
+            "context": context_text,
             "caption": caption,
+            "copy_entities": copy_entities,
             "names": sorted(names),
             "image_hash": section.get("hash", ""),
             "image_pos": pos,

@@ -134,8 +134,17 @@ class RobertaTokenizer:
 
     @classmethod
     def from_files(cls, vocab_file: str, merges_file: str,
-                   max_len: int = 512) -> "RobertaTokenizer":
-        return cls(ByteBPE.from_files(vocab_file, merges_file), max_len)
+                   max_len: int = 512,
+                   use_native: bool = True) -> "RobertaTokenizer":
+        """use_native: encode through the C++ core (native/bpe.cpp) when it
+        builds; the Python ByteBPE otherwise. Both are parity-tested
+        (tests/test_native_bpe.py)."""
+        bpe = ByteBPE.from_files(vocab_file, merges_file)
+        if use_native:
+            from .native import native_bpe
+            bpe = native_bpe(bpe.encoder,
+                             sorted(bpe.ranks, key=bpe.ranks.get))
+        return cls(bpe, max_len)
 
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
         max_len = max_len or self.max_len
@@ -178,6 +187,51 @@ class RobertaTokenizer:
         ids = ids[: max_len - 2]
         masks = masks[: max_len - 2]
         return ([self.BOS] + ids + [self.EOS], [0] + masks + [0])
+
+    def encode_with_indexed_spans(self, text: str,
+                                  entity_spans: list[tuple[int, int, int]],
+                                  max_len: int | None = None
+                                  ) -> tuple[list[int], list[int]]:
+        """ids plus a per-entity int mask per token: token inside a span
+        (start, end, idx) gets mask idx (1-based entity index; an entity may
+        occur at several spans), others 0 (specials 0).
+
+        This is the `roberta_names_matched` indexer's proper/copy mask
+        (/root/reference/tell/data/token_indexers/
+        roberta_indexer_names_matched.py:170-202): later spans overwrite
+        earlier ones on overlap, and the index identifies WHICH entity a
+        token belongs to, for the pointer models' per-entity copy loss."""
+        max_len = max_len or self.max_len
+        ids: list[int] = []
+        masks: list[int] = []
+        pos = 0
+        for chunk in _PRETOKENIZE.findall(text):
+            start = text.index(chunk, pos)
+            mapped = "".join(self.bpe.byte_encoder[b]
+                             for b in chunk.encode("utf-8"))
+            toks = self.bpe._bpe(mapped)
+            piece_chars = []
+            cursor = start
+            for tok in toks:
+                raw = bytearray(self.bpe.byte_decoder[c] for c in tok)
+                s = raw.decode("utf-8", errors="ignore")
+                piece_chars.append((cursor, cursor + len(s)))
+                cursor += len(s)
+            pos = start + len(chunk)
+            for tok, (s, e) in zip(toks, piece_chars):
+                idx = 0
+                for (a, b, i) in entity_spans:
+                    if not (e <= a or s >= b):
+                        idx = i
+                ids.append(self.bpe.encoder.get(tok, self.UNK))
+                masks.append(idx)
+        ids = ids[: max_len - 2]
+        masks = masks[: max_len - 2]
+        return ([self.BOS] + ids + [self.EOS], [0] + masks + [0])
+
+    def pad_masks(self, masks: list[int], length: int) -> list[int]:
+        """Copy/proper masks pad with -1 (roberta_indexer.py:185-200)."""
+        return masks[:length] + [-1] * max(0, length - len(masks))
 
     def pad(self, ids: list[int], length: int) -> list[int]:
         return ids[:length] + [self.PAD] * max(0, length - len(ids))

@@ -43,6 +43,13 @@ class RobertaConfig:
         return RobertaConfig(dim=768, num_layers=12, num_heads=12,
                              ffn_dim=3072)
 
+    @staticmethod
+    def tiny() -> "RobertaConfig":
+        """Smoke-test tower: same interface, compile-friendly size. The
+        article feature dim stays 1024 so decoder configs are unchanged."""
+        return RobertaConfig(dim=1024, num_layers=2, num_heads=16,
+                             ffn_dim=1024)
+
 
 def _dense(rng, din, dout):
     std = 0.02

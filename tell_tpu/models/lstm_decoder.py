@@ -156,3 +156,84 @@ def lstm_decoder_loss(params: dict, cfg: DecoderConfig,
         params["adaptive_softmax"], params["embed"], feats.reshape(B * T, E),
         targets.reshape(-1), cfg.full_cutoffs, pad_id=cfg.pad_id,
         padding_idx=cfg.embed_padding_idx)
+
+
+# ---------------------------------------------------------------------------
+# Task-model wrappers (baseline_glove, /root/reference/tell/models/
+# baseline_glove.py:22-354): image+article contexts, adaptive loss, greedy/
+# top-k generation — the same surface as the conv captioner so the trainer,
+# evaluator and server can drive either through the model registry.
+# ---------------------------------------------------------------------------
+
+def init_lstm_captioner(rng: jax.Array, cfg) -> dict:
+    """cfg: CaptionerConfig (decoder contexts must include image+article)."""
+    import jax as _jax
+    r_dec, r_bert = _jax.random.split(rng)
+    params = {"decoder": init_lstm_decoder(
+        r_dec, cfg.decoder,
+        image_dim=cfg.decoder.context("image").kv_dim,
+        article_dim=cfg.decoder.context("article").kv_dim)}
+    if cfg.weigh_bert:
+        params["bert_weight"] = _jax.random.uniform(
+            r_bert, (cfg.num_bert_layers,), jnp.float32)
+    return params
+
+
+def lstm_captioner_loss(params: dict, cfg, batch: dict, rng=None,
+                        deterministic=True):
+    from .captioner import build_contexts
+    contexts = build_contexts(params, cfg, batch)
+    loss_sum, size, aux = lstm_decoder_loss(
+        params["decoder"], cfg.decoder, batch["caption_ids"], contexts,
+        rng, deterministic)
+    size = jnp.maximum(size, 1)
+    return loss_sum / jnp.log(2.0) / size, {"sample_size": size, **aux}
+
+
+def lstm_generate(params: dict, cfg, batch: dict, rng=None,
+                  need_weights: bool = False) -> dict:
+    from ..ops.adaptive import adaptive_top_k
+    from .captioner import build_contexts
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    dec = params["decoder"]
+    state0 = init_lstm_state(dec, B, feat0.dtype)
+    seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def step(carry, step_rng):
+        tokens, finished, state, t = carry
+        x = embed_tokens(dec, dcfg, tokens[:, None], start_pos=t)[:, 0]
+        feats, state, attns = _lstm_step(dec["lstm"], dcfg, x, state,
+                                         contexts)
+        topk_lp, topk_idx = adaptive_top_k(
+            dec["adaptive_softmax"], dec["embed"], feats, dcfg.full_cutoffs,
+            cfg.sampling_topk, padding_idx=dcfg.embed_padding_idx)
+        if cfg.sampling_topk == 1:
+            sampled = topk_idx[:, 0]
+            sel_lp = topk_lp[:, 0]
+        else:
+            choice = jax.random.categorical(
+                step_rng, topk_lp / cfg.sampling_temp, axis=-1)
+            sampled = jnp.take_along_axis(topk_idx, choice[:, None],
+                                          axis=-1)[:, 0]
+            sel_lp = jnp.take_along_axis(topk_lp, choice[:, None],
+                                         axis=-1)[:, 0]
+        next_tok = jnp.where(finished, dcfg.pad_id, sampled)
+        sel_lp = jnp.where(finished, 0.0, sel_lp)
+        new_finished = finished | (sampled == dcfg.eos_id)
+        outs = (next_tok, sel_lp, attns if need_weights else ())
+        return (next_tok, new_finished, state, t + 1), outs
+
+    step_rngs = jax.random.split(rng, cfg.gen_len)
+    (_, finished, _, _), (toks, lps, attns) = jax.lax.scan(
+        step, (seed, jnp.zeros((B,), bool), state0,
+               jnp.zeros((), jnp.int32)), step_rngs)
+    out = {"token_ids": jnp.concatenate([seed[:, None], toks.T], axis=1),
+           "log_probs": lps.T, "finished": finished}
+    if need_weights:
+        out["attns"] = attns
+    return out

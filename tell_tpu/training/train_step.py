@@ -29,22 +29,26 @@ def init_train_state(rng: jax.Array, cfg: CaptionerConfig,
 def make_train_step(cfg: CaptionerConfig,
                     optimizer: optax.GradientTransformation,
                     frozen: dict | None = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    loss: "Callable" = None,
+                    loss_e2e: "Callable" = None):
     """Returns step(params, opt_state, batch, rng) -> (params', opt', metrics).
 
     `frozen` carries the frozen-tower params (RoBERTa/ResNet); when given,
     the step encodes raw context_ids/images on-device before the loss.
+    `loss`/`loss_e2e` override the captioner objective (model registry).
     """
+    loss_f = loss or captioner_loss
+    loss_e2e_f = loss_e2e or captioner_loss_e2e
 
     def step(params, opt_state, batch, rng):
         def loss_fn(p):
             if frozen is not None:
-                loss, aux = captioner_loss_e2e(p, frozen, cfg, batch,
-                                               rng=rng, deterministic=False)
+                l, aux = loss_e2e_f(p, frozen, cfg, batch,
+                                    rng=rng, deterministic=False)
             else:
-                loss, aux = captioner_loss(p, cfg, batch, rng=rng,
-                                           deterministic=False)
-            return loss, aux
+                l, aux = loss_f(p, cfg, batch, rng=rng, deterministic=False)
+            return l, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
@@ -61,7 +65,7 @@ def make_train_step(cfg: CaptionerConfig,
         gnorm = optax.global_norm(grads)
         metrics = {"loss": loss, "grad_norm": gnorm,
                    "skipped": (~ok).astype(jnp.int32),
-                   "sample_size": aux["sample_size"],
+                   "sample_size": aux.get("sample_size", 0),
                    "tail_dropped": aux.get("tail_dropped", 0)}
         return new_params, new_opt, metrics
 

@@ -55,10 +55,18 @@ class Trainer:
                  train_batches: Callable[[int], Iterator[dict]],
                  val_batches: Callable[[], Iterator[dict]] | None = None,
                  frozen: dict | None = None,
-                 hooks: list | None = None):
+                 hooks: list | None = None,
+                 adapter=None):
         """train_batches(epoch) / val_batches() yield fixed-shape numpy
-        batches (see data/bucketing.py)."""
-        self.cfg = cfg
+        batches (see data/bucketing.py). `adapter` is a models.registry
+        ModelAdapter; default = the multi-context captioner. When given,
+        its .config replaces cfg for init/loss calls (e.g. PointerConfig
+        wrapping the CaptionerConfig)."""
+        if adapter is None:
+            from ..models.registry import get_model
+            adapter = get_model("captioner", cfg)
+        self.adapter = adapter
+        self.cfg = adapter.config if adapter.config is not None else cfg
         self.tcfg = tcfg
         self.train_batches = train_batches
         self.val_batches = val_batches
@@ -74,7 +82,8 @@ class Trainer:
             os.path.join(tcfg.serialization_dir, "checkpoints"),
             keep=tcfg.keep_checkpoints)
         self._step_fn = jax.jit(
-            make_train_step(cfg, self.optimizer, frozen=self.frozen),
+            make_train_step(self.cfg, self.optimizer, frozen=self.frozen,
+                            loss=adapter.loss, loss_e2e=adapter.loss_e2e),
             donate_argnums=(0, 1))
         self._eval_fn = None
         self.state: dict = {}
@@ -82,9 +91,8 @@ class Trainer:
 
     # -- state ------------------------------------------------------------
     def initialize(self, rng: jax.Array | None = None) -> None:
-        from ..models import init_captioner
         rng = jax.random.PRNGKey(self.tcfg.seed) if rng is None else rng
-        params = init_captioner(rng, self.cfg)
+        params = self.adapter.init(rng, self.cfg)
         params = shard_params(params, self.mesh)
         self.state = {
             "params": params,
@@ -183,15 +191,14 @@ class Trainer:
     def _validate(self) -> dict:
         if self.val_batches is None:
             return {}
-        from ..models.captioner import captioner_loss, captioner_loss_e2e
         if self._eval_fn is None:
-            if self.frozen is not None:
+            if self.frozen is not None and self.adapter.loss_e2e is not None:
                 self._eval_fn = jax.jit(
-                    lambda p, b: captioner_loss_e2e(p, self.frozen, self.cfg,
-                                                    b)[0])
+                    lambda p, b: self.adapter.loss_e2e(
+                        p, self.frozen, self.cfg, b)[0])
             else:
                 self._eval_fn = jax.jit(
-                    lambda p, b: captioner_loss(p, self.cfg, b)[0])
+                    lambda p, b: self.adapter.loss(p, self.cfg, b)[0])
         losses = []
         with self.mesh:
             for batch in self.val_batches():

@@ -136,3 +136,28 @@ def test_bucketing_fixed_shapes_and_budget():
         n += batch.get("real", np.ones(B, bool)).sum()
     assert n == 300  # nothing dropped
     assert len(shapes) <= 12  # bounded compile count
+
+
+def test_copy_mask_pipeline_roundtrip(tmp_path):
+    """Pointer-model data path: entity spans -> indexed BPE masks -> -1
+    padded batches (roberta_indexer_names_matched.py semantics)."""
+    from tell_tpu.data.pipeline import entity_occurrences
+    from tell_tpu.data.bucketing import (BucketingConfig, bucket_batches)
+    tok = _toy_tokenizer() if "_toy_tokenizer" in globals() else None
+    text = "Tomas Maier met Tomas Maier in Milan."
+    spans = entity_occurrences(text, ["Tomas Maier", "Milan"])
+    assert (0, 11, 1) in spans and (16, 27, 1) in spans
+    assert any(s[2] == 2 for s in spans)
+    # bucketing pads masks with -1
+    import numpy as np
+    exs = [{"context_ids": np.arange(5) + 4,
+            "caption_ids": np.arange(4) + 4,
+            "proper_masks": np.array([0, 1, 1, 0, 2]),
+            "caption_copy_masks": np.array([0, 1, 0, 0])}] * 2
+    cfg = BucketingConfig(article_lengths=(8,), caption_lengths=(8,),
+                          max_batch=2)
+    batches = list(bucket_batches(iter(exs), cfg))
+    b = batches[0]
+    assert b["proper_masks"].shape == (2, 8)
+    assert (b["proper_masks"][:, 5:] == -1).all()
+    assert (b["caption_copy_masks"][:, 4:] == -1).all()
