@@ -62,11 +62,21 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                 gen_text = tokenizer.decode(gen_ids[i])
                 ref_text = (str(captions[i]) if captions is not None else
                             tokenizer.decode(batch["caption_ids"][i]))
+                from ..evalm.readability import (
+                    get_narrative_productivity, get_readability_scores)
                 f.write(json.dumps({
                     "caption": ref_text,
                     "generation": gen_text,
                     "image_hash": (str(hashes[i]) if hashes is not None
                                    else None),
+                    # per-sample analysis fields of the reference's
+                    # generations.jsonl (evaluate.py:200-218)
+                    "caption_readability":
+                        get_readability_scores(ref_text),
+                    "generation_readability":
+                        get_readability_scores(gen_text),
+                    "caption_np": get_narrative_productivity(ref_text),
+                    "generation_np": get_narrative_productivity(gen_text),
                 }) + "\n")
                 cands.append(gen_text)
                 refs.append([ref_text])
@@ -92,10 +102,14 @@ def score_generations(cands: list[str], refs: list[list[str]],
     for c, rs in zip(cands, refs):
         cider.append(strip(c), [strip(r) for r in rs])
     cider_mean, _ = cider.compute()
+    from ..evalm.meteor import corpus_meteor
     metrics = {
         "bleu-1": bleus[0] * 100, "bleu-2": bleus[1] * 100,
         "bleu-3": bleus[2] * 100, "bleu-4": bleus[3] * 100,
         "rouge-l": rouge_l(cands, refs) * 100,
+        "meteor": corpus_meteor([strip(c) for c in cands],
+                                [[strip(r) for r in rs]
+                                 for rs in refs]) * 100,
         # CiderScorer.compute is pycocoevalcap-scale (x10 internal); the
         # reference's tables display that value x100 (generate_tables.py:32),
         # so "54" == pycoco 0.54. Report on the same displayed scale.
