@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Render LaTeX results tables from evaluate-metrics JSON files.
+
+Equivalent of /root/reference/scripts/generate_tables.py:1-140: collects the
+per-experiment `evaluate-metrics-test.json` files written by `tnt evaluate`
+and renders the paper-style metric table (BLEU-4, ROUGE, METEOR, CIDEr,
+entity P/R) per dataset.
+
+Usage: python tools/generate_tables.py runs/nytimes runs/goodnews > tables.tex
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+COLUMNS = [("bleu-4", "BLEU-4"), ("rouge-l", "ROUGE"),
+           ("meteor", "METEOR"), ("cider", "CIDEr"),
+           ("entity_precision", "Ent. P"), ("entity_recall", "Ent. R")]
+
+
+def collect(run_dir: str) -> dict[str, dict]:
+    rows = {}
+    for path in sorted(glob.glob(os.path.join(run_dir, "*",
+                                              "evaluate-metrics-*.json"))):
+        name = os.path.basename(os.path.dirname(path))
+        with open(path) as f:
+            rows[name] = json.load(f)
+    return rows
+
+
+def render(dataset: str, rows: dict[str, dict]) -> str:
+    lines = [
+        r"\begin{table}", r"\centering",
+        rf"\caption{{Results on {dataset}.}}",
+        r"\begin{tabular}{l" + "r" * len(COLUMNS) + "}",
+        r"\toprule",
+        "Model & " + " & ".join(h for _, h in COLUMNS) + r" \\",
+        r"\midrule",
+    ]
+    for name, m in rows.items():
+        cells = [f"{m[k]:.1f}" if k in m else "--" for k, _ in COLUMNS]
+        lines.append(name.replace("_", r"\_") + " & "
+                     + " & ".join(cells) + r" \\")
+    lines += [r"\bottomrule", r"\end{tabular}", r"\end{table}", ""]
+    return "\n".join(lines)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dirs", nargs="+",
+                    help="per-dataset run dirs (runs/nytimes ...)")
+    args = ap.parse_args()
+    for rd in args.run_dirs:
+        rows = collect(rd)
+        if rows:
+            print(render(os.path.basename(rd.rstrip("/")), rows))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
