@@ -176,5 +176,9 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
     out = {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
     if need_weights:
-        out["attns"] = attns
+        # per-layer stacked maps [gen_len, B, M, 1, S_tot] -> per-context
+        # dicts [gen_len, B, 1, S_m] (the demo's attention payload)
+        from .decoder import attn_segment_bounds, split_attn_segments
+        bounds = attn_segment_bounds(dcfg, contexts)
+        out["attns"] = [split_attn_segments(bounds, a) for a in attns]
     return out

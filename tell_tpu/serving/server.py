@@ -51,14 +51,14 @@ class CaptionService:
         self._decode = jax.jit(decode_fn)
         self._params = params
         self.max_batch = max_batch
-        self._spec = {
-            "faces": (dcfg.context("faces").max_len
-                      if any(c.name == "faces" for c in dcfg.contexts)
-                      else 0, 512),
-            "obj": (dcfg.context("obj").max_len
-                    if any(c.name == "obj" for c in dcfg.contexts)
-                    else 0, 2048),
-        }
+        def spec_of(name):
+            if any(c.name == name for c in dcfg.contexts):
+                c = dcfg.context(name)
+                return (c.max_len, c.kv_dim)
+            return (0, 0)
+
+        self._spec = {"faces": spec_of("faces"), "obj": spec_of("obj"),
+                      "image": spec_of("image")}
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
     def _pack(self, requests: list[dict]) -> dict:
@@ -70,12 +70,13 @@ class CaptionService:
                                          max_len=self.article_len)
             ids[i, : len(toks)] = toks
         batch = {"context_ids": ids}
-        img_dim = 2048
-        grids = np.zeros((B, 49, img_dim), np.float32)
-        for i, req in enumerate(requests):
-            if "image_grid" in req:
-                grids[i] = np.asarray(req["image_grid"], np.float32)
-        batch["image_grid"] = grids
+        n_img, img_dim = self._spec["image"]
+        if n_img:
+            grids = np.zeros((B, n_img, img_dim), np.float32)
+            for i, req in enumerate(requests):
+                if "image_grid" in req:
+                    grids[i] = np.asarray(req["image_grid"], np.float32)
+            batch["image_grid"] = grids
         for name, key in (("faces", "face_embeds"), ("obj", "obj_embeds")):
             n, dim = self._spec[name]
             if n == 0:

@@ -141,3 +141,48 @@ def test_generate_matches_manual_argmax_rollout():
         toks = nxt
     manual = np.stack([np.asarray(t) for t in seq], axis=1)
     np.testing.assert_array_equal(np.asarray(out["token_ids"]), manual)
+
+
+def test_step_decode_matches_full_forward_with_grouped_contexts():
+    """Step==full parity must hold for whatever chain grouping
+    context_groups picks (it is a pure perf policy), including long
+    article contexts whose features are shorter than max_len."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tell_tpu.config import small_test_config, ContextSpec
+    from tell_tpu.models.decoder import (
+        context_groups, decoder_forward, decoder_step, init_decoder,
+        init_decode_state)
+
+    cfg = small_test_config().decoder
+    ctxs = tuple(
+        dataclasses.replace(c, max_len=300) if c.name == "article" else c
+        for c in cfg.contexts)
+    cfg = dataclasses.replace(cfg, contexts=ctxs)
+    groups = context_groups(cfg)
+    assert sorted(i for g in groups for i in g) == [0, 1, 2, 3]
+
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B, T = 2, 7
+    contexts = {}
+    for i, spec in enumerate(cfg.contexts):
+        S = 10 if spec.name == "article" else spec.max_len
+        feats = jax.random.normal(ks[i], (B, S, spec.kv_dim))
+        mask = jnp.zeros((B, S), bool).at[:, S - 2:].set(
+            spec.name == "article")
+        contexts[spec.name] = (feats, mask)
+    ids = jax.random.randint(ks[4], (B, T), 4, cfg.vocab_size)
+    ids = ids.at[:, 0].set(cfg.bos_id)
+
+    full, _ = decoder_forward(params, cfg, ids, contexts)
+    state = init_decode_state(params, cfg, contexts, B)
+    outs = []
+    for t in range(T):
+        feats, state, _ = decoder_step(params, cfg, ids[:, t], state)
+        outs.append(feats)
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
+                               rtol=2e-4, atol=2e-4)
