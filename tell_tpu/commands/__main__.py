@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sc = sub.add_parser("score", help="re-score a generations.jsonl")
     sc.add_argument("generations")
+    sc.add_argument("-c", "--counters", default=None,
+                    help="name_counters.pkl for rare-name P/R")
 
     return p
 
@@ -143,9 +145,13 @@ def cmd_preprocess(args) -> int:
     from ..data.pipeline import preprocess_split, read_articles_jsonl
 
     exp = _load(args)
+    glove = None
+    if exp.data.glove_file:
+        from ..data.glove import GloveVectors
+        glove = GloveVectors.from_file(exp.data.glove_file)
     n = preprocess_split(
         read_articles_jsonl(exp.data.articles_jsonl), _tokenizer(exp),
-        exp.reader, exp.data.shards_dir, args.split)
+        exp.reader, exp.data.shards_dir, args.split, glove=glove)
     print(json.dumps({"examples": n, "split": args.split}))
     return 0
 
@@ -167,7 +173,7 @@ def cmd_serve(args) -> int:
 
 def cmd_score(args) -> int:
     from .evaluate import score_file
-    print(json.dumps(score_file(args.generations), indent=2))
+    print(json.dumps(score_file(args.generations, args.counters), indent=2))
     return 0
 
 

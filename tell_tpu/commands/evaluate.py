@@ -22,6 +22,7 @@ from ..data.bucketing import bucket_batches
 from ..data.records import RecordDataset
 from ..data.tokenizer import RobertaTokenizer
 from ..evalm import CiderScorer, bleu_scores, entity_precision_recall, rouge_l
+from ..evalm.entities import reported_entity_metrics, spacy_ner
 
 
 def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
@@ -46,7 +47,9 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
 
     ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                     f"{split}-*.npz"), seed=0)
+    ner = spacy_ner()  # None without spaCy; fields are then omitted
     cands, refs = [], []
+    entries = []
     t0 = time.time()
     n = 0
     with open(gen_path, "w", encoding="utf-8") as f:
@@ -64,7 +67,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                             tokenizer.decode(batch["caption_ids"][i]))
                 from ..evalm.readability import (
                     get_narrative_productivity, get_readability_scores)
-                f.write(json.dumps({
+                entry = {
                     "caption": ref_text,
                     "generation": gen_text,
                     "image_hash": (str(hashes[i]) if hashes is not None
@@ -77,13 +80,22 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                         get_readability_scores(gen_text),
                     "caption_np": get_narrative_productivity(ref_text),
                     "generation_np": get_narrative_productivity(gen_text),
-                }) + "\n")
+                }
+                if ner is not None:
+                    entry["caption_entities"] = [
+                        {"text": t, "label": l} for t, l in ner(ref_text)]
+                    entry["generated_entities"] = [
+                        {"text": t, "label": l} for t, l in ner(gen_text)]
+                entries.append(entry)
+                f.write(json.dumps(entry) + "\n")
                 cands.append(gen_text)
                 refs.append([ref_text])
                 n += 1
     dt = time.time() - t0
 
     metrics = score_generations(cands, refs)
+    if entries and "caption_entities" in entries[0]:
+        metrics.update(reported_entity_metrics(entries))
     metrics["n_samples"] = n
     metrics["captions_per_sec"] = n / dt if dt > 0 else 0.0
     with open(os.path.join(out_dir, f"evaluate-metrics-{split}.json"),
@@ -124,11 +136,23 @@ def score_generations(cands: list[str], refs: list[list[str]],
     return metrics
 
 
-def score_file(path: str) -> dict:
-    cands, refs = [], []
+def score_file(path: str, counters_path: str | None = None) -> dict:
+    """Re-score a generations.jsonl; with --counters (name_counters.pkl from
+    tools/compute_statistics.py) also reports the rare-name families
+    (compute_metrics.py:125-216)."""
+    cands, refs, entries = [], [], []
     with open(path, encoding="utf-8") as f:
         for line in f:
             d = json.loads(line)
             cands.append(d["generation"])
             refs.append([d["caption"]])
-    return score_generations(cands, refs)
+            entries.append(d)
+    metrics = score_generations(cands, refs)
+    if entries and "caption_entities" in entries[0]:
+        counters = None
+        if counters_path:
+            import pickle
+            with open(counters_path, "rb") as cf:
+                counters = pickle.load(cf)
+        metrics.update(reported_entity_metrics(entries, counters))
+    return metrics

@@ -42,6 +42,9 @@ class DataConfig:
     # frozen article tower: "large" (the real model), "base", or "tiny"
     # (2-layer smoke-test tower for CI/CPU runs)
     roberta: str = "large"
+    # GloVe vectors file for the glove experiments (expts 1-2); when set,
+    # preprocess materializes [S, 300] article features into the shards
+    glove_file: str = ""
 
 
 @dataclass

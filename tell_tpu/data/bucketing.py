@@ -75,6 +75,18 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
                                  for e in examples]),
     }
     batch["article_mask"] = batch["context_ids"] == PAD_ID
+    if "article" in examples[0]:
+        # precomputed article features (GloVe experiments): pad rows to the
+        # article bucket length; mask marks the padded rows
+        dim = np.asarray(examples[0]["article"]).shape[-1]
+        feats = np.zeros((B, article_len, dim), np.float32)
+        mask = np.ones((B, article_len), bool)
+        for i, e in enumerate(examples):
+            a = np.asarray(e["article"], np.float32)[:article_len]
+            feats[i, : len(a)] = a
+            mask[i, : len(a)] = False
+        batch["article"] = feats
+        batch["article_mask"] = mask
     if "proper_masks" in examples[0]:
         batch["proper_masks"] = np.stack(
             [_pad_masks(e["proper_masks"], article_len) for e in examples])

@@ -52,7 +52,7 @@ def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
                      reader_cfg: ReaderConfig, out_dir: str, split: str,
                      image_grid_fn: Callable[[str], np.ndarray] | None = None,
                      objects_lookup=None, shard_size: int = 512,
-                     max_caption_len: int = 100) -> int:
+                     max_caption_len: int = 100, glove=None) -> int:
     """Returns the number of examples written."""
     os.makedirs(out_dir, exist_ok=True)
     count_tokens = lambda s: len(tokenizer.bpe.encode(s))  # noqa: E731
@@ -101,6 +101,11 @@ def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
                     "image_hash": ex["image_hash"],
                     "caption": ex["caption"],
                 }
+            if glove is not None:
+                # glove experiments: article features ARE the context
+                # (no RoBERTa encode at train time)
+                rec["article"] = glove.embed_text(ex["context"]) \
+                    .astype(np.float16)
             if ex.get("face_embeds") is not None:
                 rec["face_embeds"] = ex["face_embeds"]
             if ex.get("obj_embeds") is not None:

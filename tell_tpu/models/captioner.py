@@ -89,7 +89,8 @@ def encode_contexts(frozen: dict, cfg: CaptionerConfig, batch: dict) -> dict:
     Gradients are stopped — the towers are frozen (config.yaml no_grad).
     """
     out = dict(batch)
-    if "context_ids" in batch and "article_hiddens" not in batch:
+    if ("context_ids" in batch and "article_hiddens" not in batch
+            and "article" not in batch):
         from .backbones.roberta import roberta_encode
         rcfg = frozen["roberta_cfg"]
         hiddens = roberta_encode(frozen["roberta"], rcfg,
@@ -144,15 +145,21 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     B = feat0.shape[0]
     state = init_decode_state(params["decoder"], dcfg, contexts, B,
                               dtype=feat0.dtype)
+    # KV never changes during decode: close over it instead of carrying it
+    # through the scan (a carried copy costs ~2 GB of HBM traffic PER STEP
+    # at production shapes — XLA cannot alias unchanged scan carries).
+    kv = state.pop("kv")
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
     finished0 = jnp.zeros((B,), bool)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def step(carry, step_rng):
-        tokens, finished, state = carry
+        tokens, finished, dyn = carry
         feats, state, attns = decoder_step(params["decoder"], dcfg, tokens,
-                                           state, need_weights=need_weights)
+                                           {**dyn, "kv": kv},
+                                           need_weights=need_weights)
+        state = {k: v for k, v in state.items() if k != "kv"}
         topk_lp, topk_idx = decoder_top_k(params["decoder"], dcfg, feats,
                                           cfg.sampling_topk)
         if cfg.sampling_topk == 1:

@@ -61,12 +61,32 @@ class CaptionService:
                       "image": spec_of("image")}
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
+    def _context_text(self, req: dict) -> str:
+        """Raw `context` text, or the reference worker's location-aware
+        window over scraped sections (captioner.py:232-289)."""
+        if "context" in req:
+            return req["context"]
+        if "sections" in req:
+            from ..data.readers import assemble_location_aware
+            article = {
+                "parsed_section": [
+                    {"type": sec.get("type", "paragraph"),
+                     "text": sec.get("text", "")}
+                    for sec in req["sections"]],
+                "headline": {"main": req.get("title", "")},
+            }
+            pos = int(req.get("image_position", 0))
+            count = lambda t: len(self.tokenizer.bpe.encode(t))  # noqa:E731
+            paragraphs, _ = assemble_location_aware(article, pos, count)
+            return "\n".join(paragraphs).strip()
+        return ""
+
     def _pack(self, requests: list[dict]) -> dict:
         B = len(requests)
         dcfg = self.cfg.decoder
         ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
         for i, req in enumerate(requests):
-            toks = self.tokenizer.encode(req.get("context", ""),
+            toks = self.tokenizer.encode(self._context_text(req),
                                          max_len=self.article_len)
             ids[i, : len(toks)] = toks
         batch = {"context_ids": ids}
@@ -133,10 +153,41 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._send(200, {"status": "ok"})
-        elif self.path == "/stats":
-            self._send(200, self.service.batcher.stats)
+        elif self.path in ("/stats", "/status"):
+            # SHOW_CONFIG + ServerStatistic analogue
+            # (tell/server/base.py:319-383, utils.py:8-17)
+            dcfg = self.service.cfg.decoder
+            self._send(200, {
+                "statistics": self.service.batcher.stats,
+                "config": {
+                    "max_batch": self.service.max_batch,
+                    "article_len": self.service.article_len,
+                    "contexts": [c.name for c in dcfg.contexts],
+                    "gen_len": self.service.cfg.gen_len,
+                    "need_attention": self.service.need_attention,
+                },
+            })
+        elif self.path in ("/", "/index.html"):
+            self._send_demo_page()
         else:
             self._send(404, {"error": "not found"})
+
+    def _send_demo_page(self):
+        import os
+        page = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "demo",
+            "index.html")
+        try:
+            with open(page, "rb") as f:
+                body = f.read()
+        except OSError:
+            self._send(404, {"error": "demo page missing"})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def do_POST(self):
         length = int(self.headers.get("Content-Length", 0))
@@ -151,7 +202,13 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception as e:
                 self._send(500, {"error": str(e)})
         elif self.path == "/scrape":
-            self._send(501, {"error": "scraping requires network egress"})
+            from .extractor import ExtractError, get_urls
+            try:
+                self._send(200, get_urls(req.get("url", "")))
+            except ExtractError as e:
+                self._send(422, {"error": str(e)})
+            except Exception as e:
+                self._send(502, {"error": f"fetch failed: {e}"})
         else:
             self._send(404, {"error": "not found"})
 

@@ -48,6 +48,15 @@ class TrainerConfig:
     b2: float = 0.98
     n_data: int | None = None   # mesh axes; default all devices on data
     n_model: int = 1
+    # checkpoint dir of a trained captioner to warm-start from (the
+    # reference's model_path + LoadStateDictWithPrefix, used by the pointer
+    # models to start from 8_transformer_faces best.th)
+    warm_start: str = ""
+    # capture a jax.profiler device trace for steps [profile_at,
+    # profile_at + profile_steps) into <serialization_dir>/profile
+    # (the reference had no tracing at all, SURVEY.md §5)
+    profile_steps: int = 0
+    profile_at: int = 10
 
 
 class Trainer:
@@ -93,6 +102,17 @@ class Trainer:
     def initialize(self, rng: jax.Array | None = None) -> None:
         rng = jax.random.PRNGKey(self.tcfg.seed) if rng is None else rng
         params = self.adapter.init(rng, self.cfg)
+        if self.tcfg.warm_start:
+            import orbax.checkpoint as ocp
+            target = params.get("captioner", params)
+            restored = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(self.tcfg.warm_start),
+                item={"params": target})["params"]
+            if "captioner" in params:
+                params = {**params, "captioner": restored}
+            else:
+                params = restored
+            log.info("warm-started from %s", self.tcfg.warm_start)
         params = shard_params(params, self.mesh)
         self.state = {
             "params": params,
@@ -173,8 +193,19 @@ class Trainer:
                 batch = jax.device_put(batch,
                                        batch_sharding(self.mesh, batch))
                 step_rng = jax.random.fold_in(rng, self.state["step"])
+                if (self.tcfg.profile_steps
+                        and self.state["step"] == self.tcfg.profile_at):
+                    jax.profiler.start_trace(os.path.join(
+                        self.tcfg.serialization_dir, "profile"))
                 self.state["params"], self.state["opt"], m = self._step_fn(
                     self.state["params"], self.state["opt"], batch, step_rng)
+                if (self.tcfg.profile_steps
+                        and self.state["step"] == self.tcfg.profile_at
+                        + self.tcfg.profile_steps):
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(),
+                        self.state["params"])
+                    jax.profiler.stop_trace()
                 self.state["step"] += 1
                 n_batches += 1
                 losses.append(m["loss"])

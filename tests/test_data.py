@@ -161,3 +161,31 @@ def test_copy_mask_pipeline_roundtrip(tmp_path):
     assert b["proper_masks"].shape == (2, 8)
     assert (b["proper_masks"][:, 5:] == -1).all()
     assert (b["caption_copy_masks"][:, 4:] == -1).all()
+
+
+def test_glove_feature_pipeline(tmp_path):
+    """GloVe experiments: vectors file -> per-example article features ->
+    fixed-shape batches with a row mask."""
+    import numpy as np
+    from tell_tpu.data.glove import GloveVectors
+    from tell_tpu.data.bucketing import BucketingConfig, bucket_batches
+
+    gf = tmp_path / "glove.txt"
+    gf.write_text("the " + " ".join(["0.5"] * 4) + "\n"
+                  "news " + " ".join(["1.0"] * 4) + "\n")
+    gv = GloveVectors.from_file(str(gf), dim=4)
+    feats = gv.embed_text("The news about nothing")
+    assert feats.shape == (4, 4)
+    assert np.allclose(feats[0], 0.5)   # lowercased fallback
+    assert np.allclose(feats[1], 1.0)
+    assert np.allclose(feats[2], 0.0)   # OOV -> zeros
+
+    exs = [{"context_ids": np.arange(6) + 4,
+            "caption_ids": np.arange(4) + 4,
+            "article": feats}] * 2
+    cfg = BucketingConfig(article_lengths=(8,), caption_lengths=(8,),
+                          max_batch=2)
+    b = next(iter(bucket_batches(iter(exs), cfg)))
+    assert b["article"].shape == (2, 8, 4)
+    assert not b["article_mask"][:, :4].any()
+    assert b["article_mask"][:, 4:].all()

@@ -79,3 +79,28 @@ def test_entity_precision_recall():
         ref_entities=[["Obama", "Merkel"], ["IBM", "Armonk"]])
     assert abs(out["precision"] - 2 / 3) < 1e-9
     assert abs(out["recall"] - 2 / 4) < 1e-9
+
+
+def test_reported_entity_metrics_families_and_rare():
+    from collections import Counter
+    from tell_tpu.evalm.entities import reported_entity_metrics
+    entries = [{
+        "caption_entities": [
+            {"text": "Anna Smith", "label": "PERSON"},
+            {"text": "Milan", "label": "GPE"},
+            {"text": "Acme", "label": "ORG"}],
+        "generated_entities": [
+            {"text": "Anna Smith", "label": "PERSON"},
+            {"text": "Paris", "label": "GPE"}],
+    }]
+    counters = {"caption": Counter({"Milan": 5}), "context": Counter()}
+    m = reported_entity_metrics(entries, counters)
+    assert m["Entity person - recall"]["percentage"] == 1.0
+    assert m["Entity person - precision"]["percentage"] == 1.0
+    assert m["Entity GPE - recall"]["percentage"] == 0.0
+    assert m["Entity ORG - precision"]["total"] == 0
+    assert m["All names - recall"]["count"] == 1  # Anna Smith
+    assert m["All names - recall"]["total"] == 3
+    # rare = names not in the train counter: Anna Smith, Acme (not Milan)
+    assert m["Caption rare names - recall"]["total"] == 2
+    assert m["Caption rare names - recall"]["count"] == 1

@@ -82,7 +82,7 @@ def test_http_endpoint(service):
 
         conn.request("GET", "/stats")
         stats = json.loads(conn.getresponse().read())
-        assert stats["requests"] >= 1
+        assert stats["statistics"]["requests"] >= 1
     finally:
         httpd.shutdown()
 
@@ -98,3 +98,58 @@ def test_concurrent_requests_batched(service):
     for t in threads:
         t.join(timeout=60)
     assert all(r is not None and "caption" in r for r in results)
+
+
+def test_status_endpoint_and_client(service):
+    import random
+    from tell_tpu.serving import CaptioningClient, serve
+    port = random.randint(20000, 40000)
+    httpd = serve(service, port=port, block=False)
+    try:
+        client = CaptioningClient(port=port, timeout=120)
+        st = client.status()
+        assert st["config"]["max_batch"] == 4
+        assert "article" in st["config"]["contexts"]
+        out = client.caption({"context": "the news on the new era"})
+        assert "caption" in out and "token_ids" in out
+        # sections + image_position path (the scraped-article flow)
+        out2 = client.caption({
+            "title": "the news",
+            "sections": [
+                {"type": "paragraph", "text": "the new era is on."},
+                {"type": "caption", "text": "a photo"},
+                {"type": "paragraph", "text": "the news goes on."}],
+            "image_position": 1})
+        assert "caption" in out2
+    finally:
+        httpd.shutdown()
+
+
+def test_extractor_parses_both_nyt_layouts():
+    from tell_tpu.serving.extractor import extract_text
+    new_html = """
+    <html><body><h1>Big News</h1><article>
+      <div class="StoryBodyCompanionColumn"><div><p>First paragraph.</p>
+      <p>Second paragraph.</p></div></div>
+      <figure><img src="http://x/y.jpg"><figcaption>A photo.</figcaption>
+      </figure>
+    </article></body></html>"""
+    sections, title = extract_text(new_html)
+    assert title == "Big News"
+    kinds = [s["type"] for s in sections]
+    assert "paragraph" in kinds and "caption" in kinds
+    cap = next(s for s in sections if s["type"] == "caption")
+    assert cap["url"] == "http://x/y.jpg" and cap["text"] == "A photo."
+
+    old_html = """
+    <html><body><h1>Old News</h1>
+      <p class="story-body-text">Para one.</p>
+      <figure class="media"><img src="http://x/z.jpg">
+        <figcaption>Old photo.</figcaption></figure>
+      <p class="story-body-text">Para two.</p>
+    </body></html>"""
+    sections, title = extract_text(old_html)
+    assert title == "Old News"
+    assert [s["type"] for s in sections].count("paragraph") == 2
+    assert any(s["type"] == "caption" and s["url"] == "http://x/z.jpg"
+               for s in sections)
