@@ -34,6 +34,18 @@ BEAM = int(os.environ.get("BENCH_BEAM", "5"))
 BASELINE_CAPTIONS_PER_SEC = 2.8
 
 
+def _bumped(batch, bump):
+    b = dict(batch)
+    b["article"] = b["article"] + bump.astype(b["article"].dtype)
+    return b
+
+
+def _t(fn, *args):
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
+
+
 def main():
     import dataclasses
     cfg = CaptionerConfig()
@@ -57,20 +69,32 @@ def main():
         "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
     }
 
+    # Timing methodology: on this setup block_until_ready can return before
+    # remote execution finishes and a device_get carries a large fixed
+    # host-transfer cost, so we SLOPE-time: run the decode k_hi vs k_lo
+    # times chained through a scalar (each call consumes the previous
+    # call's result, forcing serialization), fetch one scalar at the end,
+    # and divide the time difference by (k_hi - k_lo). The fixed transfer
+    # and dispatch overheads cancel exactly.
     if BEAM <= 1:
-        gen = jax.jit(lambda p, b: generate(p, cfg, b)["token_ids"])
+        gen = jax.jit(lambda p, b, bump: generate(
+            p, cfg, _bumped(b, bump))["log_probs"].sum())
     else:
         from tell_tpu.models.beam import beam_search
-        gen = jax.jit(lambda p, b: beam_search(p, cfg, b,
-                                               beam_size=BEAM)["token_ids"])
-    jax.device_get(gen(params, batch))  # compile + warmup
+        gen = jax.jit(lambda p, b, bump: beam_search(
+            p, cfg, _bumped(b, bump), beam_size=BEAM)["scores"].sum())
 
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.device_get(gen(params, batch))  # fetch forces full execution
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def run_k(k):
+        acc = jnp.zeros((), jnp.float32)
+        for i in range(k):
+            acc = acc + gen(params, batch, acc * 0 + i)
+        return float(acc)  # one tiny device_get forces completion
+
+    run_k(1)  # compile + transfer-shape warmup
+    k_lo, k_hi = 1, 1 + max(REPS, 2)
+    lo = min(_t(run_k, k_lo) for _ in range(2))
+    hi = min(_t(run_k, k_hi) for _ in range(2))
+    dt = (hi - lo) / (k_hi - k_lo)
     cps = B / dt
 
     mode = "beam%d" % BEAM if BEAM > 1 else "greedy"

@@ -37,6 +37,7 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
 
     state = init_decode_state(params["decoder"], dcfg, contexts, B,
                               beam=K, dtype=feat0.dtype)
+    kv = state.pop("kv")  # constant during decode: closed over, not carried
 
     tokens = jnp.full((B, K), dcfg.bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),
@@ -47,9 +48,11 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
     paths0 = paths0.at[:, :, 0].set(dcfg.bos_id)
 
     def step(carry, t):
-        tokens, scores, finished, lengths, paths, state = carry
+        tokens, scores, finished, lengths, paths, dyn = carry
         feats, new_state, _ = decoder_step(params["decoder"], dcfg,
-                                           tokens.reshape(B * K), state)
+                                           tokens.reshape(B * K),
+                                           {**dyn, "kv": kv})
+        new_state = {k: v for k, v in new_state.items() if k != "kv"}
         # Exact per-beam top-K candidates: the global top-K over beams x V
         # can only contain tokens in some beam's own top-K, so the [B, K*V]
         # search collapses to [B, K*K] without approximation.
@@ -83,7 +86,6 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
         # conv buffers: [B*K, ...] gather via flattened indices
         flat_parent = (parent
                        + jnp.arange(B)[:, None] * K).reshape(B * K)
-        new_state = dict(new_state)
         new_state["conv"] = [jnp.take(buf, flat_parent, axis=0)
                              for buf in new_state["conv"]]
 

@@ -211,6 +211,7 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
     Returns [layers][groups] of {k: [B,S_g,E], v: [B,S_g,E],
     mask: [B,S_g] True=masked, seg: [S_g] int32 in-group modality index}."""
     groups = context_groups(cfg)
+    H = cfg.num_heads
     kvs = []
     for lp in params["layers"]:
         layer = []
@@ -225,9 +226,15 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
                 vs.append(v)
                 masks.append(kmask)
                 segs.append(jnp.full((k.shape[1],), j, jnp.int32))
+            k = jnp.concatenate(ks, axis=1)
+            v = jnp.concatenate(vs, axis=1)
+            B, S, E = k.shape
+            # HEAD-MAJOR storage [B, H, S, hd]: the fused decode-attention
+            # kernel reads one contiguous [S, hd] tile per (batch, head)
+            # grid cell (Mosaic cannot relayout a lane-dim split in-kernel)
             layer.append({
-                "k": jnp.concatenate(ks, axis=1),
-                "v": jnp.concatenate(vs, axis=1),
+                "k": k.reshape(B, S, H, E // H).transpose(0, 2, 1, 3),
+                "v": v.reshape(B, S, H, E // H).transpose(0, 2, 1, 3),
                 "mask": jnp.concatenate(masks, axis=1),
                 "seg": jnp.concatenate(segs),
             })
@@ -293,19 +300,31 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     q = jnp.einsum("bge,mef->bmgf", x, wq.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
-    qh = q.reshape(B, M, G, H, hd)
-    S = cat["k"].shape[1]
-    kh = cat["k"].reshape(B, S, H, hd)
-    vh = cat["v"].reshape(B, S, H, hd)
-    scores = jnp.einsum("bmghd,bshd->bmhgs", qh, kh,
-                        preferred_element_type=jnp.float32)
-    seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]          # [M,S]
-    allowed = seg_ok[None] & ~cat["mask"][:, None, :]               # [B,M,S]
-    scores = jnp.where(allowed[:, :, None, None, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bmhgs,bshd->bmghd", probs.astype(x.dtype), vh,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.reshape(B, M, G, E)
+    # Fold the modality axis into the query-row axis so the score/value
+    # contractions read K and V from HBM once for all M branches; KV is
+    # stored head-major [B, H, S, hd] (see precompute_context_kv_cat).
+    qh = q.reshape(B, M * G, H, hd).transpose(0, 2, 1, 3)  # [B,H,MG,hd]
+    kh, vh = cat["k"], cat["v"]
+    S = kh.shape[2]
+    from ..ops.kernels.dispatch import fused_kernels_enabled
+    probs = None
+    if fused_kernels_enabled() and not need_weights:
+        from ..ops.kernels.decode_attention import (fused_decode_attention,
+                                                    segment_bias)
+        bias = segment_bias(cat["seg"], cat["mask"], M, G)
+        out = fused_decode_attention(qh, kh, vh, bias)
+    else:
+        scores = jnp.einsum("bhxd,bhsd->bhxs", qh, kh,
+                            preferred_element_type=jnp.float32)
+        seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]      # [M,S]
+        allowed = seg_ok[None] & ~cat["mask"][:, None, :]           # [B,M,S]
+        allowed = jnp.repeat(allowed, G, axis=1)                    # [B,MG,S]
+        scores = jnp.where(allowed[:, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhxs,bhsd->bhxd", probs.astype(x.dtype), vh,
+                         preferred_element_type=jnp.float32
+                         ).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)
     wo = jnp.stack([lp["attn"][n]["out_proj"]["w"] for n in names])
     bo = jnp.stack([lp["attn"][n]["out_proj"]["b"] for n in names])
     out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
@@ -315,7 +334,8 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     ln_s = jnp.stack([lp["attn_ln"][n]["scale"] for n in names])
     ln_b = jnp.stack([lp["attn_ln"][n]["bias"] for n in names])
     branches = _ln_stacked(ln_s, ln_b, x[:, None] + out)            # [B,M,G,E]
-    attn = jnp.mean(probs, axis=2) if need_weights else None
+    attn = (jnp.mean(probs, axis=1).reshape(B, M, G, S)
+            if need_weights else None)
     return branches, attn
 
 

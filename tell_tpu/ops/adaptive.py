@@ -210,17 +210,20 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     """
     ranges = band_ranges(cutoffs)
     c0 = ranges[0][1]
-    head = jax.nn.log_softmax(
-        _head_logits(sm, emb, x, padding_idx).astype(jnp.float32), axis=-1)
-    vals, ids = jax.lax.top_k(head[:, :c0], k)
-    all_vals = [vals]
+    # top_k on RAW logits (order-preserving), log-softmax applied only to
+    # the k winners via a separate logsumexp — avoids materializing a
+    # second full-vocab fp32 array between the matmul and the sort.
+    head_logits = _head_logits(sm, emb, x, padding_idx).astype(jnp.float32)
+    head_lse = jax.scipy.special.logsumexp(head_logits, axis=-1)
+    vals, ids = jax.lax.top_k(head_logits[:, :c0], k)
+    all_vals = [vals - head_lse[:, None]]
     all_ids = [ids]
     for i, (lo, hi) in enumerate(ranges[1:]):
-        tl = jax.nn.log_softmax(
-            _tail_logits(sm, emb, x, i, padding_idx).astype(jnp.float32),
-            axis=-1)
+        tl = _tail_logits(sm, emb, x, i, padding_idx).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(tl, axis=-1)
         tv, ti = jax.lax.top_k(tl, min(k, hi - lo))
-        all_vals.append(tv + head[:, c0 + i, None])
+        prior = head_logits[:, c0 + i] - head_lse
+        all_vals.append(tv - lse[:, None] + prior[:, None])
         all_ids.append(ti + lo)
     cat_vals = jnp.concatenate(all_vals, axis=-1)
     cat_ids = jnp.concatenate(all_ids, axis=-1)

@@ -7,3 +7,4 @@ and can be forced/disabled with TELL_TPU_FUSED=1/0.
 """
 from .dispatch import fused_kernels_enabled
 from .dynamic_conv import fused_dynamic_conv
+from .decode_attention import fused_decode_attention

@@ -1,0 +1,100 @@
+"""Fused multi-context decode attention Pallas kernel.
+
+The decode step's dominant HBM cost beyond the unavoidable K/V stream is
+the score/probability round-trip: XLA materializes [B, H, M*G, S] fp32
+scores, reads them for the masked softmax, writes bf16 probabilities, and
+reads those again for the value contraction — ~4x the K/V bytes per layer
+at production shapes. This kernel runs the whole chain per (batch, head)
+grid cell in VMEM: q.K^T on the MXU, segment mask + fp32 softmax on the
+VPU, probs.V on the MXU, never touching HBM with intermediates. K/V are
+stored HEAD-MAJOR ([B, H, S, hd]) in the decode state so each grid cell
+reads a contiguous [S, hd] tile — no in-kernel relayout (Mosaic cannot
+shape-cast a lane-dim split).
+
+Semantics (must match cross_attention_with_kv / _attn_group exactly):
+query row x = m * G + g attends rows where seg[s] == m and the padding
+mask is off; softmax in fp32 over the masked row; fully-masked rows
+(impossible here: every segment has a bias column) would yield zeros.
+
+Reference baseline being replaced: four fairseq MultiHeadAttention calls
+per layer per step (/root/reference/tell/modules/attention/multi_head.py:
+288-486, decoder layer at decoder_faces_objects.py:271-352).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import interpret_mode
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H: int):
+    """Grid cell (b,): q [H, MG, hd], k/v [H, S, hd], bias [MG, S].
+    Heads are an unrolled in-kernel loop so the bias tile is read once and
+    the grid stays coarse (one DMA pipeline stage per batch row)."""
+    bias = bias_ref[0]                                # [MG, S] fp32
+    for h in range(H):
+        q = q_ref[0, h]                               # [MG, hd]
+        k = k_ref[0, h]                               # [S, hd]
+        v = v_ref[0, h]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [MG, S]
+        scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def segment_bias(seg: jax.Array, pad: jax.Array, M: int, G: int
+                 ) -> jax.Array:
+    """Additive mask [B, MG, S]: 0 where query row m*G+g may attend source
+    row s (seg[s]==m and not padded), -inf elsewhere. Computed outside the
+    kernel (scalar/int vectors cannot ride unaligned VMEM blocks)."""
+    seg_ok = seg[None, :] == jnp.arange(M)[:, None]                 # [M,S]
+    allowed = seg_ok[None] & ~pad[:, None, :]                       # [B,M,S]
+    allowed = jnp.repeat(allowed, G, axis=1)                        # [B,MG,S]
+    return jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                           bias: jax.Array) -> jax.Array:
+    """q: [B, H, MG, hd]; k, v: [B, H, S, hd] (head-major);
+    bias: [B, MG, S] additive mask. Returns [B, H, MG, hd]."""
+    B, H, MG, hd = q.shape
+    S = k.shape[2]
+    return pl.pallas_call(
+        functools.partial(_kernel, H=H),
+        out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, MG, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, MG, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, MG, hd), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
+    )(q, k, v, bias)
+
+
+def reference_decode_attention(q, k, v, bias):
+    """jnp math twin (parity tests). bias: [B, MG, S] additive."""
+    scores = jnp.einsum("bhxd,bhsd->bhxs", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores + bias[:, None]
+    p = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhxs,bhsd->bhxd", p.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

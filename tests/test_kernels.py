@@ -79,3 +79,52 @@ def test_dispatch_gate(monkeypatch):
     ref = dynamic_conv(p, x, kernel_size=K, num_heads=H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-context decode attention
+# ---------------------------------------------------------------------------
+
+def test_fused_decode_attention_matches_reference():
+    from tell_tpu.ops.kernels.decode_attention import (
+        fused_decode_attention, reference_decode_attention)
+    B, H, M, G, S, hd = 2, 4, 3, 5, 24, 16
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    q = jax.random.normal(ks[0], (B, H, M * G, hd))
+    k = jax.random.normal(ks[1], (B, H, S, hd))
+    v = jax.random.normal(ks[2], (B, H, S, hd))
+    seg = jnp.asarray([0] * 10 + [1] * 6 + [2] * 8, jnp.int32)
+    pad = jnp.zeros((B, S), bool).at[:, 8:10].set(True).at[1, 20:].set(True)
+    from tell_tpu.ops.kernels.decode_attention import segment_bias
+    bias = segment_bias(seg, pad, M, G)
+    ref = reference_decode_attention(q, k, v, bias)
+    out = fused_decode_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_step_with_fused_attention(monkeypatch):
+    """decoder_step output is identical with kernels forced on (interpret)."""
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models.decoder import (decoder_step, init_decoder,
+                                         init_decode_state)
+    cfg = small_test_config().decoder
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B = 2
+    contexts = {}
+    for i, spec in enumerate(cfg.contexts):
+        feats = jax.random.normal(ks[i], (B, spec.max_len, spec.kv_dim))
+        mask = jnp.zeros((B, spec.max_len), bool)
+        contexts[spec.name] = (feats, mask)
+    toks = jnp.array([5, 9], jnp.int32)
+
+    monkeypatch.setenv("TELL_TPU_FUSED", "0")
+    state = init_decode_state(params, cfg, contexts, B)
+    ref, _, _ = decoder_step(params, cfg, toks, state)
+    monkeypatch.setenv("TELL_TPU_FUSED", "1")
+    state = init_decode_state(params, cfg, contexts, B)
+    out, _, _ = decoder_step(params, cfg, toks, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -43,9 +43,12 @@ def timeit(name, fn, *args):
 
 @jax.jit
 def scan_step_only(params, state):
+    kv = state.pop("kv")
     def step(carry, _):
         toks, st = carry
-        feats, st, _ = decoder_step(params["decoder"], dcfg, toks, st)
+        feats, st, _ = decoder_step(params["decoder"], dcfg, toks,
+                                    {**st, "kv": kv})
+        st = {k: v for k, v in st.items() if k != "kv"}
         return (toks, st), feats[:, 0]
     (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
                                  None, length=STEPS)
@@ -54,9 +57,12 @@ def scan_step_only(params, state):
 
 @jax.jit
 def scan_step_topk(params, state):
+    kv = state.pop("kv")
     def step(carry, _):
         toks, st = carry
-        feats, st, _ = decoder_step(params["decoder"], dcfg, toks, st)
+        feats, st, _ = decoder_step(params["decoder"], dcfg, toks,
+                                    {**st, "kv": kv})
+        st = {k: v for k, v in st.items() if k != "kv"}
         lp, ids = decoder_top_k(params["decoder"], dcfg, feats, 5)
         return (ids[:, 0].astype(jnp.int32), st), lp[:, 0]
     (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
