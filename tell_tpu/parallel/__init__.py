@@ -1,1 +1,3 @@
-from .mesh import make_mesh, param_sharding_rules, shard_params, batch_sharding
+from .mesh import (batch_sharding, make_mesh, param_sharding_rules,
+                   shard_params)
+from .sequence import roberta_encode_seq_parallel
