@@ -210,6 +210,14 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     """
     ranges = band_ranges(cutoffs)
     c0 = ranges[0][1]
+    # The Pallas top-k kernel (ops/kernels/topk_logits.py) avoids the
+    # [N, V] logits round-trip but measured ~5% SLOWER end-to-end on v5e
+    # (XLA's sort overlaps the matmul better than the in-kernel k-pass
+    # extraction), so it is opt-in: TELL_TPU_TOPK=1.
+    import os
+    if (os.environ.get("TELL_TPU_TOPK") == "1" and k <= 8
+            and x.shape[0] * 2048 * 4 < 8 * 2**20):
+        return _adaptive_top_k_fused(sm, emb, x, ranges, k, padding_idx)
     # top_k on RAW logits (order-preserving), log-softmax applied only to
     # the k winners via a separate logsumexp — avoids materializing a
     # second full-vocab fp32 array between the matmul and the sort.
@@ -224,6 +232,41 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
         tv, ti = jax.lax.top_k(tl, min(k, hi - lo))
         prior = head_logits[:, c0 + i] - head_lse
         all_vals.append(tv - lse[:, None] + prior[:, None])
+        all_ids.append(ti + lo)
+    cat_vals = jnp.concatenate(all_vals, axis=-1)
+    cat_ids = jnp.concatenate(all_ids, axis=-1)
+    final_vals, pos = jax.lax.top_k(cat_vals, k)
+    final_ids = jnp.take_along_axis(cat_ids, pos, axis=-1)
+    return final_vals, final_ids
+
+
+def _adaptive_top_k_fused(sm: dict, emb: dict, x: jax.Array,
+                          ranges, k: int, padding_idx: int
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Pallas fast path: per-cluster fused logits+top-k+lse kernels
+    (ops/kernels/topk_logits.py); full logits never hit HBM. The head's
+    tail-cluster logits ride XLA (an [N, n_tails] matmul) and fold into
+    the head normalizer with one logaddexp."""
+    from .kernels.topk_logits import topk_logits
+    c0 = ranges[0][1]
+    table0 = emb["bands"][0]["embed"]
+    if 0 <= padding_idx < table0.shape[0]:
+        table0 = table0.at[padding_idx].set(0.0)
+    wv, wi, lse_w = topk_logits(x, table0.astype(x.dtype), k)
+    cls = linear(sm["class_proj"], x).astype(jnp.float32)  # [N, n_tails]
+    head_lse = jnp.logaddexp(lse_w,
+                             jax.scipy.special.logsumexp(cls, axis=-1))
+    all_vals = [wv - head_lse[:, None]]
+    all_ids = [wi]
+    for i, (lo, hi) in enumerate(ranges[1:]):
+        h = linear(sm["tail_projs"][i], x)
+        table = emb["bands"][i + 1]["embed"]
+        if 0 <= padding_idx < table.shape[0]:
+            table = table.at[padding_idx].set(0.0)
+        tv, ti, lse_t = topk_logits(h, table.astype(h.dtype),
+                                    min(k, hi - lo))
+        prior = cls[:, i] - head_lse
+        all_vals.append(tv - lse_t[:, None] + prior[:, None])
         all_ids.append(ti + lo)
     cat_vals = jnp.concatenate(all_vals, axis=-1)
     cat_ids = jnp.concatenate(all_ids, axis=-1)

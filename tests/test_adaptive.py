@@ -120,3 +120,28 @@ def test_factor_reduces_tail_dims():
     lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
     np.testing.assert_allclose(
         np.asarray(jax.nn.logsumexp(lp, axis=-1)), 0.0, atol=1e-4)
+
+
+def test_adaptive_top_k_fused_matches_plain(monkeypatch):
+    """The Pallas fused top-k path (interpret on CPU) must agree with the
+    pure-XLA path on the full factored distribution."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tell_tpu.ops.adaptive import (adaptive_top_k,
+                                       init_adaptive_embedding,
+                                       init_adaptive_softmax)
+    cutoffs = (50, 200, 500)
+    rng = jax.random.PRNGKey(0)
+    emb = init_adaptive_embedding(rng, cutoffs, initial_dim=32, factor=1.0,
+                                  output_dim=32)
+    sm = init_adaptive_softmax(jax.random.fold_in(rng, 1), cutoffs, 32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, 32))
+    monkeypatch.delenv("TELL_TPU_TOPK", raising=False)
+    rv, ri = adaptive_top_k(sm, emb, x, cutoffs, 5)
+    monkeypatch.setenv("TELL_TPU_TOPK", "1")
+    monkeypatch.setenv("TELL_TPU_FUSED", "1")  # interpret mode off-TPU
+    fv, fi = adaptive_top_k(sm, emb, x, cutoffs, 5)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))

@@ -128,3 +128,29 @@ def test_decoder_step_with_fused_attention(monkeypatch):
     out, _, _ = decoder_step(params, cfg, toks, state)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused logits top-k + logsumexp
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N,D,V,k", [
+    (8, 64, 300, 5),     # V not a tile multiple (padded final tile)
+    (4, 32, 2048, 1),    # greedy
+    (3, 16, 4100, 8),
+])
+def test_topk_logits_matches_reference(N, D, V, k):
+    from tell_tpu.ops.kernels.topk_logits import (reference_topk_logits,
+                                                  topk_logits)
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, D))
+    t = jax.random.normal(jax.random.PRNGKey(1), (V, D))
+    rv, ri, rlse = reference_topk_logits(x, t, k)
+    v, i, lse = topk_logits(x, t, k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(rv),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(rlse),
+                               rtol=1e-5, atol=1e-5)
+    # indices may differ on exact ties; values above already pin them
+    same = np.asarray(i) == np.asarray(ri)
+    tied = np.isclose(np.asarray(v), np.asarray(rv))
+    assert (same | tied).all()
