@@ -229,12 +229,13 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
             k = jnp.concatenate(ks, axis=1)
             v = jnp.concatenate(vs, axis=1)
             B, S, E = k.shape
-            # HEAD-MAJOR storage [B, H, S, hd]: the fused decode-attention
-            # kernel reads one contiguous [S, hd] tile per (batch, head)
-            # grid cell (Mosaic cannot relayout a lane-dim split in-kernel)
+            # HEAD-MAJOR TRANSPOSED storage [B, H, hd, S]: each kernel
+            # grid cell reads contiguous lane-aligned [hd, S] tiles
+            # (Mosaic cannot relayout a lane-dim split in-kernel, and an
+            # hd-minor layout would halve DMA efficiency)
             layer.append({
-                "k": k.reshape(B, S, H, E // H).transpose(0, 2, 1, 3),
-                "v": v.reshape(B, S, H, E // H).transpose(0, 2, 1, 3),
+                "k": k.reshape(B, S, H, E // H).transpose(0, 2, 3, 1),
+                "v": v.reshape(B, S, H, E // H).transpose(0, 2, 3, 1),
                 "mask": jnp.concatenate(masks, axis=1),
                 "seg": jnp.concatenate(segs),
             })
@@ -304,8 +305,8 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     # contractions read K and V from HBM once for all M branches; KV is
     # stored head-major [B, H, S, hd] (see precompute_context_kv_cat).
     qh = q.reshape(B, M * G, H, hd).transpose(0, 2, 1, 3)  # [B,H,MG,hd]
-    kh, vh = cat["k"], cat["v"]
-    S = kh.shape[2]
+    kh, vh = cat["k"], cat["v"]                    # [B,H,hd,S] transposed
+    S = kh.shape[3]
     from ..ops.kernels.dispatch import fused_kernels_enabled
     probs = None
     if fused_kernels_enabled() and not need_weights:
@@ -314,14 +315,14 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
         bias = segment_bias(cat["seg"], cat["mask"], M, G)
         out = fused_decode_attention(qh, kh, vh, bias)
     else:
-        scores = jnp.einsum("bhxd,bhsd->bhxs", qh, kh,
+        scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
                             preferred_element_type=jnp.float32)
         seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]      # [M,S]
         allowed = seg_ok[None] & ~cat["mask"][:, None, :]           # [B,M,S]
         allowed = jnp.repeat(allowed, G, axis=1)                    # [B,MG,S]
         scores = jnp.where(allowed[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhxs,bhsd->bhxd", probs.astype(x.dtype), vh,
+        out = jnp.einsum("bhxs,bhds->bhxd", probs.astype(x.dtype), vh,
                          preferred_element_type=jnp.float32
                          ).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)

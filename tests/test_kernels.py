@@ -92,8 +92,8 @@ def test_fused_decode_attention_matches_reference():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 4)
     q = jax.random.normal(ks[0], (B, H, M * G, hd))
-    k = jax.random.normal(ks[1], (B, H, S, hd))
-    v = jax.random.normal(ks[2], (B, H, S, hd))
+    k = jax.random.normal(ks[1], (B, H, hd, S))
+    v = jax.random.normal(ks[2], (B, H, hd, S))
     seg = jnp.asarray([0] * 10 + [1] * 6 + [2] * 8, jnp.int32)
     pad = jnp.zeros((B, S), bool).at[:, 8:10].set(True).at[1, 20:].set(True)
     from tell_tpu.ops.kernels.decode_attention import segment_bias
