@@ -1,0 +1,486 @@
+"""Activation parity against the REFERENCE torch modules.
+
+SURVEY.md §4 invariant generalization: our jnp/Pallas ops must reproduce
+the reference implementation bit-for-bit (to fp32 tolerance) on converted
+weights. The reference package imports AllenNLP at its __init__; these
+tests import the torch-only module files directly through namespace stubs
+and run them on CPU. Nothing from the reference is copied — its modules
+are loaded and EXECUTED as the golden model.
+"""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+
+
+def _ensure_reference():
+    if "tell.modules.convolutions.dynamic" in sys.modules:
+        return
+    import torch.nn as nn
+    if "allennlp" not in sys.modules:
+        alm = types.ModuleType("allennlp")
+        mods = types.ModuleType("allennlp.modules")
+        te = types.ModuleType("allennlp.modules.token_embedders")
+
+        class TokenEmbedder(nn.Module):
+            @classmethod
+            def register(cls, name):
+                return lambda c: c
+
+        te.TokenEmbedder = TokenEmbedder
+        mods.token_embedders = te
+        alm.modules = mods
+        sys.modules["allennlp"] = alm
+        sys.modules["allennlp.modules"] = mods
+        sys.modules["allennlp.modules.token_embedders"] = te
+    try:
+        import overrides  # noqa: F401
+    except ImportError:
+        ov = types.ModuleType("overrides")
+        ov.overrides = lambda f: f
+        sys.modules["overrides"] = ov
+    # namespace packages that bypass the AllenNLP-importing __init__ files
+    for name in ("tell", "tell.modules", "tell.modules.convolutions",
+                 "tell.modules.attention", "tell.modules.token_embedders"):
+        path = REF + "/" + name.replace(".", "/")
+        m = types.ModuleType(name)
+        m.__path__ = [path]
+        sys.modules[name] = m
+    # tell.utils is torch-only: load its real __init__
+    spec = importlib.util.spec_from_file_location(
+        "tell.utils", f"{REF}/tell/utils/__init__.py",
+        submodule_search_locations=[f"{REF}/tell/utils"])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["tell.utils"] = mod
+    spec.loader.exec_module(mod)
+
+
+def _import(name):
+    _ensure_reference()
+    spec = importlib.util.spec_from_file_location(
+        name, REF + "/" + name.replace(".", "/") + ".py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# DynamicConv / LightweightConv
+# ---------------------------------------------------------------------------
+
+def test_dynamic_conv_matches_reference():
+    dyn = _import("tell.modules.convolutions.dynamic")
+    from tell_tpu.ops.dynamic_conv import dynamic_conv
+    torch.manual_seed(0)
+    C, H, K, B, T = 32, 4, 5, 2, 9
+    m = dyn.DynamicConv1dTBC(C, kernel_size=K, padding_l=K - 1,
+                             num_heads=H, weight_softmax=True,
+                             weight_dropout=0.0, bias=False).eval()
+    x = torch.randn(T, B, C)
+    with torch.no_grad():
+        ref = _np(m(x)).transpose(1, 0, 2)                 # TBC -> BTC
+    params = {"weight_linear": {
+        "w": jnp.asarray(_np(m.weight_linear.weight).T)}}
+    out = dynamic_conv(params, jnp.asarray(_np(x).transpose(1, 0, 2)),
+                       kernel_size=K, num_heads=H)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_lightweight_conv_matches_reference():
+    lw = _import("tell.modules.convolutions.lightweight")
+    from tell_tpu.ops.dynamic_conv import lightweight_conv
+    torch.manual_seed(1)
+    C, H, K, B, T = 32, 4, 3, 2, 7
+    m = lw.LightweightConv1dTBC(C, kernel_size=K, padding_l=K - 1,
+                                num_heads=H, weight_softmax=True).eval()
+    x = torch.randn(T, B, C)
+    with torch.no_grad():
+        ref = _np(m(x)).transpose(1, 0, 2)
+    params = {"weight": jnp.asarray(_np(m.weight).reshape(H, K))}
+    out = lightweight_conv(params, jnp.asarray(_np(x).transpose(1, 0, 2)),
+                           kernel_size=K, num_heads=H)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# MultiHeadAttention (cross-attention with bias-kv + zero-attn, kdim != E)
+# ---------------------------------------------------------------------------
+
+def test_cross_attention_matches_reference():
+    mh = _import("tell.modules.attention.multi_head")
+    from tell_tpu.ops.attention import cross_attention
+    torch.manual_seed(2)
+    E, H, KD, B, T, S = 32, 4, 24, 2, 5, 7
+    m = mh.MultiHeadAttention(E, H, kdim=KD, vdim=KD, dropout=0.0,
+                              bias=True, add_bias_kv=True,
+                              add_zero_attn=True).eval()
+    q = torch.randn(T, B, E)
+    kv = torch.randn(S, B, KD)
+    pad = torch.zeros(B, S, dtype=torch.bool)
+    pad[0, 5:] = True
+    with torch.no_grad():
+        ref, ref_attn = m(q, kv, kv, key_padding_mask=pad,
+                          need_weights=True, static_kv=True)
+    ref = _np(ref).transpose(1, 0, 2)
+
+    b = _np(m.in_proj_bias)
+    params = {
+        "q_proj": {"w": jnp.asarray(_np(m.q_proj_weight).T),
+                   "b": jnp.asarray(b[:E])},
+        "k_proj": {"w": jnp.asarray(_np(m.k_proj_weight).T),
+                   "b": jnp.asarray(b[E:2 * E])},
+        "v_proj": {"w": jnp.asarray(_np(m.v_proj_weight).T),
+                   "b": jnp.asarray(b[2 * E:])},
+        "out_proj": {"w": jnp.asarray(_np(m.out_proj.weight).T),
+                     "b": jnp.asarray(_np(m.out_proj.bias))},
+        "bias_k": jnp.asarray(_np(m.bias_k)[0, 0]),
+        "bias_v": jnp.asarray(_np(m.bias_v)[0, 0]),
+    }
+    out, attn = cross_attention(
+        params, jnp.asarray(_np(q).transpose(1, 0, 2)),
+        jnp.asarray(_np(kv).transpose(1, 0, 2)),
+        jnp.asarray(_np(pad)), num_heads=H, need_weights=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn), _np(ref_attn),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# AdaptiveEmbedding + tied AdaptiveSoftmax full log-probs
+# ---------------------------------------------------------------------------
+
+def _ref_adaptive(vocab=120, cutoffs=(40, 80), dim=16):
+    ada = _import("tell.modules.token_embedders.adaptive")
+    sm = _import("tell.modules.softmax")
+    torch.manual_seed(3)
+    emb = ada.AdaptiveEmbedding(
+        vocab=None, namespace="bpe", padding_idx=0, initial_dim=dim,
+        factor=1.0, output_dim=dim, cutoff=list(cutoffs),
+        vocab_size=vocab, scale_embeds=True).eval()
+    soft = sm.AdaptiveSoftmax(vocab, dim, list(cutoffs) + [vocab],
+                              dropout=0.0, factor=1.0,
+                              adaptive_inputs=emb, tie_proj=False).eval()
+    return emb, soft
+
+
+def _convert_adaptive(emb, soft, cutoffs, vocab, dim):
+    bands = []
+    for i in range(len(cutoffs) + 1):
+        bands.append({
+            "embed": jnp.asarray(_np(emb.embeddings[i][0].weight)),
+            "proj": jnp.asarray(_np(emb.embeddings[i][1].weight).T),
+        })
+    sm_params = None
+    if soft is not None:
+        sm_params = {
+            "class_proj": {"w": jnp.asarray(
+                _np(soft.head.class_proj.weight).T)},
+            "tail_projs": [
+                {"w": jnp.asarray(_np(soft.tail[i][0].weight).T)}
+                for i in range(len(cutoffs))],
+        }
+    return {"bands": bands}, sm_params
+
+
+def test_adaptive_embedding_matches_reference():
+    from tell_tpu.ops.adaptive import adaptive_embed
+    vocab, cutoffs, dim = 120, (40, 80), 16
+    emb, _ = _ref_adaptive(vocab, cutoffs, dim)
+    ids = torch.randint(0, vocab, (3, 11))
+    with torch.no_grad():
+        ref = _np(emb(ids))
+    jemb, _ = _convert_adaptive(emb, None, cutoffs, vocab, dim)
+
+    # reference quirk: every band's nn.Embedding has padding_idx=0, so the
+    # FIRST ROW of each band is pinned to zero — our init mirrors this via
+    # embed_padding_idx=0 (config.py); conversion needs no change
+    out = adaptive_embed(jemb, jnp.asarray(_np(ids)),
+                         cutoffs + (vocab,), dim, padding_idx=0,
+                         scale_embeds=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_adaptive_softmax_log_probs_match_reference():
+    from tell_tpu.ops.adaptive import adaptive_log_probs
+    vocab, cutoffs, dim = 120, (40, 80), 16
+    emb, soft = _ref_adaptive(vocab, cutoffs, dim)
+    x = torch.randn(6, dim)
+    with torch.no_grad():
+        ref = _np(soft.get_log_prob(x[:, None, :], None))[:, 0]
+    jemb, jsm = _convert_adaptive(emb, soft, cutoffs, vocab, dim)
+    out = adaptive_log_probs(jsm, jemb, jnp.asarray(_np(x)),
+                             cutoffs + (vocab,), padding_idx=0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal positions
+# ---------------------------------------------------------------------------
+
+def test_sinusoidal_embedding_matches_reference():
+    pos = _import("tell.modules.token_embedders.positional")
+    from tell_tpu.ops.positional import sinusoidal_embed, sinusoidal_table
+    torch.manual_seed(4)
+    dim, pad = 16, 1
+    m = pos.SinusoidalPositionalEmbedding(None, dim, padding_idx=pad,
+                                          left_pad=False, init_size=64)
+    ids = torch.tensor([[0, 5, 9, 2, pad, pad],
+                        [0, 7, 7, 4, 8, 2]])
+    with torch.no_grad():
+        ref = _np(m(ids))
+    table = sinusoidal_table(64, dim, padding_idx=pad)
+    out = sinusoidal_embed(table, jnp.asarray(_np(ids)), pad, 0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# SelfAttention (pointer entity head)
+# ---------------------------------------------------------------------------
+
+def test_self_attention_matches_reference():
+    sa = _import("tell.modules.attention.self_attention")
+    from tell_tpu.ops.self_attention import self_attention
+    torch.manual_seed(5)
+    E, H, B, T = 32, 4, 2, 6
+    m = sa.SelfAttention(out_channels=E, embed_dim=E, num_heads=H,
+                         gated=True).eval()
+    x = torch.randn(T, B, E)
+    with torch.no_grad():
+        ref = _np(m(x)).transpose(1, 0, 2)
+
+    def gl(lin):  # GehringLinear with weight norm -> effective weight
+        try:
+            torch.nn.utils.remove_weight_norm(lin)
+        except (ValueError, RuntimeError):
+            pass
+        return {"w": jnp.asarray(_np(lin.weight).T),
+                "b": jnp.asarray(_np(lin.bias))}
+
+    att = m.attention.attention_module
+    params = {
+        "in_proj_q": gl(m.in_proj_q),
+        "in_proj_k": gl(m.in_proj_k),
+        "in_proj_v": gl(m.in_proj_v),
+        "out_proj": gl(att.out_proj),
+        "ln": {"scale": jnp.asarray(_np(m.ln.weight)),
+               "bias": jnp.asarray(_np(m.ln.bias))},
+    }
+    out = self_attention(params, jnp.asarray(_np(x).transpose(1, 0, 2)), H)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# FULL DECODER: 4-layer, 4-context DynamicConvFacesObjectsDecoder vs ours
+# ---------------------------------------------------------------------------
+
+def _ensure_models():
+    _ensure_reference()
+    import torch.nn as nn
+    if "allennlp.common" not in sys.modules:
+        com = types.ModuleType("allennlp.common")
+        reg = types.ModuleType("allennlp.common.registrable")
+
+        class Registrable:
+            @classmethod
+            def register(cls, name):
+                return lambda c: c
+
+        reg.Registrable = Registrable
+        com.registrable = reg
+        sys.modules["allennlp.common"] = com
+        sys.modules["allennlp.common.registrable"] = reg
+    if "allennlp.modules.text_field_embedders" not in sys.modules:
+        tfe = types.ModuleType("allennlp.modules.text_field_embedders")
+        tfe.TextFieldEmbedder = nn.Module
+        sys.modules["allennlp.modules.text_field_embedders"] = tfe
+    # sum_text_field_embedder needs deep AllenNLP machinery (Params,
+    # registry): pre-register a stand-in so the package import skips it —
+    # the decoder test builds its own embedder stub anyway
+    stfe = types.ModuleType("tell.modules.token_embedders"
+                            ".sum_text_field_embedder")
+    stfe.SumTextFieldEmbedder = type("SumTextFieldEmbedder", (), {})
+    sys.modules["tell.modules.token_embedders.sum_text_field_embedder"] = \
+        stfe
+    # the real tell.modules package (its deps are now all loadable)
+    for name in ("tell.modules.attention", "tell.modules.convolutions",
+                 "tell.modules.token_embedders", "tell.modules.criteria"):
+        if not hasattr(sys.modules.get(name, None), "__file__"):
+            spec = importlib.util.spec_from_file_location(
+                name, REF + "/" + name.replace(".", "/") + "/__init__.py",
+                submodule_search_locations=[
+                    REF + "/" + name.replace(".", "/")])
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+    spec = importlib.util.spec_from_file_location(
+        "tell.modules", f"{REF}/tell/modules/__init__.py",
+        submodule_search_locations=[f"{REF}/tell/modules"])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["tell.modules"] = mod
+    spec.loader.exec_module(mod)
+    m = types.ModuleType("tell.models")
+    m.__path__ = [f"{REF}/tell/models"]
+    sys.modules["tell.models"] = m
+    _import("tell.models.decoder_base")
+    sys.modules["tell.models.decoder_base"].__package__ = "tell.models"
+
+
+def _gl(lin):
+    try:
+        torch.nn.utils.remove_weight_norm(lin)
+    except (ValueError, RuntimeError):
+        pass
+    p = {"w": jnp.asarray(_np(lin.weight).T)}
+    if lin.bias is not None:
+        p["b"] = jnp.asarray(_np(lin.bias))
+    return p
+
+
+def _ln_params(ln):
+    return {"scale": jnp.asarray(_np(ln.weight)),
+            "bias": jnp.asarray(_np(ln.bias))}
+
+
+def _mha(m, E):
+    b = _np(m.in_proj_bias)
+    return {
+        "q_proj": {"w": jnp.asarray(_np(m.q_proj_weight).T),
+                   "b": jnp.asarray(b[:E])},
+        "k_proj": {"w": jnp.asarray(_np(m.k_proj_weight).T),
+                   "b": jnp.asarray(b[E:2 * E])},
+        "v_proj": {"w": jnp.asarray(_np(m.v_proj_weight).T),
+                   "b": jnp.asarray(b[2 * E:])},
+        "out_proj": {"w": jnp.asarray(_np(m.out_proj.weight).T),
+                     "b": jnp.asarray(_np(m.out_proj.bias))},
+        "bias_k": jnp.asarray(_np(m.bias_k)[0, 0]),
+        "bias_v": jnp.asarray(_np(m.bias_v)[0, 0]),
+    }
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_full_decoder_matches_reference(seed):
+    """Teacher-forced features AND full-vocab log-probs of the flagship
+    4-context decoder must match the reference class exactly."""
+    _ensure_models()
+    import torch.nn as nn
+    dfo = _import("tell.models.decoder_faces_objects")
+    ada = sys.modules["tell.modules.token_embedders"]
+    pos = sys.modules["tell.modules.token_embedders"]
+    import dataclasses
+    from tell_tpu.config import ContextSpec, DecoderConfig
+    from tell_tpu.models.decoder import decoder_forward, decoder_log_probs, \
+        init_decoder
+
+    torch.manual_seed(seed)
+    V, E, H = 120, 32, 4
+    cutoffs = [40, 80]
+    KS = [3, 5]
+    B, T = 2, 7
+    S = {"image": 5, "article": 9, "faces": 3, "obj": 4}
+    KD = {"image": 2048, "article": 1024, "faces": 512, "obj": 2048}
+
+    adaptive = ada.AdaptiveEmbedding(
+        vocab=None, namespace="bpe", padding_idx=0, initial_dim=E,
+        factor=1.0, output_dim=E, cutoff=list(cutoffs), vocab_size=V,
+        scale_embeds=True)
+    positional = pos.SinusoidalPositionalEmbedding(
+        None, E, padding_idx=1, left_pad=False, init_size=64)
+
+    class StubEmbedder(nn.Module):  # SumTextFieldEmbedder stand-in
+        def __init__(self):
+            super().__init__()
+            self.token_embedder_adaptive = adaptive
+            self.positional = positional
+
+        def get_output_dim(self):
+            return E
+
+        def forward(self, tokens, incremental_state=None):
+            ids = tokens["roberta"]
+            return (self.token_embedder_adaptive(ids)
+                    + self.positional(ids))
+
+    dec = dfo.DynamicConvFacesObjectsDecoder(
+        vocab=None, embedder=StubEmbedder(), max_target_positions=64,
+        dropout=0.0, share_decoder_input_output_embed=True,
+        decoder_output_dim=E, decoder_conv_dim=E, decoder_glu=True,
+        decoder_conv_type="dynamic", weight_softmax=True,
+        decoder_attention_heads=H, weight_dropout=0.0, relu_dropout=0.0,
+        input_dropout=0.0, decoder_normalize_before=False,
+        attention_dropout=0.0, decoder_ffn_embed_dim=48,
+        decoder_kernel_size_list=KS,
+        adaptive_softmax_cutoff=f"{cutoffs[0]},{cutoffs[1]}",
+        tie_adaptive_weights=True, adaptive_softmax_dropout=0,
+        tie_adaptive_proj=False, adaptive_softmax_factor=1.0,
+        decoder_layers=2, final_norm=False, padding_idx=0,
+        vocab_size=V).eval()
+
+    ids_t = torch.randint(4, V, (B, T))
+    ids_t[:, 0] = 0
+    ctx_t = {}
+    for name, s_len in S.items():
+        ctx_t[name] = torch.randn(s_len, B, KD[name])
+        m = torch.zeros(B, s_len, dtype=torch.bool)
+        if name == "article":
+            m[0, 7:] = True
+        ctx_t[name + "_mask"] = m
+    ctx_t["sections"] = None
+    ctx_t["sections_mask"] = None
+    with torch.no_grad():
+        feats_t, _ = dec({"roberta": ids_t}, ctx_t)
+        lprobs_t = dec.adaptive_softmax.get_log_prob(feats_t, None)
+
+    # ---- convert every weight into our pytree ----
+    jemb, jsm = _convert_adaptive(adaptive, dec.adaptive_softmax,
+                                  tuple(cutoffs), V, E)
+    cfg = DecoderConfig(
+        vocab_size=V, embed_dim=E, conv_dim=E, ffn_dim=48, num_heads=H,
+        kernel_sizes=tuple(KS), adaptive_cutoffs=tuple(cutoffs),
+        adaptive_factor=1.0, dropout=0.0, weight_dropout=0.0,
+        input_dropout=0.0, relu_dropout=0.0, attention_dropout=0.0,
+        max_target_positions=40, tail_capacity_frac=None,
+        contexts=tuple(ContextSpec(n, KD[n], S[n]) for n in S))
+    params = {"embed": jemb, "adaptive_softmax": jsm, "layers": []}
+    for lt in dec.layers:
+        lp = {
+            "linear1": _gl(lt.linear1),
+            "conv": {"weight_linear": {
+                "w": jnp.asarray(_np(lt.conv.weight_linear.weight).T)}},
+            "linear2": _gl(lt.linear2),
+            "conv_ln": _ln_params(lt.conv_layer_norm),
+            "attn": {n: _mha(lt.context_attns[n], E) for n in S},
+            "attn_ln": {n: _ln_params(lt.context_attn_lns[n]) for n in S},
+            "context_fc": _gl(lt.context_fc),
+            "fc1": _gl(lt.fc1),
+            "fc2": _gl(lt.fc2),
+            "final_ln": _ln_params(lt.final_layer_norm),
+        }
+        if lt.conv.weight_linear.bias is not None:
+            lp["conv"]["weight_linear"]["b"] = jnp.asarray(
+                _np(lt.conv.weight_linear.bias))
+        params["layers"].append(lp)
+
+    contexts = {n: (jnp.asarray(_np(ctx_t[n]).transpose(1, 0, 2)),
+                    jnp.asarray(_np(ctx_t[n + "_mask"])))
+                for n in S}
+    ids = jnp.asarray(_np(ids_t))
+    feats, _ = decoder_forward(params, cfg, ids, contexts)
+    np.testing.assert_allclose(np.asarray(feats), _np(feats_t),
+                               rtol=3e-5, atol=3e-5)
+    lp = decoder_log_probs(params, cfg, feats)
+    np.testing.assert_allclose(np.asarray(lp),
+                               _np(lprobs_t), rtol=3e-5, atol=3e-5)
