@@ -40,15 +40,33 @@ def make_train_step(cfg: CaptionerConfig,
     """
     loss_f = loss or captioner_loss
     loss_e2e_f = loss_e2e or captioner_loss_e2e
+    compute_dtype = getattr(getattr(cfg, "captioner", cfg), "compute_dtype",
+                            "float32")
+
+    def _cast(tree):
+        if compute_dtype != "bfloat16":
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    frozen_c = _cast(frozen) if frozen is not None else None
 
     def step(params, opt_state, batch, rng):
+        batch_c = _cast(batch)
+
         def loss_fn(p):
+            # bf16 compute / fp32 master params (apex O2 analogue,
+            # callback_apex_trainer.py:121-129): the cast is inside the
+            # grad so gradients flow back to the fp32 leaves
+            p = _cast(p)
             if frozen is not None:
-                l, aux = loss_e2e_f(p, frozen, cfg, batch,
+                l, aux = loss_e2e_f(p, frozen_c, cfg, batch_c,
                                     rng=rng, deterministic=False)
             else:
-                l, aux = loss_f(p, cfg, batch, rng=rng, deterministic=False)
-            return l, aux
+                l, aux = loss_f(p, cfg, batch_c, rng=rng,
+                                deterministic=False)
+            return l.astype(jnp.float32), aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 

@@ -95,3 +95,43 @@ def test_keep_checkpoints_gc(tmp_path):
     state, meta = cm.restore()
     assert meta["step"] == 5
     np.testing.assert_array_equal(state["x"], np.arange(3))
+
+
+def test_bf16_compute_keeps_fp32_master_params():
+    """compute_dtype=bfloat16: loss/grads computed in bf16 but the param
+    pytree and optimizer state stay fp32 (apex-O2 analogue)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import jax.random as jr
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models import init_captioner
+    from tell_tpu.training import bert_adam, make_train_step
+
+    cfg = dataclasses.replace(small_test_config(),
+                              compute_dtype="bfloat16")
+    params = init_captioner(jr.PRNGKey(0), cfg)
+    opt = bert_adam(t_total=100, warmup=0.0)
+    state = opt.init(params)
+    dcfg = cfg.decoder
+    ks = jr.split(jr.PRNGKey(1), 8)
+    B, T = 2, 8
+    caption = jr.randint(ks[5], (B, T), 4, dcfg.vocab_size).at[:, 0].set(0)
+    batch = {
+        "image_grid": jr.normal(ks[0], (B, 9, 32)),
+        "article": jr.normal(ks[1], (B, 16, 24)),
+        "article_mask": jnp.zeros((B, 16), bool),
+        "face_embeds": jr.normal(ks[2], (B, 4, 16)),
+        "obj_embeds": jr.normal(ks[3], (B, 8, 32)),
+        "caption_ids": caption,
+    }
+    step = jax.jit(make_train_step(cfg, opt))
+    p2, s2, m = step(params, state, batch, jr.PRNGKey(3))
+    p2, s2, m = step(p2, s2, batch, jr.PRNGKey(4))
+    assert jnp.isfinite(m["loss"])
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(p2)
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
+    # params actually moved
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
+    assert max(jax.tree.leaves(diff)) > 0
