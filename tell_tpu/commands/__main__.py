@@ -136,7 +136,8 @@ def cmd_evaluate(args) -> int:
     params = _restore_params(exp, args.model, template)
     metrics = evaluate_split(exp, params, _frozen_towers(exp),
                              _tokenizer(exp), split=args.split,
-                             beam_size=args.beam, limit=args.limit)
+                             beam_size=args.beam, limit=args.limit,
+                             adapter=adapter)
     print(json.dumps(metrics, indent=2))
     return 0
 
