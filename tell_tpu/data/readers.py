@@ -24,7 +24,7 @@ absent rows (ArrayField(padding_value=nan) in the reference).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Iterator
 
 import numpy as np

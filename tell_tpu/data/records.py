@@ -13,7 +13,6 @@ the bucketing layer at batch time.
 from __future__ import annotations
 
 import glob as globlib
-import io
 import os
 from typing import Iterator
 

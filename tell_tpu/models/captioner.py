@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .decoder import (
-    decoder_loss, decoder_log_probs, decoder_step, decoder_top_k,
-    init_decode_state, init_decoder,
+    decoder_loss, decoder_step, decoder_top_k, init_decode_state,
+    init_decoder,
 )
 
 
