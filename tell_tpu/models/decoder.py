@@ -190,6 +190,25 @@ def _split(rng, n):
 # <1.4x extra score traffic (vs 4x if everything were stacked together).
 # ---------------------------------------------------------------------------
 
+def _kv8_enabled() -> bool:
+    """Opt-in int8 K/V cache (TELL_TPU_KV8=1): halves the decode loop's
+    dominant HBM stream. Per-source-row, per-head symmetric quantization
+    with fp32 scales; scales factor out of both attention contractions, so
+    the only approximation is the int8 rounding of K/V themselves
+    (~1e-2 relative on attention outputs — off by default, the fp path is
+    the parity reference)."""
+    import os
+    return os.environ.get("TELL_TPU_KV8") == "1"
+
+
+def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """t: [B, H, hd, S] -> (int8 values, scales [B, H, 1, S])."""
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
 def context_groups(cfg: DecoderConfig) -> tuple[tuple[int, ...], ...]:
     """Static grouping of context indices into stacked attention chains.
 
@@ -233,12 +252,16 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
             # grid cell reads contiguous lane-aligned [hd, S] tiles
             # (Mosaic cannot relayout a lane-dim split in-kernel, and an
             # hd-minor layout would halve DMA efficiency)
-            layer.append({
-                "k": k.reshape(B, S, H, E // H).transpose(0, 2, 3, 1),
-                "v": v.reshape(B, S, H, E // H).transpose(0, 2, 3, 1),
-                "mask": jnp.concatenate(masks, axis=1),
-                "seg": jnp.concatenate(segs),
-            })
+            kt = k.reshape(B, S, H, E // H).transpose(0, 2, 3, 1)
+            vt = v.reshape(B, S, H, E // H).transpose(0, 2, 3, 1)
+            entry = {"mask": jnp.concatenate(masks, axis=1),
+                     "seg": jnp.concatenate(segs)}
+            if _kv8_enabled():
+                entry["k"], entry["k_scale"] = _quantize_kv(kt)
+                entry["v"], entry["v_scale"] = _quantize_kv(vt)
+            else:
+                entry["k"], entry["v"] = kt, vt
+            layer.append(entry)
         kvs.append(layer)
     return kvs
 
@@ -309,20 +332,32 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     S = kh.shape[3]
     from ..ops.kernels.dispatch import fused_kernels_enabled
     probs = None
-    if fused_kernels_enabled() and not need_weights:
+    quant = "k_scale" in cat
+    if fused_kernels_enabled() and not need_weights and not quant:
         from ..ops.kernels.decode_attention import (fused_decode_attention,
                                                     segment_bias)
         bias = segment_bias(cat["seg"], cat["mask"], M, G)
         out = fused_decode_attention(qh, kh, vh, bias)
     else:
-        scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
-                            preferred_element_type=jnp.float32)
+        if quant:
+            # int8 K/V: per-row scales factor out of both contractions
+            scores = jnp.einsum("bhxd,bhds->bhxs", qh,
+                                kh.astype(x.dtype),
+                                preferred_element_type=jnp.float32)
+            scores = scores * cat["k_scale"].transpose(0, 1, 3, 2)                 .reshape(B, H, 1, S)
+        else:
+            scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
+                                preferred_element_type=jnp.float32)
         seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]      # [M,S]
         allowed = seg_ok[None] & ~cat["mask"][:, None, :]           # [B,M,S]
         allowed = jnp.repeat(allowed, G, axis=1)                    # [B,MG,S]
         scores = jnp.where(allowed[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhxs,bhds->bhxd", probs.astype(x.dtype), vh,
+        pv = probs
+        if quant:
+            pv = probs * cat["v_scale"].reshape(B, H, 1, S)
+        out = jnp.einsum("bhxs,bhds->bhxd", pv.astype(x.dtype),
+                         vh.astype(x.dtype) if quant else vh,
                          preferred_element_type=jnp.float32
                          ).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)

@@ -186,3 +186,32 @@ def test_step_decode_matches_full_forward_with_grouped_contexts():
     inc = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(inc),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_kv_cache_close_to_fp(monkeypatch):
+    """TELL_TPU_KV8=1: decode outputs stay within quantization tolerance of
+    the fp path (per-row symmetric int8, scales factored out exactly)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models.decoder import (decoder_step, init_decoder,
+                                         init_decode_state)
+    cfg = small_test_config().decoder
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B = 2
+    contexts = {}
+    for i, spec in enumerate(cfg.contexts):
+        feats = jax.random.normal(ks[i], (B, spec.max_len, spec.kv_dim))
+        contexts[spec.name] = (feats, jnp.zeros((B, spec.max_len), bool))
+    toks = jnp.array([5, 9], jnp.int32)
+    monkeypatch.delenv("TELL_TPU_KV8", raising=False)
+    state = init_decode_state(params, cfg, contexts, B)
+    ref, _, _ = decoder_step(params, cfg, toks, state)
+    monkeypatch.setenv("TELL_TPU_KV8", "1")
+    state8 = init_decode_state(params, cfg, contexts, B)
+    assert state8["kv"][0][0]["k"].dtype == jnp.int8
+    out, _, _ = decoder_step(params, cfg, toks, state8)
+    err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
+    assert err < 0.05, err
