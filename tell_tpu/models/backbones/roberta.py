@@ -100,6 +100,19 @@ def _lin(p, x):
             + p["b"]).astype(x.dtype)
 
 
+def _flash_ok(cfg: RobertaConfig, S: int, dtype) -> bool:
+    """Flash attention engages on TPU for LONG block-aligned sequences:
+    at S=512 the einsum path measured faster (51 vs 84 ms/fwd, v5e), so
+    flash is the >=1024-token long-context enabler (SURVEY.md §5) where
+    the S x S score matrix stops fitting comfortably, not the default.
+    The einsum path is the semantic reference (flash is an online-softmax
+    reformulation; pad queries attend only pads under segment ids, and
+    their outputs are masked out downstream)."""
+    from ...ops.kernels.dispatch import fused_kernels_enabled
+    return (fused_kernels_enabled() and S >= 1024 and S % 128 == 0
+            and (cfg.dim // cfg.num_heads) % 64 == 0)
+
+
 def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
                    return_all_hiddens: bool = True) -> jax.Array:
     """ids: [B, S] -> [B, S, L+1, D] all hidden states (or [B, S, D] final).
@@ -120,17 +133,33 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
     hiddens = [x]
     H = cfg.num_heads
     hd = cfg.dim // H
+    use_flash = _flash_ok(cfg, S, x.dtype)
     neg = jnp.where(mask, 0.0, -1e9)[:, None, None, :]  # [B,1,1,S]
+    seg = mask.astype(jnp.int32)  # pads share id 0: they only see pads
     for lp in params["layers"]:
         q = _lin(lp["q"], x).reshape(B, S, H, hd)
         k = _lin(lp["k"], x).reshape(B, S, H, hd)
         v = _lin(lp["v"], x).reshape(B, S, H, hd)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (hd ** -0.5) + neg
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhts,bshd->bthd", probs, v,
-                       preferred_element_type=jnp.float32)
+        if use_flash:
+            # blockwise (flash) attention: the S x S score matrix never
+            # leaves VMEM — the encoder is the long-context surface
+            # (SURVEY.md §5), and materialized scores dominate its HBM
+            # traffic at S >= 512
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention)
+            o = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=hd ** -0.5)
+            o = o.transpose(0, 2, 1, 3)
+        else:
+            scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores * (hd ** -0.5) + neg
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            o = jnp.einsum("bhts,bshd->bthd", probs, v,
+                           preferred_element_type=jnp.float32)
         o = _lin(lp["attn_out"], o.reshape(B, S, cfg.dim).astype(x.dtype))
         x = _apply_ln(lp["attn_ln"], x + o, cfg.ln_eps)
         h = jax.nn.gelu(_lin(lp["fc1"], x).astype(jnp.float32),
