@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("-m", "--model", default=None)
     sv.add_argument("-p", "--port", type=int, default=5558)
 
+    bn = sub.add_parser("bench", help="decode-throughput benchmark "
+                        "(one JSON line; see bench.py)")
+    bn.add_argument("-b", "--batch", type=int, default=64)
+    bn.add_argument("--beam", type=int, default=5)
+    bn.add_argument("--gen-len", type=int, default=100)
+
     sc = sub.add_parser("score", help="re-score a generations.jsonl")
     sc.add_argument("generations")
     sc.add_argument("-c", "--counters", default=None,
@@ -172,6 +178,18 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    os.environ.setdefault("BENCH_BATCH", str(args.batch))
+    os.environ.setdefault("BENCH_BEAM", str(args.beam))
+    os.environ.setdefault("BENCH_GEN_LEN", str(args.gen_len))
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    sys.path.insert(0, repo)
+    import bench
+    bench.main()
+    return 0
+
+
 def cmd_score(args) -> int:
     from .evaluate import score_file
     print(json.dumps(score_file(args.generations, args.counters), indent=2))
@@ -183,7 +201,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     return {"train": cmd_train, "evaluate": cmd_evaluate,
             "preprocess": cmd_preprocess, "serve": cmd_serve,
-            "score": cmd_score}[args.cmd](args)
+            "score": cmd_score, "bench": cmd_bench}[args.cmd](args)
 
 
 if __name__ == "__main__":

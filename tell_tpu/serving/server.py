@@ -201,6 +201,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, self.service.caption(req))
             except Exception as e:
                 self._send(500, {"error": str(e)})
+        elif self.path == "/shutdown":
+            # TERMINATE control command analogue (tell/server/utils.py:8-17)
+            self._send(200, {"status": "shutting down"})
+            threading.Thread(target=self.server.shutdown,
+                             daemon=True).start()
         elif self.path == "/scrape":
             from .extractor import ExtractError, get_urls
             try:
