@@ -1,0 +1,63 @@
+"""Host->device prefetch pipeline.
+
+The reference's bucket iterator produces batches synchronously on the host
+while the GPU idles (AllenNLP data path, SURVEY.md §5). Here a background
+thread keeps a bounded queue of batches that are ALREADY device_put with
+their target shardings, so the TPU's next step launches without waiting on
+host-side packing, numpy stacking, or the PCIe/ICI transfer — the standard
+double-buffered input pipeline.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import jax
+
+_END = object()
+
+
+class DevicePrefetcher:
+    """Iterate `batches`, device_put each with `sharding_fn(batch)`, and
+    hand them out `depth` steps ahead of the consumer."""
+
+    def __init__(self, batches: Iterator[dict],
+                 sharding_fn: Callable[[dict], object] | None = None,
+                 depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: BaseException | None = None
+
+        def worker():
+            try:
+                for batch in batches:
+                    if sharding_fn is not None:
+                        batch = jax.device_put(batch, sharding_fn(batch))
+                    else:
+                        batch = jax.device_put(batch)
+                    self._q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(_END)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is _END:
+            self._thread.join()
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def prefetch_to_device(batches: Iterator[dict],
+                       sharding_fn: Callable[[dict], object] | None = None,
+                       depth: int = 2) -> Iterator[dict]:
+    return DevicePrefetcher(batches, sharding_fn, depth)

@@ -187,11 +187,17 @@ class Trainer:
         t0 = time.time()
         losses, sizes, skipped = [], [], 0
         n_batches = 0
+        from ..data.prefetch import prefetch_to_device
+
+        def host_batches():
+            for b in self.train_batches(epoch):
+                b.pop("real", None)
+                yield b
+
         with self.mesh:
-            for batch in self.train_batches(epoch):
-                batch.pop("real", None)
-                batch = jax.device_put(batch,
-                                       batch_sharding(self.mesh, batch))
+            for batch in prefetch_to_device(
+                    host_batches(),
+                    lambda b: batch_sharding(self.mesh, b)):
                 step_rng = jax.random.fold_in(rng, self.state["step"])
                 if (self.tcfg.profile_steps
                         and self.state["step"] == self.tcfg.profile_at):
@@ -230,12 +236,18 @@ class Trainer:
             else:
                 self._eval_fn = jax.jit(
                     lambda p, b: self.adapter.loss(p, self.cfg, b)[0])
+        from ..data.prefetch import prefetch_to_device
+
+        def host_batches():
+            for b in self.val_batches():
+                b.pop("real", None)
+                yield b
+
         losses = []
         with self.mesh:
-            for batch in self.val_batches():
-                batch.pop("real", None)
-                batch = jax.device_put(batch,
-                                       batch_sharding(self.mesh, batch))
+            for batch in prefetch_to_device(
+                    host_batches(),
+                    lambda b: batch_sharding(self.mesh, b)):
                 losses.append(float(self._eval_fn(self.state["params"],
                                                   batch)))
         return {"val_loss": float(np.mean(losses))} if losses else {}

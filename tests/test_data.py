@@ -189,3 +189,22 @@ def test_glove_feature_pipeline(tmp_path):
     assert b["article"].shape == (2, 8, 4)
     assert not b["article_mask"][:, :4].any()
     assert b["article_mask"][:, 4:].all()
+
+
+def test_device_prefetcher_order_and_errors():
+    import numpy as np
+    import pytest
+    from tell_tpu.data.prefetch import prefetch_to_device
+
+    batches = [{"x": np.full((2,), i)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), depth=2))
+    assert [int(b["x"][0]) for b in out] == list(range(5))
+
+    def bad():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("loader died")
+
+    it = prefetch_to_device(bad(), depth=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(it)

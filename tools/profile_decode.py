@@ -32,13 +32,20 @@ state = init_decode_state(params["decoder"], dcfg, contexts, B, dtype=dtype)
 
 
 def timeit(name, fn, *args):
-    out = jax.device_get(fn(*args))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.device_get(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:40s} {min(ts)*1000:9.1f} ms  ({min(ts)*1000/STEPS:6.2f} ms/step)")
+    """Slope timing (see bench.py): on tunneled devices block_until_ready
+    can return early and device_get carries a large fixed transfer cost, so
+    we difference k=5 vs k=1 chained executions with one scalar fetch."""
+    def run_k(k):
+        acc = None
+        for _ in range(k):
+            out = fn(*args)
+            acc = out if acc is None else acc
+        return float(jnp.asarray(out).astype(jnp.float32).sum())
+    run_k(1)
+    lo = min((lambda t0=time.perf_counter(): (run_k(1), time.perf_counter()-t0)[1])() for _ in range(2))
+    hi = min((lambda t0=time.perf_counter(): (run_k(5), time.perf_counter()-t0)[1])() for _ in range(2))
+    per = (hi - lo) / 4
+    print(f"{name:40s} {per*1000:9.1f} ms  ({per*1000/STEPS:6.2f} ms/step)")
 
 
 @jax.jit
