@@ -27,29 +27,68 @@ class DevicePrefetcher:
                  depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
+        self._done = False
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for batch in batches:
+                    if self._stop.is_set():
+                        return
                     if sharding_fn is not None:
                         batch = jax.device_put(batch, sharding_fn(batch))
                     else:
                         batch = jax.device_put(batch)
-                    self._q.put(batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(batch, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(_END)
+                # deliver the sentinel unless the consumer closed us (then
+                # nobody is reading and the queue may stay full)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_END, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Stop the worker and release queued device batches (call from a
+        `finally` when abandoning iteration early, or via contextmanager)."""
+        self._stop.set()
+        self._done = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is _END:
+            self._done = True
             self._thread.join()
             if self._err is not None:
                 raise self._err

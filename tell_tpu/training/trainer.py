@@ -183,21 +183,26 @@ class Trainer:
         return {"best_metric": self.state["best_metric"],
                 "epochs": self.state["epoch"]}
 
+    def _prefetched(self, batches):
+        """Background host->device pipeline over a batch iterator; drops the
+        bucketing padding marker. Context-managed so an aborted epoch
+        (error/interrupt) releases the queued device batches."""
+        from ..data.prefetch import DevicePrefetcher
+
+        def host_batches():
+            for b in batches:
+                b.pop("real", None)
+                yield b
+
+        return DevicePrefetcher(host_batches(),
+                                lambda b: batch_sharding(self.mesh, b))
+
     def _train_epoch(self, epoch: int, rng: jax.Array) -> dict:
         t0 = time.time()
         losses, sizes, skipped = [], [], 0
         n_batches = 0
-        from ..data.prefetch import prefetch_to_device
-
-        def host_batches():
-            for b in self.train_batches(epoch):
-                b.pop("real", None)
-                yield b
-
-        with self.mesh:
-            for batch in prefetch_to_device(
-                    host_batches(),
-                    lambda b: batch_sharding(self.mesh, b)):
+        with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
+            for batch in pf:
                 step_rng = jax.random.fold_in(rng, self.state["step"])
                 if (self.tcfg.profile_steps
                         and self.state["step"] == self.tcfg.profile_at):
@@ -236,18 +241,9 @@ class Trainer:
             else:
                 self._eval_fn = jax.jit(
                     lambda p, b: self.adapter.loss(p, self.cfg, b)[0])
-        from ..data.prefetch import prefetch_to_device
-
-        def host_batches():
-            for b in self.val_batches():
-                b.pop("real", None)
-                yield b
-
         losses = []
-        with self.mesh:
-            for batch in prefetch_to_device(
-                    host_batches(),
-                    lambda b: batch_sharding(self.mesh, b)):
+        with self.mesh, self._prefetched(self.val_batches()) as pf:
+            for batch in pf:
                 losses.append(float(self._eval_fn(self.state["params"],
                                                   batch)))
         return {"val_loss": float(np.mean(losses))} if losses else {}

@@ -208,3 +208,22 @@ def test_device_prefetcher_order_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="loader died"):
         list(it)
+
+
+def test_device_prefetcher_exhaustion_and_close():
+    import numpy as np
+    from tell_tpu.data.prefetch import DevicePrefetcher
+
+    pf = DevicePrefetcher(iter([{"x": np.zeros(2)}]), depth=1)
+    assert len(list(pf)) == 1
+    # exhausted iterator raises StopIteration again instead of hanging
+    assert list(pf) == []
+
+    # early abandonment: close() unblocks the worker and joins it
+    many = ({"x": np.full((2,), i)} for i in range(100))
+    pf2 = DevicePrefetcher(many, depth=1)
+    next(pf2)
+    pf2.close()
+    assert not pf2._thread.is_alive()
+    with pf2:  # context manager is idempotent
+        pass

@@ -34,13 +34,15 @@ state = init_decode_state(params["decoder"], dcfg, contexts, B, dtype=dtype)
 def timeit(name, fn, *args):
     """Slope timing (see bench.py): on tunneled devices block_until_ready
     can return early and device_get carries a large fixed transfer cost, so
-    we difference k=5 vs k=1 chained executions with one scalar fetch."""
+    we difference k=5 vs k=1 executions CHAINED through a scalar (each call
+    consumes the previous result, forcing serialization) with one scalar
+    fetch at the end."""
     def run_k(k):
-        acc = None
+        acc = jnp.zeros((), jnp.float32)
         for _ in range(k):
-            out = fn(*args)
-            acc = out if acc is None else acc
-        return float(jnp.asarray(out).astype(jnp.float32).sum())
+            out = fn(*args, acc)
+            acc = jnp.asarray(out).astype(jnp.float32).sum()
+        return float(acc)
     run_k(1)
     lo = min((lambda t0=time.perf_counter(): (run_k(1), time.perf_counter()-t0)[1])() for _ in range(2))
     hi = min((lambda t0=time.perf_counter(): (run_k(5), time.perf_counter()-t0)[1])() for _ in range(2))
@@ -49,7 +51,7 @@ def timeit(name, fn, *args):
 
 
 @jax.jit
-def scan_step_only(params, state):
+def scan_step_only(params, state, bump):
     kv = state.pop("kv")
     def step(carry, _):
         toks, st = carry
@@ -57,13 +59,13 @@ def scan_step_only(params, state):
                                     {**st, "kv": kv})
         st = {k: v for k, v in st.items() if k != "kv"}
         return (toks, st), feats[:, 0]
-    (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
-                                 None, length=STEPS)
+    seed = jnp.zeros((B,), jnp.int32) + bump.astype(jnp.int32)
+    (_, st), outs = jax.lax.scan(step, (seed, state), None, length=STEPS)
     return outs
 
 
 @jax.jit
-def scan_step_topk(params, state):
+def scan_step_topk(params, state, bump):
     kv = state.pop("kv")
     def step(carry, _):
         toks, st = carry
@@ -72,17 +74,18 @@ def scan_step_topk(params, state):
         st = {k: v for k, v in st.items() if k != "kv"}
         lp, ids = decoder_top_k(params["decoder"], dcfg, feats, 5)
         return (ids[:, 0].astype(jnp.int32), st), lp[:, 0]
-    (_, st), outs = jax.lax.scan(step, (jnp.zeros((B,), jnp.int32), state),
-                                 None, length=STEPS)
+    seed = jnp.zeros((B,), jnp.int32) + bump.astype(jnp.int32)
+    (_, st), outs = jax.lax.scan(step, (seed, state), None, length=STEPS)
     return outs
 
 
 @jax.jit
-def scan_topk_only(params, feats):
+def scan_topk_only(params, feats, bump):
     def step(carry, _):
         lp, ids = decoder_top_k(params["decoder"], dcfg, carry, 5)
         return carry + lp[:, :1].astype(carry.dtype), lp[:, 0]
-    _, outs = jax.lax.scan(step, feats, None, length=STEPS)
+    _, outs = jax.lax.scan(step, feats + bump.astype(feats.dtype), None,
+                           length=STEPS)
     return outs
 
 
