@@ -32,27 +32,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import interpret_mode
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H: int):
-    """Grid cell (b,): q [H, MG, hd], k/v TRANSPOSED [H, hd, S], bias
-    [MG, S]. Heads are an unrolled in-kernel loop so the bias tile is read
-    once and the grid stays coarse; the [hd, S] K/V layout keeps every
-    matmul operand fully lane-aligned (hd=64 as the minor dim would waste
-    half of each VMEM tile and DMA at ~60% efficiency — measured)."""
-    bias = bias_ref[0]                                # [MG, S] fp32
-    for h in range(H):
-        q = q_ref[0, h]                               # [MG, hd]
-        kt = k_ref[0, h]                              # [hd, S]
-        vt = v_ref[0, h]                              # [hd, S]
-        scores = jnp.dot(q, kt,
-                         preferred_element_type=jnp.float32)  # [MG, S]
-        scores = scores + bias
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [MG, hd]
-        o_ref[0, h] = out.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H: int, BB: int):
+    """Grid cell: q [BB, H, MG, hd], k/v TRANSPOSED [BB, H, hd, S], bias
+    [BB, MG, S]. BB batch rows and all heads per cell keep the grid coarse
+    (few, large DMA transactions) while the bias tile is read once per
+    row; the [hd, S] K/V layout keeps every matmul operand fully
+    lane-aligned (hd=64 as the minor dim would waste half of each VMEM
+    tile and DMA at ~60% efficiency — measured)."""
+    for b in range(BB):
+        bias = bias_ref[b]                            # [MG, S] fp32
+        for h in range(H):
+            q = q_ref[b, h]                           # [MG, hd]
+            kt = k_ref[b, h]                          # [hd, S]
+            vt = v_ref[b, h]                          # [hd, S]
+            scores = jnp.dot(q, kt,
+                             preferred_element_type=jnp.float32)
+            scores = scores + bias
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [MG, hd]
+            o_ref[b, h] = out.astype(o_ref.dtype)
 
 
 def segment_bias(seg: jax.Array, pad: jax.Array, M: int, G: int
@@ -72,21 +74,22 @@ def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     bias: [B, MG, S] additive mask. Returns [B, H, MG, hd]."""
     B, H, MG, hd = q.shape
     S = k.shape[3]
+    BB = 2 if B % 2 == 0 else 1
     return pl.pallas_call(
-        functools.partial(_kernel, H=H),
+        functools.partial(_kernel, H=H, BB=BB),
         out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, H, MG, hd), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((BB, H, MG, hd), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, hd, S), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, hd, S), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, MG, S), lambda b: (b, 0, 0),
+            pl.BlockSpec((BB, MG, S), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, MG, hd), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((BB, H, MG, hd), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret_mode(),
     )(q, k, v, bias)
