@@ -172,7 +172,7 @@ def cmd_serve(args) -> int:
     template = adapter.init(jax.random.PRNGKey(0), adapter.config)
     params = _restore_params(exp, args.model, template)
     service = CaptionService(params, _frozen_towers(exp), exp.model,
-                             _tokenizer(exp))
+                             _tokenizer(exp), adapter=adapter)
     print(f"serving on :{args.port}")
     serve(service, port=args.port)
     return 0

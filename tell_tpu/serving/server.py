@@ -34,19 +34,27 @@ class CaptionService:
 
     def __init__(self, params: dict, frozen: dict, cfg: CaptionerConfig,
                  tokenizer: RobertaTokenizer, max_batch: int = 32,
-                 article_len: int = 512, need_attention: bool = False):
+                 article_len: int = 512, need_attention: bool = False,
+                 adapter=None):
         from ..models.captioner import encode_contexts, generate
 
-        self.cfg = cfg
+        # model registry adapter (pointer/LSTM models serve through the
+        # same API; default = the multi-context captioner)
+        gen = generate if adapter is None else adapter.generate
+        model_cfg = cfg if adapter is None else adapter.config
+        cap_cfg = getattr(model_cfg, "captioner", model_cfg)
+        self.cfg = cap_cfg
+        cfg = cap_cfg
         self.tokenizer = tokenizer
         self.article_len = article_len
         self.need_attention = need_attention
         dcfg = cfg.decoder
 
         def decode_fn(params, batch):
-            batch = encode_contexts(frozen, cfg, batch)
-            return generate(params, cfg, batch,
-                            need_weights=need_attention)
+            batch = encode_contexts(frozen, cap_cfg, batch)
+            kwargs = {"need_weights": need_attention} \
+                if adapter is None else {}
+            return gen(params, model_cfg, batch, **kwargs)
 
         self._decode = jax.jit(decode_fn)
         self._params = params
@@ -59,6 +67,8 @@ class CaptionService:
 
         self._spec = {"faces": spec_of("faces"), "obj": spec_of("obj"),
                       "image": spec_of("image")}
+        self._needs_copy_masks = (adapter is not None
+                                  and adapter.name.startswith("pointer"))
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
     def _context_text(self, req: dict) -> str:
@@ -90,6 +100,20 @@ class CaptionService:
                                          max_len=self.article_len)
             ids[i, : len(toks)] = toks
         batch = {"context_ids": ids}
+        if self._needs_copy_masks:
+            # pointer models: proper-noun masks from the request's
+            # `entities` list (e.g. spaCy output on the caller side);
+            # without entities the model simply never copies
+            masks = np.full((B, self.article_len), -1, np.int32)
+            for i, req in enumerate(requests):
+                ents = req.get("entities") or []
+                text = self._context_text(req)
+                from ..data.pipeline import entity_occurrences
+                spans = entity_occurrences(text, ents)
+                tok_ids, pm = self.tokenizer.encode_with_indexed_spans(
+                    text, spans, max_len=self.article_len)
+                masks[i, : len(pm)] = pm
+            batch["proper_masks"] = masks
         n_img, img_dim = self._spec["image"]
         if n_img:
             grids = np.zeros((B, n_img, img_dim), np.float32)

@@ -215,3 +215,30 @@ def test_int8_kv_cache_close_to_fp(monkeypatch):
     out, _, _ = decoder_step(params, cfg, toks, state8)
     err = float(jnp.abs(out - ref).max() / (jnp.abs(ref).max() + 1e-9))
     assert err < 0.05, err
+
+
+def test_greedy_generation_deterministic():
+    """SURVEY.md §4 invariant 6: greedy decode is run-to-run deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models import init_captioner
+    from tell_tpu.models.captioner import generate
+    import dataclasses
+    cfg = dataclasses.replace(small_test_config(), gen_len=10)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B = 2
+    batch = {
+        "image_grid": jax.random.normal(ks[0], (B, 9, 32)),
+        "article": jax.random.normal(ks[1], (B, 16, 24)),
+        "article_mask": jnp.zeros((B, 16), bool),
+        "face_embeds": jax.random.normal(ks[2], (B, 4, 16)),
+        "obj_embeds": jax.random.normal(ks[3], (B, 8, 32)),
+    }
+    a = generate(params, cfg, batch, rng=jax.random.PRNGKey(7))
+    b = generate(params, cfg, batch, rng=jax.random.PRNGKey(99))
+    # greedy (sampling_topk=1): the rng must not influence the output
+    np.testing.assert_array_equal(np.asarray(a["token_ids"]),
+                                  np.asarray(b["token_ids"]))
