@@ -38,6 +38,7 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
     state = init_decode_state(params["decoder"], dcfg, contexts, B,
                               beam=K, dtype=feat0.dtype)
     kv = state.pop("kv")  # constant during decode: closed over, not carried
+    embed_table = state.pop("embed_table")
 
     tokens = jnp.full((B, K), dcfg.bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),
@@ -49,10 +50,11 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
 
     def step(carry, t):
         tokens, scores, finished, lengths, paths, dyn = carry
-        feats, new_state, _ = decoder_step(params["decoder"], dcfg,
-                                           tokens.reshape(B * K),
-                                           {**dyn, "kv": kv})
-        new_state = {k: v for k, v in new_state.items() if k != "kv"}
+        feats, new_state, _ = decoder_step(
+            params["decoder"], dcfg, tokens.reshape(B * K),
+            {**dyn, "kv": kv, "embed_table": embed_table})
+        new_state = {k: v for k, v in new_state.items()
+                     if k not in ("kv", "embed_table")}
         # Exact per-beam top-K candidates: the global top-K over beams x V
         # can only contain tokens in some beam's own top-K, so the [B, K*V]
         # search collapses to [B, K*K] without approximation.

@@ -149,6 +149,7 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     # through the scan (a carried copy costs ~2 GB of HBM traffic PER STEP
     # at production shapes — XLA cannot alias unchanged scan carries).
     kv = state.pop("kv")
+    embed_table = state.pop("embed_table")
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
     finished0 = jnp.zeros((B,), bool)
     if rng is None:
@@ -156,10 +157,12 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
 
     def step(carry, step_rng):
         tokens, finished, dyn = carry
-        feats, state, attns = decoder_step(params["decoder"], dcfg, tokens,
-                                           {**dyn, "kv": kv},
-                                           need_weights=need_weights)
-        state = {k: v for k, v in state.items() if k != "kv"}
+        feats, state, attns = decoder_step(
+            params["decoder"], dcfg, tokens,
+            {**dyn, "kv": kv, "embed_table": embed_table},
+            need_weights=need_weights)
+        state = {k: v for k, v in state.items()
+                 if k not in ("kv", "embed_table")}
         topk_lp, topk_idx = decoder_top_k(params["decoder"], dcfg, feats,
                                           cfg.sampling_topk)
         if cfg.sampling_topk == 1:

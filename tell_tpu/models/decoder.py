@@ -30,6 +30,7 @@ from ..config import DecoderConfig
 from ..ops.adaptive import (
     adaptive_embed, adaptive_log_probs, adaptive_softmax_loss,
     adaptive_top_k, init_adaptive_embedding, init_adaptive_softmax,
+    merged_embed_table,
 )
 from ..ops.attention import (
     cross_attention_with_kv, init_cross_attention, precompute_kv,
@@ -508,6 +509,12 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
         "conv": [init_conv_state(batch * beam, cfg.conv_dim, k, dtype)
                  for k in cfg.kernel_sizes],
         "kv": precompute_context_kv_cat(params, cfg, contexts),
+        # dense projected embedding table: one gather per decode step
+        # instead of the banded gather+projection chain
+        "embed_table": merged_embed_table(
+            params["embed"], cfg.full_cutoffs, cfg.embed_dim,
+            padding_idx=cfg.embed_padding_idx,
+            scale_embeds=cfg.scale_embeds).astype(dtype),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -523,8 +530,12 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     R = tokens.shape[0]
     B = state["kv"][0][0]["k"].shape[0]
     K = R // B
-    x = embed_tokens(params, cfg, tokens[:, None],
-                     start_pos=state["step"])[:, 0]  # [R, E]
+    tok_embed = jnp.take(state["embed_table"], tokens, axis=0)
+    table = _pos_table(cfg.max_target_positions + cfg.pad_id + 2,
+                       cfg.embed_dim, cfg.pad_id)
+    pos = sinusoidal_embed(table, tokens[:, None], cfg.pad_id,
+                           state["step"])[:, 0]
+    x = tok_embed + pos.astype(tok_embed.dtype)       # [R, E]
     new_conv = []
     all_attns = []
     for i, (lp, k) in enumerate(zip(params["layers"], cfg.kernel_sizes)):
@@ -550,5 +561,6 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     if "final_ln" in params:
         x = layer_norm(params["final_ln"], x)
     new_state = {"conv": new_conv, "kv": state["kv"],
+                 "embed_table": state["embed_table"],
                  "step": state["step"] + 1}
     return x, new_state, all_attns

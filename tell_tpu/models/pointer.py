@@ -246,6 +246,7 @@ def pointer_generate(params: dict, cfg: PointerConfig, batch: dict,
     state = init_decode_state(params["captioner"]["decoder"], dcfg, contexts,
                               B, dtype=feat0.dtype)
     kv = state.pop("kv")  # constant during decode: closed over, not carried
+    embed_table = state.pop("embed_table")
     article = _copy_article(params, cfg, batch)
     context_ids = batch["context_ids"]
     proper = batch["proper_masks"] >= 1
@@ -270,8 +271,10 @@ def pointer_generate(params: dict, cfg: PointerConfig, batch: dict,
         t = carry["step"]
         feats, new_state, _ = decoder_step(
             params["captioner"]["decoder"], dcfg, carry["tokens"],
-            {**carry["state"], "kv": kv})                     # [B, E]
-        new_state = {k: v for k, v in new_state.items() if k != "kv"}
+            {**carry["state"], "kv": kv,
+             "embed_table": embed_table})                     # [B, E]
+        new_state = {k: v for k, v in new_state.items()
+                     if k not in ("kv", "embed_table")}
         hist = jax.lax.dynamic_update_slice(
             carry["feats"], feats[:, None, :].astype(carry["feats"].dtype),
             (0, t, 0))

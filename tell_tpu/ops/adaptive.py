@@ -86,6 +86,28 @@ def adaptive_embed(params: dict, ids: jax.Array, cutoffs: tuple[int, ...],
     return result.astype(out_dtype)
 
 
+def merged_embed_table(params: dict, cutoffs: tuple[int, ...],
+                       output_dim: int, padding_idx: int = 0,
+                       scale_embeds: bool = True) -> jax.Array:
+    """[V, output_dim] dense table equal to adaptive_embed row-by-row.
+
+    Decode gathers one token per step: materializing the projected table
+    once per generate call (a few band matmuls) replaces the per-step
+    3-gather + 3-projection chain with a single row gather."""
+    rows = []
+    for i, (lo, hi) in enumerate(band_ranges(cutoffs)):
+        band = params["bands"][i]
+        table = band["embed"]
+        if 0 <= padding_idx < hi - lo:
+            table = table.at[padding_idx].set(0.0)
+        rows.append(jnp.dot(table, band["proj"],
+                            preferred_element_type=jnp.float32))
+    full = jnp.concatenate(rows, axis=0)
+    if scale_embeds:
+        full = full * (output_dim ** 0.5)
+    return full.astype(params["bands"][0]["proj"].dtype)
+
+
 # ---------------------------------------------------------------------------
 # Adaptive softmax
 # ---------------------------------------------------------------------------

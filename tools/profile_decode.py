@@ -53,11 +53,13 @@ def timeit(name, fn, *args):
 @jax.jit
 def scan_step_only(params, state, bump):
     kv = state.pop("kv")
+    et = state.pop("embed_table")
     def step(carry, _):
         toks, st = carry
         feats, st, _ = decoder_step(params["decoder"], dcfg, toks,
-                                    {**st, "kv": kv})
-        st = {k: v for k, v in st.items() if k != "kv"}
+                                    {**st, "kv": kv, "embed_table": et})
+        st = {k: v for k, v in st.items()
+              if k not in ("kv", "embed_table")}
         return (toks, st), feats[:, 0]
     seed = jnp.zeros((B,), jnp.int32) + bump.astype(jnp.int32)
     (_, st), outs = jax.lax.scan(step, (seed, state), None, length=STEPS)
@@ -67,11 +69,13 @@ def scan_step_only(params, state, bump):
 @jax.jit
 def scan_step_topk(params, state, bump):
     kv = state.pop("kv")
+    et = state.pop("embed_table")
     def step(carry, _):
         toks, st = carry
         feats, st, _ = decoder_step(params["decoder"], dcfg, toks,
-                                    {**st, "kv": kv})
-        st = {k: v for k, v in st.items() if k != "kv"}
+                                    {**st, "kv": kv, "embed_table": et})
+        st = {k: v for k, v in st.items()
+              if k not in ("kv", "embed_table")}
         lp, ids = decoder_top_k(params["decoder"], dcfg, feats, 5)
         return (ids[:, 0].astype(jnp.int32), st), lp[:, 0]
     seed = jnp.zeros((B,), jnp.int32) + bump.astype(jnp.int32)
