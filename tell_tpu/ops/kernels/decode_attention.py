@@ -91,6 +91,8 @@ def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ],
         out_specs=pl.BlockSpec((BB, H, MG, hd), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
     )(q, k, v, bias)
 
