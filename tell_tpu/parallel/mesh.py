@@ -83,6 +83,14 @@ def shard_params(params, mesh: Mesh):
 
 def batch_sharding(mesh: Mesh, batch):
     """Shard every batch leaf's leading dim over "data"."""
+    n_data = mesh.shape["data"]
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n_data != 0:
+        raise ValueError(
+            f"batch size {leaves[0].shape[0]} is not divisible by the "
+            f"'data' mesh axis ({n_data}); set bucketing.max_batch (and "
+            f"min_batch) to a multiple of trainer.n_data, or shrink "
+            f"n_data")
     def f(leaf):
         spec = P("data", *([None] * (leaf.ndim - 1)))
         return NamedSharding(mesh, spec)
