@@ -1,0 +1,108 @@
+"""Dataset-construction tool tests (tools/ — reference scripts/ ports)."""
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REPO, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_process_images_resize_crop(tmp_path):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    pi = _load("process_images")
+    src = tmp_path / "in.jpg"
+    Image.new("RGB", (640, 360), (200, 30, 30)).save(src)
+    dst = tmp_path / "out.jpg"
+    assert pi.process_image(str(src), str(dst))
+    out = Image.open(dst)
+    assert out.size == (224, 224)
+    # landscape input: shortest side (360) -> 256, center crop
+    assert not pi.process_image(str(tmp_path / "missing.jpg"),
+                                str(tmp_path / "x.jpg"))
+
+
+def test_goodnews_import_schema(tmp_path):
+    gi = _load("goodnews_import")
+    captioning = {
+        "art1": {
+            "article": {"0": "First paragraph.", "1": "Second one."},
+            "images": {"0": "A caption here."},
+            "article_url": "https://example.com/a",
+            "headline": "Big News",
+        },
+        "no_image": {"article": {"0": "text"}, "images": {}},
+    }
+    arts = gi.convert(captioning, {"train": ["https://example.com/a"]})
+    assert len(arts) == 1  # image-less article dropped
+    a = arts[0]
+    assert a["image_positions"] == [2]
+    assert a["parsed_section"][2]["type"] == "caption"
+    assert a["parsed_section"][2]["hash"] == "art1_0"
+    assert a["split"] == "train"
+
+
+def test_generate_tables_renders(tmp_path):
+    gt = _load("generate_tables")
+    run = tmp_path / "9_transformer_objects"
+    run.mkdir()
+    (run / "evaluate-metrics-test.json").write_text(json.dumps({
+        "bleu-4": 6.05, "rouge-l": 21.4, "meteor": 10.3, "cider": 53.8,
+        "entity_precision": 24.6, "entity_recall": 22.2}))
+    rows = gt.collect(str(tmp_path))
+    tex = gt.render("nytimes", rows)
+    assert "9\\_transformer\\_objects" in tex
+    assert "53.8" in tex and "\\begin{table}" in tex
+
+
+def test_compute_statistics_counters(tmp_path):
+    cs = _load("compute_statistics")
+    arts = [{
+        "parsed_section": [
+            {"type": "paragraph", "text": "Anna Smith spoke.",
+             "named_entities": [{"text": "Anna Smith",
+                                 "label": "PERSON"}]},
+            {"type": "caption", "text": "Anna Smith in Milan.",
+             "named_entities": [
+                 {"text": "Anna Smith", "label": "PERSON"},
+                 {"text": "Milan", "label": "GPE"}]},
+        ],
+        "image_positions": [1],
+    }]
+    cap, ctx, stats = cs.compute(iter(arts))
+    assert cap["Anna Smith"] == 1 and cap["Milan"] == 1
+    assert ctx["Anna Smith"] == 1 and "Milan" not in ctx
+    assert stats["images"] == 1 and stats["articles"] == 1
+
+
+def test_unknown_caption_names(tmp_path, capsys):
+    un = _load("get_unknown_caption_names")
+    path = tmp_path / "a.jsonl"
+    path.write_text(json.dumps({
+        "parsed_section": [
+            {"type": "paragraph", "text": "x",
+             "named_entities": [{"text": "Milan", "label": "GPE"}]},
+            {"type": "caption", "text": "y",
+             "named_entities": [
+                 {"text": "Milan", "label": "GPE"},
+                 {"text": "Nobody Known", "label": "PERSON"}]},
+        ],
+        "image_positions": [1]}) + "\n")
+    sys.argv = ["x", "--articles", str(path)]
+    assert un.main() == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["n_caption_names"] == 2
+    assert out["n_unknown"] == 1
+    assert out["top_unknown"][0][0] == "Nobody Known"
