@@ -90,3 +90,16 @@ def test_native_used_by_tokenizer_wrapper(tmp_path):
     ref = RobertaTokenizer.from_files(str(vf), str(mf), use_native=False)
     t = "the news won't stop"
     assert tok.encode(t) == ref.encode(t)
+
+
+def test_builds_from_clean_checkout(tmp_path):
+    """A fresh clone has no .so: load_library must rebuild it with make."""
+    import os
+    import tell_tpu.data.native as native
+
+    lib = native._LIB_PATH
+    if os.path.exists(lib):
+        os.remove(lib)
+    native._lib = None
+    assert native.load_library() is not None
+    assert os.path.exists(lib)
