@@ -50,10 +50,15 @@ class CaptionService:
         self.need_attention = need_attention
         dcfg = cfg.decoder
 
+        import inspect
+        gen_params = inspect.signature(gen).parameters
+        takes_weights = "need_weights" in gen_params
+
         def decode_fn(params, batch):
             batch = encode_contexts(frozen, cap_cfg, batch)
-            kwargs = {"need_weights": need_attention} \
-                if adapter is None else {}
+            # pass attention-map capture to any generate that supports it
+            # (captioner + LSTM do; the pointer decode does not)
+            kwargs = {"need_weights": need_attention} if takes_weights else {}
             return gen(params, model_cfg, batch, **kwargs)
 
         self._decode = jax.jit(decode_fn)
@@ -92,27 +97,32 @@ class CaptionService:
         return ""
 
     def _pack(self, requests: list[dict]) -> dict:
+        from ..data.pipeline import entity_occurrences
+
         B = len(requests)
         dcfg = self.cfg.decoder
         ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
+        masks = np.full((B, self.article_len), -1, np.int32)
         for i, req in enumerate(requests):
-            toks = self.tokenizer.encode(self._context_text(req),
-                                         max_len=self.article_len)
+            text = self._context_text(req)
+            if self._needs_copy_masks:
+                # pointer models: proper-noun masks from the request's
+                # `entities` (plain strings, or named-entity dicts with a
+                # "text" field as produced by tools/annotate_ner.py);
+                # without entities the model simply never copies. One
+                # indexed-span encode yields both ids and masks.
+                ents = [e["text"] if isinstance(e, dict) else str(e)
+                        for e in (req.get("entities") or [])]
+                spans = entity_occurrences(text, ents)
+                toks, pm = self.tokenizer.encode_with_indexed_spans(
+                    text, spans, max_len=self.article_len)
+                masks[i, : len(pm)] = pm
+            else:
+                toks = self.tokenizer.encode(text,
+                                             max_len=self.article_len)
             ids[i, : len(toks)] = toks
         batch = {"context_ids": ids}
         if self._needs_copy_masks:
-            # pointer models: proper-noun masks from the request's
-            # `entities` list (e.g. spaCy output on the caller side);
-            # without entities the model simply never copies
-            masks = np.full((B, self.article_len), -1, np.int32)
-            for i, req in enumerate(requests):
-                ents = req.get("entities") or []
-                text = self._context_text(req)
-                from ..data.pipeline import entity_occurrences
-                spans = entity_occurrences(text, ents)
-                tok_ids, pm = self.tokenizer.encode_with_indexed_spans(
-                    text, spans, max_len=self.article_len)
-                masks[i, : len(pm)] = pm
             batch["proper_masks"] = masks
         n_img, img_dim = self._spec["image"]
         if n_img:

@@ -153,3 +153,51 @@ def test_extractor_parses_both_nyt_layouts():
     assert [s["type"] for s in sections].count("paragraph") == 2
     assert any(s["type"] == "caption" and s["url"] == "http://x/z.jpg"
                for s in sections)
+
+
+def test_adapter_serving_keeps_attention_and_dict_entities(service):
+    """Review regressions: need_attention must reach adapter generates that
+    support it, and pointer `entities` may be named-entity dicts."""
+    import dataclasses
+    import jax
+    import numpy as np
+    from tell_tpu.config import small_test_config, ContextSpec
+    from tell_tpu.models.registry import get_model
+    from tell_tpu.models.backbones import RobertaConfig, init_roberta
+    from tell_tpu.serving import CaptionService
+    from tests.test_tokenizer import build_synthetic_vocab
+    from tell_tpu.data.tokenizer import RobertaTokenizer
+    import tempfile, pathlib
+
+    cap = dataclasses.replace(small_test_config(), gen_len=3)
+    dec = dataclasses.replace(cap.decoder, contexts=(
+        ContextSpec("article", 24, 16),))
+    cap = dataclasses.replace(cap, decoder=dec)
+    rcfg = RobertaConfig(vocab_size=dec.vocab_size, dim=24, num_layers=2,
+                         num_heads=4, ffn_dim=32, max_positions=40)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(1), rcfg),
+              "roberta_cfg": rcfg}
+    vf, mf = build_synthetic_vocab(pathlib.Path(tempfile.mkdtemp()))
+    tok = RobertaTokenizer.from_files(vf, mf, max_len=16)
+
+    # captioner adapter + need_attention: attns must appear
+    adapter = get_model("transformer_flattened", cap)
+    svc = CaptionService(adapter.init(jax.random.PRNGKey(0), adapter.config),
+                         frozen, cap, tok, max_batch=2, article_len=16,
+                         need_attention=True, adapter=adapter)
+    out = svc.caption({"context": "the news"})
+    assert "attns" in out and "article" in out["attns"]
+
+    # pointer adapter + dict-shaped entities: must not 500
+    cap2 = dataclasses.replace(cap, decoder=dataclasses.replace(
+        dec, contexts=(ContextSpec("article", 24, 16),
+                       ContextSpec("faces", 512, 2))))
+    padapter = get_model("transformer_pointer", cap2)
+    psvc = CaptionService(
+        padapter.init(jax.random.PRNGKey(0), padapter.config),
+        frozen, cap2, tok, max_batch=2, article_len=16, adapter=padapter)
+    out = psvc.caption({"context": "the news on the era",
+                        "entities": [{"text": "the news",
+                                      "label": "ORG"}],
+                        "face_embeds": np.zeros((1, 512)).tolist()})
+    assert "caption" in out
