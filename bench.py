@@ -27,7 +27,10 @@ from tell_tpu.config import CaptionerConfig
 from tell_tpu.models import init_captioner
 from tell_tpu.models.captioner import generate
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# Default batch 128: measured best beam-5 throughput on v5e-1 (64: 234.5,
+# 128: 258.6, 256: 206.9 captions/s — per-row KV streaming overtakes batch
+# amortization past ~128).
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 GEN_LEN = int(os.environ.get("BENCH_GEN_LEN", "100"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 BEAM = int(os.environ.get("BENCH_BEAM", "5"))

@@ -29,26 +29,22 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                    tokenizer: RobertaTokenizer, split: str = "test",
                    beam_size: int = 1, out_dir: str | None = None,
                    limit: int | None = None, adapter=None) -> dict:
-    from ..models.beam import beam_search
-    from ..models.captioner import encode_contexts
-
     if adapter is None:
         from ..models.registry import get_model
         adapter = get_model(exp.model_type, exp.model)
     cfg = adapter.config
-    cap_cfg = getattr(cfg, "captioner", cfg)
     out_dir = out_dir or exp.trainer.serialization_dir
     os.makedirs(out_dir, exist_ok=True)
     gen_path = os.path.join(out_dir, f"generations-{split}.jsonl")
 
     if beam_size > 1:
-        assert adapter.name == "captioner",             "beam search is implemented for the captioner models "             "(the reference likewise decodes pointer/LSTM greedily)"
-        decode = jax.jit(lambda p, b: beam_search(
-            p, cfg, encode_contexts(frozen, cfg, b),
+        assert adapter.beam is not None,             "beam search is implemented for the captioner and modern models "             "(the reference likewise decodes pointer/LSTM greedily)"
+        decode = jax.jit(lambda p, b: adapter.beam(
+            p, cfg, adapter.encode(frozen, b),
             beam_size=beam_size)["token_ids"][:, 0])
     else:
         decode = jax.jit(lambda p, b: adapter.generate(
-            p, cfg, encode_contexts(frozen, cap_cfg, b))["token_ids"])
+            p, cfg, adapter.encode(frozen, b))["token_ids"])
 
     ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                     f"{split}-*.npz"), seed=0)

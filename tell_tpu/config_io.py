@@ -101,10 +101,16 @@ def load_experiment(path: str, overrides: str | dict | None = None
         if isinstance(overrides, str):
             overrides = json.loads(overrides)
         spec = _deep_merge(spec, overrides)
+    model_type = spec.get("model_type", "captioner")
+    if model_type.lower() in ("modern", "transformer_modern", "vit_modern"):
+        from .models.llm_decoder import LLMConfig
+        model_cls = LLMConfig
+    else:
+        model_cls = CaptionerConfig
     return ExperimentConfig(
         name=spec.get("name", "experiment"),
-        model_type=spec.get("model_type", "captioner"),
-        model=_build(CaptionerConfig, spec.get("model"), "model"),
+        model_type=model_type,
+        model=_build(model_cls, spec.get("model"), "model"),
         trainer=_build(TrainerConfig, spec.get("trainer"), "trainer"),
         data=_build(DataConfig, spec.get("data"), "data"),
         reader=_build(ReaderConfig, spec.get("reader"), "reader"),

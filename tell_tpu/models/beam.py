@@ -6,16 +6,23 @@ framework's serving target (BASELINE.json: beam=5 throughput). Design:
 
 * contexts' static KV are precomputed once per batch element and tiled over
   beams (no per-step recompute, no reorder — KV is beam-invariant),
-* per-beam conv ring buffers and token paths are gathered by parent index
-  each step (the only state that needs reordering),
+* per-beam decode state (conv ring buffers / self-attention caches) and
+  token paths are gathered by parent index each step (the only state that
+  needs reordering),
 * finished beams are kept in the beam with a forced <pad> continuation at
   log-prob 0, which makes the whole search fixed-shape: a finished
   hypothesis simply persists with a frozen score,
 * step 0 starts with scores [0, -inf, ...] so identical initial beams don't
   duplicate,
 * final ranking optionally applies GNMT-style length normalization.
+
+`beam_search_core` is model-agnostic (the dynamic-conv captioner and the
+modern LLM decoder plug in via step/reorder callbacks); `beam_search` is
+the flagship-captioner entry used by bench/serving/evaluate.
 """
 from __future__ import annotations
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,40 +32,35 @@ from .captioner import build_contexts
 from .decoder import decoder_step, decoder_top_k, init_decode_state
 
 
-def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
-                beam_size: int = 5, length_penalty: float = 0.0) -> dict:
-    """Returns {"token_ids": [B, beam, gen_len+1] sorted best-first,
-    "scores": [B, beam] (length-normalized when length_penalty > 0)}."""
-    dcfg = cfg.decoder
-    contexts = build_contexts(params, cfg, batch)
-    feat0 = next(iter(contexts.values()))[0]
-    B = feat0.shape[0]
-    K = beam_size
+def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
+                     B: int, K: int, gen_len: int,
+                     bos_id: int, eos_id: int, pad_id: int,
+                     length_penalty: float = 0.0) -> dict:
+    """Model-agnostic fixed-shape beam search.
 
-    state = init_decode_state(params["decoder"], dcfg, contexts, B,
-                              beam=K, dtype=feat0.dtype)
-    kv = state.pop("kv")  # constant during decode: closed over, not carried
-    embed_table = state.pop("embed_table")
+    step_fn(tokens [B*K] int32, state) -> (cand_lp [B*K, K] fp32 per-beam
+        top-K next-token log-probs, cand_ids [B*K, K] int32, new_state);
+    reorder_fn(state, flat_parent [B*K] int32) -> state gathered by parent
+        (only the per-row carried state: conv buffers, self-KV caches).
 
-    tokens = jnp.full((B, K), dcfg.bos_id, jnp.int32)
+    Returns {"token_ids": [B, K, gen_len+1] sorted best-first,
+    "scores": [B, K] (length-normalized when length_penalty > 0),
+    "finished": [B, K]}.
+    """
+    tokens = jnp.full((B, K), bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),
                       (B, 1))
     finished = jnp.zeros((B, K), bool)
     lengths = jnp.ones((B, K), jnp.int32)  # emitted tokens incl. EOS
-    paths0 = jnp.full((B, K, cfg.gen_len + 1), dcfg.pad_id, jnp.int32)
-    paths0 = paths0.at[:, :, 0].set(dcfg.bos_id)
+    paths0 = jnp.full((B, K, gen_len + 1), pad_id, jnp.int32)
+    paths0 = paths0.at[:, :, 0].set(bos_id)
 
     def step(carry, t):
         tokens, scores, finished, lengths, paths, dyn = carry
-        feats, new_state, _ = decoder_step(
-            params["decoder"], dcfg, tokens.reshape(B * K),
-            {**dyn, "kv": kv, "embed_table": embed_table})
-        new_state = {k: v for k, v in new_state.items()
-                     if k not in ("kv", "embed_table")}
         # Exact per-beam top-K candidates: the global top-K over beams x V
         # can only contain tokens in some beam's own top-K, so the [B, K*V]
         # search collapses to [B, K*K] without approximation.
-        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        cand_lp, cand_ids, new_state = step_fn(tokens.reshape(B * K), dyn)
         cand_lp = cand_lp.reshape(B, K, K)
         cand_ids = cand_ids.reshape(B, K, K)
 
@@ -66,7 +68,7 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
         fin_lp = jnp.full((K,), -jnp.inf).at[0].set(0.0)
         cand_lp = jnp.where(finished[:, :, None], fin_lp[None, None, :],
                             cand_lp)
-        cand_ids = jnp.where(finished[:, :, None], dcfg.pad_id, cand_ids)
+        cand_ids = jnp.where(finished[:, :, None], pad_id, cand_ids)
 
         total = scores[:, :, None] + cand_lp                # [B, K, K]
         top_scores, top_flat = jax.lax.top_k(total.reshape(B, K * K), K)
@@ -74,30 +76,29 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
         tok = jnp.take_along_axis(cand_ids.reshape(B, K * K), top_flat,
                                   axis=-1).astype(jnp.int32)
 
-        # gather per-beam state by parent
+        # gather per-beam bookkeeping by parent
         def g(x):  # [B, K, ...] gather on beam axis
             return jnp.take_along_axis(
                 x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
-        new_finished = g(finished) | (tok == dcfg.eos_id)
+        new_finished = g(finished) | (tok == eos_id)
         was_finished = g(finished)
         new_lengths = g(lengths) + (~was_finished).astype(jnp.int32)
         new_paths = g(paths)
         new_paths = new_paths.at[:, :, t + 1].set(
-            jnp.where(was_finished, dcfg.pad_id, tok))
+            jnp.where(was_finished, pad_id, tok))
 
-        # conv buffers: [B*K, ...] gather via flattened indices
+        # per-row model state: [B*K, ...] gather via flattened indices
         flat_parent = (parent
                        + jnp.arange(B)[:, None] * K).reshape(B * K)
-        new_state["conv"] = [jnp.take(buf, flat_parent, axis=0)
-                             for buf in new_state["conv"]]
+        new_state = reorder_fn(new_state, flat_parent)
 
-        tok = jnp.where(was_finished, dcfg.pad_id, tok)
+        tok = jnp.where(was_finished, pad_id, tok)
         return (tok, top_scores, new_finished, new_lengths, new_paths,
                 new_state), None
 
-    carry = (tokens, scores, finished, lengths, paths0, state)
+    carry = (tokens, scores, finished, lengths, paths0, state0)
     (tokens, scores, finished, lengths, paths, _), _ = jax.lax.scan(
-        step, carry, jnp.arange(cfg.gen_len))
+        step, carry, jnp.arange(gen_len))
 
     if length_penalty > 0:
         norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
@@ -110,3 +111,36 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
         "scores": jnp.take_along_axis(ranked, order, axis=1),
         "finished": jnp.take_along_axis(finished, order, axis=1),
     }
+
+
+def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
+                beam_size: int = 5, length_penalty: float = 0.0) -> dict:
+    """Flagship-captioner beam decode (see beam_search_core)."""
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    K = beam_size
+
+    state = init_decode_state(params["decoder"], dcfg, contexts, B,
+                              beam=K, dtype=feat0.dtype)
+    kv = state.pop("kv")  # constant during decode: closed over, not carried
+    embed_table = state.pop("embed_table")
+
+    def step_fn(tokens, dyn):
+        feats, new_state, _ = decoder_step(
+            params["decoder"], dcfg, tokens,
+            {**dyn, "kv": kv, "embed_table": embed_table})
+        new_state = {k: v for k, v in new_state.items()
+                     if k not in ("kv", "embed_table")}
+        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        return cand_lp, cand_ids, new_state
+
+    def reorder_fn(state, flat_parent):
+        return {**state,
+                "conv": [jnp.take(buf, flat_parent, axis=0)
+                         for buf in state["conv"]]}
+
+    return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
+                            dcfg.bos_id, dcfg.eos_id, dcfg.pad_id,
+                            length_penalty)

@@ -1,0 +1,575 @@
+"""Modern decoder-only LM behind the same multi-context attention API.
+
+The stretch model family (BASELINE.json configs[4]): where the flagship
+decoder mirrors the reference's 2019-era DynamicConv architecture
+(/root/reference/tell/models/decoder_faces_objects.py), this is the same
+*task* — entity-aware captioning over image/article/faces/object contexts —
+on a contemporary LM backbone:
+
+    x = x + self_attn(rms(x))           causal, RoPE, KV-cached in decode
+    x = x + ctx_fc(concat_m cross_attn_m(rms(x)))   same multi-context API
+    x = x + w2(silu(w1 h) * w3 h)       SwiGLU FFN, h = rms(x)
+
+with a tied full-vocab softmax head (no adaptive clustering — modern LMs
+spend the HBM; the loss streams the vocab in chunks so [N, V] logits never
+materialize at once).
+
+The multi-context block reuses the SAME machinery as the flagship decoder:
+`init_cross_attention` per-modality projections with bias/zero KV columns
+(multi_head.py add_bias_kv/add_zero_attn semantics), `precompute_context_kv_cat`
+static KV, and the fused segment-masked decode-attention Pallas kernel —
+which is what "behind the same multi-context attention API" means: any
+context tuple that feeds the flagship feeds this model unchanged.
+
+Decode is a fixed-shape `lax.scan`; beam search plugs into
+`beam.beam_search_core` with a self-KV-cache reorder callback.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ContextSpec, FACES_OBJECTS_CONTEXTS
+from ..ops.attention import init_cross_attention, precompute_kv
+from ..ops.linear import init_linear, linear
+from .decoder import context_groups as _context_groups
+
+
+VIT_CONTEXTS = (
+    ContextSpec("image", 1024, 197),   # ViT-L/16 CLS + 14x14 patch tokens
+    ContextSpec("article", 1024, 512),
+    ContextSpec("faces", 512, 4),
+    ContextSpec("obj", 2048, 64),
+)
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """Modern captioning LM. Defaults size-match the flagship decoder's
+    budget (dim 1024) with more layers (self-attention replaces the conv's
+    fixed receptive field; 8 layers ≈ the flagship's parameter count since
+    there is no adaptive-softmax tail stack)."""
+    vocab_size: int = 50265
+    dim: int = 1024
+    num_layers: int = 8
+    num_heads: int = 16
+    ffn_dim: int = 2816          # SwiGLU width ~ (8/3)d rounded to 256
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_id: int = 1
+    bos_id: int = 0
+    eos_id: int = 2
+    max_target_positions: int = 512
+    contexts: tuple[ContextSpec, ...] = FACES_OBJECTS_CONTEXTS
+    gen_len: int = 100
+    # vocab-chunked loss: logits materialize [N, chunk] at a time
+    loss_vocab_chunk: int = 8192
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def context(self, name: str) -> ContextSpec:
+        for c in self.contexts:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+
+def _rms_params(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32)}
+
+
+def rms_norm(p: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * r * p["scale"]).astype(x.dtype)
+
+
+def init_llm_decoder(rng: jax.Array, cfg: LLMConfig) -> dict:
+    ks = iter(jax.random.split(rng, 8 + cfg.num_layers * (8 + len(cfg.contexts))))
+    params = {
+        "tok_embed": jax.random.normal(
+            next(ks), (cfg.vocab_size, cfg.dim), jnp.float32) * 0.02,
+        "layers": [],
+        "final_norm": _rms_params(cfg.dim),
+    }
+    for _ in range(cfg.num_layers):
+        lp = {
+            "attn_norm": _rms_params(cfg.dim),
+            "self_attn": {
+                "q": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
+                "k": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
+                "v": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
+                "o": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
+            },
+            "cross_norm": _rms_params(cfg.dim),
+            "attn": {},
+            "context_fc": init_linear(
+                next(ks), cfg.dim * len(cfg.contexts), cfg.dim),
+            "ffn_norm": _rms_params(cfg.dim),
+            "ffn": {
+                "w1": init_linear(next(ks), cfg.dim, cfg.ffn_dim, bias=False),
+                "w3": init_linear(next(ks), cfg.dim, cfg.ffn_dim, bias=False),
+                "w2": init_linear(next(ks), cfg.ffn_dim, cfg.dim, bias=False),
+            },
+        }
+        for spec in cfg.contexts:
+            lp["attn"][spec.name] = init_cross_attention(
+                next(ks), cfg.dim, cfg.num_heads,
+                kdim=spec.kv_dim, vdim=spec.kv_dim)
+        params["layers"].append(lp)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float
+                 ) -> tuple[jax.Array, jax.Array]:
+    """positions: [...] int -> cos/sin [..., head_dim//2] fp32."""
+    inv = theta ** (-jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    ang = positions.astype(jnp.float32)[..., None] * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [..., T, H, hd]; cos/sin: [..., T, hd//2] (broadcast over H)."""
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    return jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c],
+                           axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blocks (shared math between full forward and decode step)
+# ---------------------------------------------------------------------------
+
+def _self_attn_full(sp: dict, cfg: LLMConfig, x: jax.Array) -> jax.Array:
+    """Causal self-attention over the whole sequence. x: [B, T, E]."""
+    B, T, E = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    q = linear(sp["q"], x).reshape(B, T, H, hd)
+    k = linear(sp["k"], x).reshape(B, T, H, hd)
+    v = linear(sp["v"], x).reshape(B, T, H, hd)
+    cos, sin = rope_cos_sin(jnp.arange(T), hd, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    scores = jnp.where(causal[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhts,bshd->bthd", probs, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return linear(sp["o"], o.reshape(B, T, E))
+
+
+def _self_attn_step(sp: dict, cfg: LLMConfig, x: jax.Array, cache: dict,
+                    step: jax.Array) -> tuple[jax.Array, dict]:
+    """One-token causal self-attention against the KV cache.
+
+    x: [R, E]; cache: {k, v: [R, T_max, H, hd]}. Rows beyond `step` are
+    masked (fixed-shape cache, masking instead of dynamic slicing).
+    """
+    R, E = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    q = linear(sp["q"], x).reshape(R, 1, H, hd)
+    k = linear(sp["k"], x).reshape(R, 1, H, hd)
+    v = linear(sp["v"], x).reshape(R, 1, H, hd)
+    cos, sin = rope_cos_sin(step[None], hd, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)[:, 0]                       # [R, H, hd]
+    k = apply_rope(k, cos, sin)[:, 0]
+    ck = jax.lax.dynamic_update_slice_in_dim(
+        cache["k"], k[:, None].astype(cache["k"].dtype), step, axis=1)
+    cv = jax.lax.dynamic_update_slice_in_dim(
+        cache["v"], v.astype(cache["v"].dtype), step, axis=1)
+    T = ck.shape[1]
+    scores = jnp.einsum("rhd,rthd->rht", q, ck,
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+    valid = jnp.arange(T) <= step                           # [T]
+    scores = jnp.where(valid[None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("rht,rthd->rhd", probs, cv,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return linear(sp["o"], o.reshape(R, E)), {"k": ck, "v": cv}
+
+
+def _cross_block_full(lp: dict, cfg: LLMConfig, x: jax.Array,
+                      contexts: dict, need_weights: bool
+                      ) -> tuple[jax.Array, dict]:
+    """Multi-context cross-attention, full-sequence path. x: [B, T, E]."""
+    from ..ops.attention import cross_attention_with_kv
+    branches = []
+    attns = {}
+    for spec in cfg.contexts:
+        feats, mask = contexts[spec.name]
+        k, v, kmask = precompute_kv(lp["attn"][spec.name], feats, mask)
+        out, attn = cross_attention_with_kv(
+            lp["attn"][spec.name], x, k, v, kmask,
+            num_heads=cfg.num_heads, need_weights=need_weights)
+        branches.append(out)
+        if attn is not None:
+            attns[spec.name] = attn
+    return linear(lp["context_fc"], jnp.concatenate(branches, axis=-1)), attns
+
+
+def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
+                      cats: list[dict], B: int, need_weights: bool
+                      ) -> tuple[jax.Array, list]:
+    """Decode-step cross-attention over grouped stacked KV (the flagship's
+    stacked chain minus its per-branch residual+LN — modern blocks put the
+    residual around the whole context_fc output instead). x: [R, E]."""
+    R, E = x.shape
+    G = R // B
+    H, hd = cfg.num_heads, cfg.head_dim
+    xg = x.reshape(B, G, E)
+    groups = _context_groups_llm(cfg)
+    by_index: dict[int, jax.Array] = {}
+    attns = []
+    for group, cat in zip(groups, cats):
+        names = [cfg.contexts[i].name for i in group]
+        M = len(group)
+        wq = jnp.stack([lp["attn"][n]["q_proj"]["w"] for n in names])
+        bq = jnp.stack([lp["attn"][n]["q_proj"]["b"] for n in names])
+        q = jnp.einsum("bge,mef->bmgf", xg, wq.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
+        qh = q.reshape(B, M * G, H, hd).transpose(0, 2, 1, 3)
+        kh, vh = cat["k"], cat["v"]                    # [B,H,hd,S]
+        S = kh.shape[3]
+        from ..ops.kernels.dispatch import fused_kernels_enabled
+        probs = None
+        if fused_kernels_enabled() and not need_weights:
+            from ..ops.kernels.decode_attention import (
+                fused_decode_attention, segment_bias)
+            bias = segment_bias(cat["seg"], cat["mask"], M, G)
+            out = fused_decode_attention(qh, kh, vh, bias)
+        else:
+            scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
+                                preferred_element_type=jnp.float32)
+            seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]
+            allowed = seg_ok[None] & ~cat["mask"][:, None, :]
+            allowed = jnp.repeat(allowed, G, axis=1)
+            scores = jnp.where(allowed[:, None], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhxs,bhds->bhxd", probs.astype(x.dtype), vh,
+                             preferred_element_type=jnp.float32
+                             ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)
+        wo = jnp.stack([lp["attn"][n]["out_proj"]["w"] for n in names])
+        bo = jnp.stack([lp["attn"][n]["out_proj"]["b"] for n in names])
+        out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out + bo.astype(x.dtype)[None, :, None, :]
+        for j, idx in enumerate(group):
+            by_index[idx] = out[:, j]
+        attns.append(jnp.mean(probs, axis=1).reshape(B, M, G, S)
+                     if need_weights else None)
+    ordered = [by_index[i] for i in range(len(cfg.contexts))]
+    h = jnp.concatenate(ordered, axis=-1).reshape(R, E * len(cfg.contexts))
+    return linear(lp["context_fc"], h), attns
+
+
+def _context_groups_llm(cfg: LLMConfig) -> tuple[tuple[int, ...], ...]:
+    """Same single-chain grouping policy as the flagship decoder (decode is
+    op-chain-latency bound; see decoder.context_groups)."""
+    return (tuple(range(len(cfg.contexts))),)
+
+
+def _ffn(lp: dict, x: jax.Array) -> jax.Array:
+    h = jax.nn.silu(linear(lp["w1"], x).astype(jnp.float32)).astype(x.dtype)
+    return linear(lp["w2"], h * linear(lp["w3"], x))
+
+
+# ---------------------------------------------------------------------------
+# Full forward / loss
+# ---------------------------------------------------------------------------
+
+def llm_forward(params: dict, cfg: LLMConfig, ids: jax.Array,
+                contexts: dict, rng: jax.Array | None = None,
+                deterministic: bool = True, need_weights: bool = False
+                ) -> tuple[jax.Array, list[dict]]:
+    """Teacher-forced forward. ids: [B, T] -> features [B, T, E]."""
+    from ..ops.common import dropout
+    x = jnp.take(params["tok_embed"], ids, axis=0)
+    x = dropout(x, cfg.dropout,
+                None if rng is None else jax.random.fold_in(rng, 0),
+                deterministic)
+    all_attns = []
+    for i, lp in enumerate(params["layers"]):
+        r = None if rng is None else jax.random.fold_in(rng, 1 + i)
+        h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
+        x = x + dropout(_self_attn_full(lp["self_attn"], cfg, h),
+                        cfg.dropout, r, deterministic)
+        h = rms_norm(lp["cross_norm"], x, cfg.rms_eps)
+        out, attns = _cross_block_full(lp, cfg, h, contexts, need_weights)
+        x = x + dropout(out, cfg.dropout,
+                        None if r is None else jax.random.fold_in(r, 1),
+                        deterministic)
+        h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
+        x = x + dropout(_ffn(lp["ffn"], h), cfg.dropout,
+                        None if r is None else jax.random.fold_in(r, 2),
+                        deterministic)
+        all_attns.append(attns)
+    return rms_norm(params["final_norm"], x, cfg.rms_eps), all_attns
+
+
+def tied_log_probs(params: dict, cfg: LLMConfig, feats: jax.Array
+                   ) -> jax.Array:
+    """Full-vocab log-probs [..., V] from features [..., E] (tied head)."""
+    logits = jnp.einsum("...e,ve->...v", feats,
+                        params["tok_embed"].astype(feats.dtype),
+                        preferred_element_type=jnp.float32)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def tied_top_k(params: dict, cfg: LLMConfig, feats: jax.Array, k: int
+               ) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k next-token log-probs from step features [R, E]."""
+    logits = jnp.einsum("re,ve->rv", feats,
+                        params["tok_embed"].astype(feats.dtype),
+                        preferred_element_type=jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    vals, ids = jax.lax.top_k(logits, k)
+    return vals - lse[:, None], ids
+
+
+def llm_xent(params: dict, cfg: LLMConfig, feats: jax.Array,
+             targets: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Vocab-chunked tied-softmax cross entropy.
+
+    feats: [N, E], targets: [N]. Returns (sum loss in nats over non-pad
+    targets, sample_size). The [N, V] logit matrix is never materialized:
+    each chunk contributes a running max/sumexp (online logsumexp) and the
+    target logit is picked up in the chunk that owns it.
+    """
+    N, E = feats.shape
+    V = cfg.vocab_size
+    C = min(cfg.loss_vocab_chunk, V)
+    n_chunks = -(-V // C)
+    pad_v = n_chunks * C
+    table = params["tok_embed"].astype(feats.dtype)
+    if pad_v != V:
+        table = jnp.pad(table, ((0, pad_v - V), (0, 0)))
+    chunks = table.reshape(n_chunks, C, E)
+
+    def body(carry, chunk_idx):
+        m, s, tgt_logit = carry
+        w = chunks[chunk_idx]                               # [C, E]
+        logits = jnp.einsum("ne,ce->nc", feats, w,
+                            preferred_element_type=jnp.float32)
+        base = chunk_idx * C
+        col = jnp.arange(C)[None, :] + base                 # [1, C]
+        valid = col < V
+        logits = jnp.where(valid, logits, -jnp.inf)
+        new_m = jnp.maximum(m, jnp.max(logits, axis=-1))
+        s = s * jnp.exp(m - new_m) + jnp.sum(
+            jnp.exp(logits - new_m[:, None]), axis=-1)
+        here = (targets[:, None] == col)
+        tgt_logit = tgt_logit + jnp.sum(jnp.where(here, logits, 0.0), axis=-1)
+        return (new_m, s, tgt_logit), None
+
+    m0 = jnp.full((N,), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((N,), jnp.float32)
+    t0 = jnp.zeros((N,), jnp.float32)
+    (m, s, tgt_logit), _ = jax.lax.scan(body, (m0, s0, t0),
+                                        jnp.arange(n_chunks))
+    lse = m + jnp.log(s)
+    nll = lse - tgt_logit
+    keep = targets != cfg.pad_id
+    return jnp.sum(jnp.where(keep, nll, 0.0)), jnp.sum(keep)
+
+
+def llm_loss(params: dict, cfg: LLMConfig, batch: dict,
+             rng: jax.Array | None = None, deterministic: bool = True
+             ) -> tuple[jax.Array, dict]:
+    """Mean per-token loss in BITS (the reference's reporting convention,
+    transformer_faces_objects.py:82-90). batch['caption_ids']: [B, T]."""
+    from .captioner import build_contexts as _bc
+    contexts = _build_contexts(params, cfg, batch)
+    ids = batch["caption_ids"]
+    inputs, targets = ids[:, :-1], ids[:, 1:]
+    feats, _ = llm_forward(params, cfg, inputs, contexts, rng, deterministic)
+    B, T, E = feats.shape
+    loss_sum, size = llm_xent(params, cfg, feats.reshape(B * T, E),
+                              targets.reshape(-1))
+    size = jnp.maximum(size, 1)
+    return loss_sum / jnp.log(2.0) / size, {"sample_size": size}
+
+
+def _build_contexts(params: dict, cfg: LLMConfig, batch: dict) -> dict:
+    """Same context-dict assembly as the flagship captioner (NaN-row face/
+    object masking, article padding mask); no learned layer-sum — the
+    modern model consumes the article tower's final hidden state."""
+    from .captioner import mask_nan_embeds
+    contexts = {}
+    names = {c.name for c in cfg.contexts}
+    if "image" in names:
+        grid = batch["image_grid"]
+        contexts["image"] = (grid, jnp.zeros(grid.shape[:2], bool))
+    if "article" in names:
+        contexts["article"] = (batch["article"], batch["article_mask"])
+    if "faces" in names:
+        contexts["faces"] = mask_nan_embeds(batch["face_embeds"])
+    if "obj" in names:
+        contexts["obj"] = mask_nan_embeds(batch["obj_embeds"])
+    return contexts
+
+
+def modern_encode_contexts(frozen: dict, cfg: LLMConfig, batch: dict) -> dict:
+    """Frozen-tower encodes for the modern model: ViT-L patch tokens as the
+    image context (BASELINE.json configs[4]; falls back to a ResNet grid if
+    no ViT tower is provided) and the article tower's final hidden state
+    (no learned layer-sum — modern taste is the top layer)."""
+    out = dict(batch)
+    if ("context_ids" in batch and "article" not in batch):
+        from .backbones.roberta import roberta_encode
+        rcfg = frozen["roberta_cfg"]
+        hidden = roberta_encode(frozen["roberta"], rcfg,
+                                batch["context_ids"],
+                                return_all_hiddens=False)
+        out["article"] = jax.lax.stop_gradient(hidden)
+        out["article_mask"] = batch["context_ids"] == rcfg.pad_id
+    if "image" in batch and "image_grid" not in batch:
+        if "vit" in frozen:
+            from .backbones.vit import vit_encode
+            tokens = vit_encode(frozen["vit"], frozen["vit_cfg"],
+                                batch["image"])
+        else:
+            from .backbones.resnet import resnet_forward
+            tokens = resnet_forward(frozen["resnet"], frozen["resnet_cfg"],
+                                    batch["image"])
+        out["image_grid"] = jax.lax.stop_gradient(tokens)
+    return out
+
+
+def llm_loss_e2e(params: dict, frozen: dict, cfg: LLMConfig, batch: dict,
+                 rng: jax.Array | None = None, deterministic: bool = True
+                 ) -> tuple[jax.Array, dict]:
+    return llm_loss(params, cfg, modern_encode_contexts(frozen, cfg, batch),
+                    rng, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# Incremental decode
+# ---------------------------------------------------------------------------
+
+def init_llm_decode_state(params: dict, cfg: LLMConfig, contexts: dict,
+                          batch: int, beam: int = 1,
+                          dtype=jnp.float32) -> dict:
+    """Fixed-shape decode state: per-layer self-KV caches + static cross KV.
+
+    Cross KV reuses the flagship's grouped stacked layout
+    (decoder.precompute_context_kv_cat) so the fused decode-attention
+    kernel serves both model families.
+    """
+    from .decoder import precompute_context_kv_cat
+    R = batch * beam
+    H, hd = cfg.num_heads, cfg.head_dim
+    T = cfg.gen_len + 1
+    return {
+        "self_kv": [{"k": jnp.zeros((R, T, H, hd), dtype),
+                     "v": jnp.zeros((R, T, H, hd), dtype)}
+                    for _ in range(cfg.num_layers)],
+        "kv": precompute_context_kv_cat(params, cfg, contexts),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def llm_decoder_step(params: dict, cfg: LLMConfig, tokens: jax.Array,
+                     state: dict, need_weights: bool = False
+                     ) -> tuple[jax.Array, dict, list]:
+    """One decode step. tokens: [R] -> (features [R, E], state', attns)."""
+    R = tokens.shape[0]
+    B = state["kv"][0][0]["k"].shape[0]
+    x = jnp.take(params["tok_embed"], tokens, axis=0)
+    dtype = state["self_kv"][0]["k"].dtype
+    x = x.astype(dtype)
+    new_self = []
+    all_attns = []
+    for i, lp in enumerate(params["layers"]):
+        h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
+        o, cache = _self_attn_step(lp["self_attn"], cfg, h,
+                                   state["self_kv"][i], state["step"])
+        new_self.append(cache)
+        x = x + o
+        h = rms_norm(lp["cross_norm"], x, cfg.rms_eps)
+        o, attns = _cross_block_step(lp, cfg, h, state["kv"][i], B,
+                                     need_weights)
+        x = x + o
+        h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
+        x = x + _ffn(lp["ffn"], h)
+        all_attns.append(attns)
+    feats = rms_norm(params["final_norm"], x, cfg.rms_eps)
+    return feats, {"self_kv": new_self, "kv": state["kv"],
+                   "step": state["step"] + 1}, all_attns
+
+
+def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
+                 rng: jax.Array | None = None) -> dict:
+    """Greedy generation. Returns {token_ids [B, gen_len+1], log_probs,
+    finished} — the same payload shape as captioner.generate."""
+    contexts = _build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    state = init_llm_decode_state(params, cfg, contexts, B,
+                                  dtype=feat0.dtype)
+    kv = state.pop("kv")
+    seed = jnp.full((B,), cfg.bos_id, jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+
+    def step(carry, _):
+        tokens, finished, dyn = carry
+        feats, st, _ = llm_decoder_step(params, cfg, tokens,
+                                        {**dyn, "kv": kv})
+        st = {k: v for k, v in st.items() if k != "kv"}
+        lp, ids = tied_top_k(params, cfg, feats, 1)
+        sampled = ids[:, 0]
+        next_tok = jnp.where(finished, cfg.pad_id, sampled)
+        sel_lp = jnp.where(finished, 0.0, lp[:, 0])
+        return (next_tok, finished | (sampled == cfg.eos_id), st), (
+            next_tok, sel_lp)
+
+    (_, finished, _), (toks, lps) = jax.lax.scan(
+        step, (seed, finished0, state), None, length=cfg.gen_len)
+    token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
+    return {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
+
+
+def llm_beam_search(params: dict, cfg: LLMConfig, batch: dict,
+                    beam_size: int = 5, length_penalty: float = 0.0) -> dict:
+    """Beam decode via the generic core (beam.beam_search_core); the
+    self-KV caches are the per-row state reordered by parent each step."""
+    from .beam import beam_search_core
+    contexts = _build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    K = beam_size
+    state = init_llm_decode_state(params, cfg, contexts, B, beam=K,
+                                  dtype=feat0.dtype)
+    kv = state.pop("kv")
+
+    def step_fn(tokens, dyn):
+        feats, st, _ = llm_decoder_step(params, cfg, tokens,
+                                        {**dyn, "kv": kv})
+        st = {k: v for k, v in st.items() if k != "kv"}
+        lp, ids = tied_top_k(params, cfg, feats, K)
+        return lp, ids, st
+
+    def reorder_fn(st, flat_parent):
+        return {**st,
+                "self_kv": [{"k": jnp.take(c["k"], flat_parent, axis=0),
+                             "v": jnp.take(c["v"], flat_parent, axis=0)}
+                            for c in st["self_kv"]]}
+
+    return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
+                            cfg.bos_id, cfg.eos_id, cfg.pad_id,
+                            length_penalty)

@@ -24,16 +24,24 @@ class ModelAdapter:
     loss: Callable                    # loss(params, cfg, batch, rng, det)
     loss_e2e: Callable | None         # incl. frozen towers, or None
     generate: Callable                # generate(params, cfg, batch, ...)
+    # encode(frozen, batch) -> batch with frozen-tower features added
+    encode: Callable | None = None
+    # beam(params, cfg, batch, beam_size) -> {"token_ids": [B,K,T], ...}
+    # None = greedy only (the reference decodes pointer/LSTM greedily too)
+    beam: Callable | None = None
 
 
 def _captioner(cfg: CaptionerConfig) -> ModelAdapter:
-    from .captioner import (captioner_loss, captioner_loss_e2e, generate,
-                            init_captioner)
+    from .captioner import (captioner_loss, captioner_loss_e2e,
+                            encode_contexts, generate, init_captioner)
+    from .beam import beam_search
     return ModelAdapter(
         name="captioner", config=cfg, init=init_captioner,
         loss=captioner_loss,
         loss_e2e=captioner_loss_e2e,
-        generate=generate)
+        generate=generate,
+        encode=lambda frozen, batch: encode_contexts(frozen, cfg, batch),
+        beam=beam_search)
 
 
 def _pointer(cfg: CaptionerConfig, version: int) -> ModelAdapter:
@@ -50,17 +58,42 @@ def _pointer(cfg: CaptionerConfig, version: int) -> ModelAdapter:
                                                        batch),
                             rng, deterministic)
 
+    def encode(frozen, batch):
+        from .captioner import encode_contexts
+        return encode_contexts(frozen, pcfg.captioner, batch)
+
     return ModelAdapter(
         name=f"pointer_v{version}", config=pcfg, init=init_pointer,
-        loss=loss, loss_e2e=loss_e2e, generate=pointer_generate)
+        loss=loss, loss_e2e=loss_e2e, generate=pointer_generate,
+        encode=encode)
+
+
+def _modern(cfg) -> ModelAdapter:
+    from .llm_decoder import (LLMConfig, init_llm_decoder, llm_beam_search,
+                              llm_generate, llm_loss, llm_loss_e2e,
+                              modern_encode_contexts)
+    if isinstance(cfg, CaptionerConfig):
+        # allow reusing a captioner YAML: carry over the context tuple
+        cfg = LLMConfig(contexts=cfg.decoder.contexts, gen_len=cfg.gen_len)
+    return ModelAdapter(
+        name="modern", config=cfg, init=init_llm_decoder,
+        loss=llm_loss, loss_e2e=llm_loss_e2e, generate=llm_generate,
+        encode=lambda frozen, batch: modern_encode_contexts(frozen, cfg,
+                                                            batch),
+        beam=llm_beam_search)
 
 
 def _lstm(cfg: CaptionerConfig) -> ModelAdapter:
     from .lstm_decoder import (init_lstm_captioner, lstm_captioner_loss,
                                lstm_generate)
+    def encode(frozen, batch):
+        from .captioner import encode_contexts
+        return encode_contexts(frozen, cfg, batch)
+
     return ModelAdapter(
         name="lstm", config=cfg, init=init_lstm_captioner,
-        loss=lstm_captioner_loss, loss_e2e=None, generate=lstm_generate)
+        loss=lstm_captioner_loss, loss_e2e=None, generate=lstm_generate,
+        encode=encode)
 
 
 # reference registry names (tell/models/*.py Model.register calls) →
@@ -76,4 +109,6 @@ def get_model(model_type: str, cfg: CaptionerConfig) -> ModelAdapter:
         return _pointer(cfg, 2)
     if mt in ("lstm", "baseline_glove", "lstm_decoder_flattened"):
         return _lstm(cfg)
+    if mt in ("modern", "transformer_modern", "vit_modern"):
+        return _modern(cfg)
     raise KeyError(f"unknown model_type {model_type!r}")

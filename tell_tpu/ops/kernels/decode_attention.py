@@ -38,23 +38,29 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, H: int, BB: int):
     (few, large DMA transactions) while the bias tile is read once per
     row; the [hd, S] K/V layout keeps every matmul operand fully
     lane-aligned (hd=64 as the minor dim would waste half of each VMEM
-    tile and DMA at ~60% efficiency — measured)."""
+    tile and DMA at ~60% efficiency — measured).
+
+    Both contractions are HEAD-BATCHED dot_generals and the softmax runs
+    once over the stacked [H, MG, S] scores: a per-(b,h) loop of
+    [MG, hd] x [hd, S] matmuls measured 0.35 ms/call at production shapes
+    (B=64, S=640) against 0.19 ms for this form — 91% of the pure K/V DMA
+    bound — because 2x16 serial tiny matmul+softmax chains leave both MXU
+    and VPU idle between ops (tools/kernel_variants.py)."""
     for b in range(BB):
-        bias = bias_ref[b]                            # [MG, S] fp32
-        for h in range(H):
-            q = q_ref[b, h]                           # [MG, hd]
-            kt = k_ref[b, h]                          # [hd, S]
-            vt = v_ref[b, h]                          # [hd, S]
-            scores = jnp.dot(q, kt,
-                             preferred_element_type=jnp.float32)
-            scores = scores + bias
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            out = jax.lax.dot_general(
-                p.astype(vt.dtype), vt, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # [MG, hd]
-            o_ref[b, h] = out.astype(o_ref.dtype)
+        q = q_ref[b]                                  # [H, MG, hd]
+        kt = k_ref[b]                                 # [H, hd, S]
+        vt = v_ref[b]                                 # [H, hd, S]
+        scores = jax.lax.dot_general(
+            q, kt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, S]
+        scores = scores + bias_ref[b][None]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(vt.dtype), vt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, hd]
+        o_ref[b] = out.astype(o_ref.dtype)
 
 
 def segment_bias(seg: jax.Array, pad: jax.Array, M: int, G: int

@@ -15,9 +15,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     glob.glob(os.path.join(REPO, "expt", "*", "*.yaml"))))
 def test_experiment_configs_parse(path):
     exp = load_experiment(path)
+    assert exp.trainer.t_total > 0
+    if exp.model_type == "transformer_modern":
+        assert exp.model.vocab_size == 50265
+        names = [c.name for c in exp.model.contexts]
+        assert names == ["image", "article", "faces", "obj"]
+        return
     assert exp.model.decoder.vocab_size == 50265
     assert exp.model.decoder.full_cutoffs[-1] == 50265
-    assert exp.trainer.t_total > 0
     names = [c.name for c in exp.model.decoder.contexts]
     if "9_" in path:
         assert names == ["image", "article", "faces", "obj"]

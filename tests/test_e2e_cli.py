@@ -96,6 +96,81 @@ data:
     return str(path), str(root)
 
 
+@pytest.fixture(scope="module")
+def modern_yaml(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_modern")
+    vf, mf = build_synthetic_vocab(root)
+    _articles(root / "articles.jsonl")
+    cfg = f"""
+name: e2e-modern
+model_type: transformer_modern
+model:
+  vocab_size: 300
+  dim: 64
+  num_layers: 2
+  num_heads: 4
+  ffn_dim: 96
+  dropout: 0.0
+  attention_dropout: 0.0
+  max_target_positions: 128
+  gen_len: 6
+  loss_vocab_chunk: 128
+  contexts:
+    - {{name: article, kv_dim: 1024, max_len: 128}}
+    - {{name: faces, kv_dim: 512, max_len: 4}}
+reader:
+  strategy: location_aware
+  use_faces: true
+  use_objects: false
+  token_budget: 40
+trainer:
+  serialization_dir: {root}/run
+  num_epochs: 2
+  t_total: 100
+  warmup: 0.0
+  log_every: 100
+  n_data: 1
+
+bucketing:
+  article_lengths: [128]
+  caption_lengths: [16]
+  max_batch: 4
+data:
+  shards_dir: {root}/shards
+  articles_jsonl: {root}/articles.jsonl
+  vocab_file: {vf}
+  merges_file: {mf}
+  instances_per_epoch: null
+  val_limit: 4
+  roberta: tiny
+"""
+    path = root / "cfg.yaml"
+    path.write_text(cfg)
+    return str(path), str(root)
+
+
+def test_modern_model_cli_pipeline(modern_yaml, capsys):
+    """The stretch model family (transformer_modern) through the same CLI:
+    preprocess -> train (loss decreases) -> beam-2 evaluate."""
+    cfg, root = modern_yaml
+    assert main(["preprocess", cfg, "-s", "train"]) == 0
+    assert main(["preprocess", cfg, "-s", "valid"]) == 0
+    capsys.readouterr()
+
+    assert main(["train", cfg]) == 0
+    capsys.readouterr()
+    with open(os.path.join(root, "run", "metrics.jsonl")) as f:
+        hist = [json.loads(l) for l in f]
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+    assert main(["evaluate", cfg, "-s", "valid", "--beam", "2"]) == 0
+    metrics = json.loads(capsys.readouterr().out)
+    assert metrics["n_samples"] == 10
+    with open(os.path.join(root, "run", "generations-valid.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 10 and "generation" in rows[0]
+
+
 def test_preprocess_train_evaluate_score(exp_yaml, capsys):
     cfg, root = exp_yaml
     assert main(["preprocess", cfg, "-s", "train"]) == 0

@@ -1,0 +1,130 @@
+"""Modern decoder-only LM (models/llm_decoder.py): the SURVEY.md §4
+invariants applied to the stretch model family — step-decode ≡ full
+teacher-forced forward, chunked tied-softmax ≡ dense, beam-1 ≡ greedy."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from tell_tpu.config import ContextSpec
+from tell_tpu.models.llm_decoder import (
+    LLMConfig, init_llm_decoder, init_llm_decode_state, llm_beam_search,
+    llm_decoder_step, llm_forward, llm_generate, llm_loss, llm_xent,
+    tied_log_probs, _build_contexts,
+)
+
+CFG = LLMConfig(
+    vocab_size=211, dim=32, num_layers=2, num_heads=4, ffn_dim=48,
+    dropout=0.0, attention_dropout=0.0, max_target_positions=32,
+    gen_len=7, loss_vocab_chunk=64,
+    contexts=(
+        ContextSpec("image", 16, 5),
+        ContextSpec("article", 12, 9),
+        ContextSpec("faces", 8, 3),
+        ContextSpec("obj", 16, 4),
+    ))
+
+
+def make_batch(rng, B=3):
+    ks = jr.split(rng, 6)
+    S = CFG.context("article").max_len if False else 9
+    face = jr.normal(ks[2], (B, 3, 8))
+    face = face.at[:, -1].set(jnp.nan)  # absent face row
+    return {
+        "image_grid": jr.normal(ks[0], (B, 5, 16)),
+        "article": jr.normal(ks[1], (B, 9, 12)),
+        "article_mask": jnp.arange(9)[None] >= jnp.array([[9], [6], [4]]),
+        "face_embeds": face,
+        "obj_embeds": jr.normal(ks[3], (B, 4, 16)),
+        "caption_ids": jnp.array([[0, 7, 9, 13, 2, 1, 1],
+                                  [0, 44, 101, 5, 6, 7, 2],
+                                  [0, 3, 2, 1, 1, 1, 1]]),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_llm_decoder(jr.PRNGKey(0), CFG)
+    batch = make_batch(jr.PRNGKey(1))
+    return params, batch
+
+
+def test_loss_finite_and_chunking_exact(setup):
+    params, batch = setup
+    loss, aux = llm_loss(params, CFG, batch)
+    assert np.isfinite(float(loss))
+    assert int(aux["sample_size"]) == 12  # non-pad target tokens
+
+    # chunked online-softmax xent == dense log_softmax gather
+    feats = jr.normal(jr.PRNGKey(2), (10, CFG.dim))
+    targets = jnp.array([0, 5, 1, 7, 200, 13, 1, 2, 99, 210])
+    s, n = llm_xent(params, CFG, feats, targets)
+    lp = tied_log_probs(params, CFG, feats)
+    keep = targets != CFG.pad_id
+    dense = -jnp.take_along_axis(lp, targets[:, None], axis=1)[:, 0]
+    np.testing.assert_allclose(float(s), float(jnp.sum(dense * keep)),
+                               rtol=1e-5)
+    assert int(n) == int(keep.sum())
+
+
+def test_step_decode_matches_full_forward(setup):
+    """Teacher-force a caption through the scan step; features must match
+    the full causal forward exactly (the incremental-state invariant)."""
+    params, batch = setup
+    contexts = _build_contexts(params, CFG, batch)
+    ids = batch["caption_ids"]
+    B, T = ids.shape
+    full, _ = llm_forward(params, CFG, ids, contexts)
+
+    state = init_llm_decode_state(params, CFG, contexts, B)
+    outs = []
+    for t in range(T):
+        feats, state, _ = llm_decoder_step(params, CFG, ids[:, t], state)
+        outs.append(feats)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=2e-5)
+
+
+def test_greedy_matches_argmax_of_forward(setup):
+    """First generated token == argmax of the full forward's next-token
+    distribution at <s>."""
+    params, batch = setup
+    out = llm_generate(params, CFG, batch)
+    assert out["token_ids"].shape == (3, CFG.gen_len + 1)
+
+    contexts = _build_contexts(params, CFG, batch)
+    bos = jnp.full((3, 1), CFG.bos_id, jnp.int32)
+    feats, _ = llm_forward(params, CFG, bos, contexts)
+    lp = tied_log_probs(params, CFG, feats[:, -1])
+    np.testing.assert_array_equal(np.asarray(out["token_ids"][:, 1]),
+                                  np.asarray(jnp.argmax(lp, axis=-1)))
+
+
+def test_beam1_matches_greedy(setup):
+    params, batch = setup
+    greedy = llm_generate(params, CFG, batch)
+    beam = llm_beam_search(params, CFG, batch, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(beam["token_ids"][:, 0]),
+                                  np.asarray(greedy["token_ids"]))
+
+
+def test_beam_scores_sorted_and_improve_on_greedy(setup):
+    params, batch = setup
+    beam = llm_beam_search(params, CFG, batch, beam_size=4)
+    scores = np.asarray(beam["scores"])
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
+    greedy = llm_generate(params, CFG, batch)
+    greedy_total = np.asarray(greedy["log_probs"]).sum(-1)
+    assert (scores[:, 0] >= greedy_total - 1e-4).all()
+
+
+def test_grads_flow(setup):
+    params, batch = setup
+    g = jax.grad(lambda p: llm_loss(p, CFG, batch)[0])(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0
