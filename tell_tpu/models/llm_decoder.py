@@ -56,6 +56,10 @@ class LLMConfig:
     dim: int = 1024
     num_layers: int = 8
     num_heads: int = 16
+    # grouped-query attention for the causal self-attention (Fast Transformer
+    # Decoding / GQA): fewer KV heads shrink the decode self-KV cache and its
+    # per-step HBM stream by num_heads/num_kv_heads. None = MHA.
+    num_kv_heads: int | None = 4
     ffn_dim: int = 2816          # SwiGLU width ~ (8/3)d rounded to 256
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
@@ -73,6 +77,10 @@ class LLMConfig:
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
 
     def context(self, name: str) -> ContextSpec:
         for c in self.contexts:
@@ -104,8 +112,10 @@ def init_llm_decoder(rng: jax.Array, cfg: LLMConfig) -> dict:
             "attn_norm": _rms_params(cfg.dim),
             "self_attn": {
                 "q": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
-                "k": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
-                "v": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
+                "k": init_linear(next(ks), cfg.dim,
+                                 cfg.kv_heads * cfg.head_dim, bias=False),
+                "v": init_linear(next(ks), cfg.dim,
+                                 cfg.kv_heads * cfg.head_dim, bias=False),
                 "o": init_linear(next(ks), cfg.dim, cfg.dim, bias=False),
             },
             "cross_norm": _rms_params(cfg.dim),
@@ -155,13 +165,16 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 def _self_attn_full(sp: dict, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     """Causal self-attention over the whole sequence. x: [B, T, E]."""
     B, T, E = x.shape
-    H, hd = cfg.num_heads, cfg.head_dim
+    H, hd, KV = cfg.num_heads, cfg.head_dim, cfg.kv_heads
     q = linear(sp["q"], x).reshape(B, T, H, hd)
-    k = linear(sp["k"], x).reshape(B, T, H, hd)
-    v = linear(sp["v"], x).reshape(B, T, H, hd)
+    k = linear(sp["k"], x).reshape(B, T, KV, hd)
+    v = linear(sp["v"], x).reshape(B, T, KV, hd)
     cos, sin = rope_cos_sin(jnp.arange(T), hd, cfg.rope_theta)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if KV != H:
+        k = jnp.repeat(k, H // KV, axis=2)
+        v = jnp.repeat(v, H // KV, axis=2)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         preferred_element_type=jnp.float32) * (hd ** -0.5)
     causal = jnp.tril(jnp.ones((T, T), bool))
@@ -180,10 +193,10 @@ def _self_attn_step(sp: dict, cfg: LLMConfig, x: jax.Array, cache: dict,
     masked (fixed-shape cache, masking instead of dynamic slicing).
     """
     R, E = x.shape
-    H, hd = cfg.num_heads, cfg.head_dim
+    H, hd, KV = cfg.num_heads, cfg.head_dim, cfg.kv_heads
     q = linear(sp["q"], x).reshape(R, 1, H, hd)
-    k = linear(sp["k"], x).reshape(R, 1, H, hd)
-    v = linear(sp["v"], x).reshape(R, 1, H, hd)
+    k = linear(sp["k"], x).reshape(R, 1, KV, hd)
+    v = linear(sp["v"], x).reshape(R, 1, KV, hd)
     cos, sin = rope_cos_sin(step[None], hd, cfg.rope_theta)
     q = apply_rope(q, cos, sin)[:, 0]                       # [R, H, hd]
     k = apply_rope(k, cos, sin)[:, 0]
@@ -192,12 +205,14 @@ def _self_attn_step(sp: dict, cfg: LLMConfig, x: jax.Array, cache: dict,
     cv = jax.lax.dynamic_update_slice_in_dim(
         cache["v"], v.astype(cache["v"].dtype), step, axis=1)
     T = ck.shape[1]
-    scores = jnp.einsum("rhd,rthd->rht", q, ck,
+    # grouped queries: [R, KV, H/KV, hd] against the [R, T, KV, hd] cache
+    qg = q.reshape(R, KV, H // KV, hd)
+    scores = jnp.einsum("rkgd,rtkd->rkgt", qg, ck,
                         preferred_element_type=jnp.float32) * (hd ** -0.5)
     valid = jnp.arange(T) <= step                           # [T]
-    scores = jnp.where(valid[None, None], scores, -jnp.inf)
+    scores = jnp.where(valid[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    o = jnp.einsum("rht,rthd->rhd", probs, cv,
+    o = jnp.einsum("rkgt,rtkd->rkgd", probs, cv,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     return linear(sp["o"], o.reshape(R, E)), {"k": ck, "v": cv}
 
@@ -473,11 +488,11 @@ def init_llm_decode_state(params: dict, cfg: LLMConfig, contexts: dict,
     """
     from .decoder import precompute_context_kv_cat
     R = batch * beam
-    H, hd = cfg.num_heads, cfg.head_dim
+    KV, hd = cfg.kv_heads, cfg.head_dim
     T = cfg.gen_len + 1
     return {
-        "self_kv": [{"k": jnp.zeros((R, T, H, hd), dtype),
-                     "v": jnp.zeros((R, T, H, hd), dtype)}
+        "self_kv": [{"k": jnp.zeros((R, T, KV, hd), dtype),
+                     "v": jnp.zeros((R, T, KV, hd), dtype)}
                     for _ in range(cfg.num_layers)],
         "kv": precompute_context_kv_cat(params, cfg, contexts),
         "step": jnp.zeros((), jnp.int32),

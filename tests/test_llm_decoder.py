@@ -128,3 +128,26 @@ def test_grads_flow(setup):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert total > 0
+
+
+def test_gqa_step_decode_matches_full_forward():
+    """Grouped-query attention (num_kv_heads < num_heads): the KV cache
+    shrinks but step-decode must still equal the full causal forward."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, num_kv_heads=2)
+    params = init_llm_decoder(jr.PRNGKey(3), cfg)
+    batch = make_batch(jr.PRNGKey(4))
+    contexts = _build_contexts(params, cfg, batch)
+    ids = batch["caption_ids"]
+    B, T = ids.shape
+    full, _ = llm_forward(params, cfg, ids, contexts)
+
+    state = init_llm_decode_state(params, cfg, contexts, B)
+    assert state["self_kv"][0]["k"].shape[2] == 2  # KV heads, not H
+    outs = []
+    for t in range(T):
+        feats, state, _ = llm_decoder_step(params, cfg, ids[:, t], state)
+        outs.append(feats)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=2e-5)

@@ -106,3 +106,36 @@ def test_unknown_caption_names(tmp_path, capsys):
     assert out["n_caption_names"] == 2
     assert out["n_unknown"] == 1
     assert out["top_unknown"][0][0] == "Nobody Known"
+
+
+def test_dump_dataset_projection_and_filter(tmp_path, capsys):
+    dd = _load("dump_dataset")
+    src = tmp_path / "articles.jsonl"
+    rows = [
+        {"_id": "a", "web_url": "u1", "pub_date": "2020-01-02",
+         "type_of_material": "News",
+         "headline": {"main": "H1", "kicker": "drop-me"},
+         "parsed_section": [
+             {"type": "paragraph", "text": "body",
+              "named_entities": [{"text": "X"}],
+              "facenet_details": {"embeddings": [[0.0] * 512]}}]},
+        {"_id": "b", "web_url": "u2", "pub_date": "2020-01-03",
+         "type_of_material": "Review",  # filtered out
+         "parsed_section": []},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "dump.jsonl"
+    assert dd.main([str(src), str(out)]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["exported"] == 1
+    dumped = [json.loads(l) for l in out.read_text().splitlines()]
+    assert dumped[0]["_id"] == "a"
+    assert dumped[0]["headline"] == {"main": "H1"}
+    # embeddings/entities stripped from sections
+    assert dumped[0]["sections"] == [{"type": "paragraph", "text": "body"}]
+
+    assert dd.main([str(src), str(out), "--keep-all"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["exported"] == 2
+    dumped = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [d["_id"] for d in dumped] == ["b", "a"]  # newest first

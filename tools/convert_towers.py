@@ -68,6 +68,20 @@ def convert_facenet(src: str, out: str) -> None:
     _save(params, out, "facenet")
 
 
+def convert_vit(src: str, out: str) -> None:
+    from tell_tpu.models.backbones.vit import ViTConfig, convert_hf_vit
+    try:
+        import transformers
+        model = transformers.ViTModel.from_pretrained(src)
+        sd = model.state_dict()
+    except Exception:
+        import torch
+        sd = torch.load(src, map_location="cpu")
+    params = convert_hf_vit({k: v.numpy() for k, v in sd.items()},
+                            ViTConfig.large())
+    _save(params, out, "vit")
+
+
 def convert_yolo(cfg_path: str, weights_path: str, out: str) -> None:
     from tell_tpu.models.backbones.yolov3 import (load_darknet_weights,
                                                   parse_darknet_cfg)
@@ -95,10 +109,14 @@ def main() -> int:
     ap.add_argument("--yolo-cfg")
     ap.add_argument("--yolo-weights")
     ap.add_argument("--mtcnn", nargs=3)
+    ap.add_argument("--vit", help="HF name/dir or state-dict .pth "
+                    "(google/vit-large-patch16-224)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     if args.roberta:
         convert_roberta(args.roberta, args.out)
+    if args.vit:
+        convert_vit(args.vit, args.out)
     if args.resnet:
         convert_resnet(args.resnet, args.out)
     if args.facenet:
