@@ -334,11 +334,15 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     from ..ops.kernels.dispatch import fused_kernels_enabled
     probs = None
     quant = "k_scale" in cat
-    if fused_kernels_enabled() and not need_weights and not quant:
-        from ..ops.kernels.decode_attention import (fused_decode_attention,
-                                                    segment_bias)
+    if fused_kernels_enabled() and not need_weights:
+        from ..ops.kernels.decode_attention import (
+            fused_decode_attention, fused_decode_attention_q8, segment_bias)
         bias = segment_bias(cat["seg"], cat["mask"], M, G)
-        out = fused_decode_attention(qh, kh, vh, bias)
+        if quant:
+            out = fused_decode_attention_q8(
+                qh, kh, cat["k_scale"], vh, cat["v_scale"], bias)
+        else:
+            out = fused_decode_attention(qh, kh, vh, bias)
     else:
         if quant:
             # int8 K/V: per-row scales factor out of both contractions

@@ -103,6 +103,65 @@ def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
+def _kernel_q8(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref, *,
+               H: int, BB: int):
+    """int8-K/V variant: K/V arrive as int8 [BB, H, hd, S] with per-source-
+    row fp32 scales [BB, H, 1, S]. The scales factor out of both
+    contractions (scores *= k_scale per column; p *= v_scale before the
+    value matmul), so the only approximation is the int8 rounding of K/V
+    themselves — and the kernel's HBM stream halves, which is the point:
+    the K/V DMA is the decode loop's dominant cost (ARCHITECTURE.md)."""
+    for b in range(BB):
+        q = q_ref[b]                                  # [H, MG, hd]
+        # dequantize in VMEM at the query dtype (int8 in [-127,127] is
+        # exactly representable in bf16, so this loses nothing)
+        kt = k_ref[b].astype(q_ref.dtype)             # [H, hd, S]
+        vt = v_ref[b].astype(q_ref.dtype)
+        scores = jax.lax.dot_general(
+            q, kt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, S]
+        scores = scores * ks_ref[b] + bias_ref[b][None]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p = p * vs_ref[b]
+        out = jax.lax.dot_general(
+            p.astype(vt.dtype), vt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, hd]
+        o_ref[b] = out.astype(o_ref.dtype)
+
+
+def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
+                              v8: jax.Array, v_scale: jax.Array,
+                              bias: jax.Array) -> jax.Array:
+    """q: [B, H, MG, hd]; k8/v8: int8 [B, H, hd, S]; k_scale/v_scale:
+    fp32 [B, H, 1, S]; bias: [B, MG, S]. Returns [B, H, MG, hd]."""
+    B, H, MG, hd = q.shape
+    S = k8.shape[3]
+    BB = 2 if B % 2 == 0 else 1
+    kv_spec = pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((BB, H, 1, S), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_q8, H=H, BB=BB),
+        out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
+        grid=(B // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, H, MG, hd), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+            pl.BlockSpec((BB, MG, S), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, H, MG, hd), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret_mode(),
+    )(q, k8, k_scale, v8, v_scale, bias)
+
+
 def reference_decode_attention(q, k, v, bias):
     """jnp math twin (parity tests). k/v transposed [B, H, hd, S]."""
     scores = jnp.einsum("bhxd,bhds->bhxs", q, k,

@@ -38,8 +38,8 @@ class CaptionService:
                  adapter=None):
         from ..models.captioner import encode_contexts, generate
 
-        # model registry adapter (pointer/LSTM models serve through the
-        # same API; default = the multi-context captioner)
+        # model registry adapter (pointer/LSTM/modern models serve through
+        # the same API; default = the multi-context captioner)
         gen = generate if adapter is None else adapter.generate
         model_cfg = cfg if adapter is None else adapter.config
         cap_cfg = getattr(model_cfg, "captioner", model_cfg)
@@ -48,14 +48,19 @@ class CaptionService:
         self.tokenizer = tokenizer
         self.article_len = article_len
         self.need_attention = need_attention
-        dcfg = cfg.decoder
+        # the modern LM config exposes contexts/pad ids at the top level
+        dcfg = getattr(cfg, "decoder", cfg)
+        if adapter is not None and adapter.encode is not None:
+            encode = adapter.encode
+        else:
+            encode = lambda fr, b: encode_contexts(fr, cap_cfg, b)  # noqa:E731
 
         import inspect
         gen_params = inspect.signature(gen).parameters
         takes_weights = "need_weights" in gen_params
 
         def decode_fn(params, batch):
-            batch = encode_contexts(frozen, cap_cfg, batch)
+            batch = encode(frozen, batch)
             # pass attention-map capture to any generate that supports it
             # (captioner + LSTM do; the pointer decode does not)
             kwargs = {"need_weights": need_attention} if takes_weights else {}
@@ -100,7 +105,7 @@ class CaptionService:
         from ..data.pipeline import entity_occurrences
 
         B = len(requests)
-        dcfg = self.cfg.decoder
+        dcfg = getattr(self.cfg, "decoder", self.cfg)
         ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
         masks = np.full((B, self.article_len), -1, np.int32)
         for i, req in enumerate(requests):

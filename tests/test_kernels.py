@@ -104,6 +104,70 @@ def test_fused_decode_attention_matches_reference():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_decode_attention_q8_matches_jnp_int8_math():
+    """The int8-K/V kernel must equal the jnp int8 path EXACTLY (same
+    quantized values, scales factored out of both contractions)."""
+    from tell_tpu.ops.kernels.decode_attention import (
+        fused_decode_attention_q8, segment_bias)
+    from tell_tpu.models.decoder import _quantize_kv
+    B, H, M, G, S, hd = 2, 4, 3, 5, 24, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, H, M * G, hd))
+    k = jax.random.normal(ks[1], (B, H, hd, S))
+    v = jax.random.normal(ks[2], (B, H, hd, S))
+    k8, k_s = _quantize_kv(k)
+    v8, v_s = _quantize_kv(v)
+    seg = jnp.asarray([0] * 10 + [1] * 6 + [2] * 8, jnp.int32)
+    pad = jnp.zeros((B, S), bool).at[:, 8:10].set(True).at[1, 20:].set(True)
+    bias = segment_bias(seg, pad, M, G)
+
+    # jnp twin of the int8 math (the _attn_group quant branch)
+    scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_s + bias[:, None]
+    p = jax.nn.softmax(scores, axis=-1) * v_s
+    ref = jnp.einsum("bhxs,bhds->bhxd", p.astype(q.dtype),
+                     v8.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+
+    out = fused_decode_attention_q8(q, k8, k_s, v8, v_s, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and the int8 result approximates the fp result to quantization error
+    from tell_tpu.ops.kernels.decode_attention import (
+        reference_decode_attention)
+    fp = reference_decode_attention(q, k, v, bias)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(fp))) < 0.1
+
+
+def test_decoder_step_kv8_fused_matches_kv8_jnp(monkeypatch):
+    """With TELL_TPU_KV8=1, fused-on vs fused-off decoder_step agree (the
+    int8 kernel and the jnp int8 branch share quantized values)."""
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models.decoder import (decoder_step, init_decoder,
+                                         init_decode_state)
+    cfg = small_test_config().decoder
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B = 2
+    contexts = {}
+    for i, spec in enumerate(cfg.contexts):
+        feats = jax.random.normal(ks[i], (B, spec.max_len, spec.kv_dim))
+        mask = jnp.zeros((B, spec.max_len), bool)
+        contexts[spec.name] = (feats, mask)
+    toks = jnp.array([5, 9], jnp.int32)
+
+    monkeypatch.setenv("TELL_TPU_KV8", "1")
+    monkeypatch.setenv("TELL_TPU_FUSED", "0")
+    state = init_decode_state(params, cfg, contexts, B)
+    ref, _, _ = decoder_step(params, cfg, toks, state)
+    monkeypatch.setenv("TELL_TPU_FUSED", "1")
+    state = init_decode_state(params, cfg, contexts, B)
+    out, _, _ = decoder_step(params, cfg, toks, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_decoder_step_with_fused_attention(monkeypatch):
     """decoder_step output is identical with kernels forced on (interpret)."""
     from tell_tpu.config import small_test_config

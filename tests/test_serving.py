@@ -201,3 +201,37 @@ def test_adapter_serving_keeps_attention_and_dict_entities(service):
                                       "label": "ORG"}],
                         "face_embeds": np.zeros((1, 512)).tolist()})
     assert "caption" in out
+
+
+def test_modern_adapter_serving():
+    """The stretch transformer_modern family behind the same CaptionService
+    (adapter.encode routes the frozen towers; LLMConfig has no .decoder)."""
+    import jax
+    import pathlib
+    import tempfile
+    from tell_tpu.config import ContextSpec
+    from tell_tpu.models.llm_decoder import LLMConfig
+    from tell_tpu.models.registry import get_model
+    from tell_tpu.models.backbones import RobertaConfig, init_roberta
+    from tell_tpu.serving import CaptionService
+    from tell_tpu.data.tokenizer import RobertaTokenizer
+    from tests.test_tokenizer import build_synthetic_vocab
+
+    cfg = LLMConfig(
+        vocab_size=300, dim=32, num_layers=2, num_heads=4, num_kv_heads=2,
+        ffn_dim=48, dropout=0.0, attention_dropout=0.0, gen_len=3,
+        loss_vocab_chunk=128, max_target_positions=32,
+        contexts=(ContextSpec("article", 24, 16),
+                  ContextSpec("faces", 512, 2)))
+    adapter = get_model("transformer_modern", cfg)
+    rcfg = RobertaConfig(vocab_size=300, dim=24, num_layers=2, num_heads=4,
+                         ffn_dim=32, max_positions=40)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(1), rcfg),
+              "roberta_cfg": rcfg}
+    vf, mf = build_synthetic_vocab(pathlib.Path(tempfile.mkdtemp()))
+    tok = RobertaTokenizer.from_files(vf, mf, max_len=16)
+    svc = CaptionService(adapter.init(jax.random.PRNGKey(0), adapter.config),
+                         frozen, cfg, tok, max_batch=2, article_len=16,
+                         adapter=adapter)
+    out = svc.caption({"context": "the news of the era"})
+    assert "caption" in out and isinstance(out["caption"], str)
