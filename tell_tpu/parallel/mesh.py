@@ -45,6 +45,14 @@ _RULES: list[tuple[str, P]] = [
     # adaptive embedding bands + softmax: vocab-sharded tables
     (r".*/embed/bands/\d+/embed$", P("model", None)),
     (r".*/embed/bands/\d+/proj$", P(None, None)),
+    # modern LM (models/llm_decoder.py): causal self-attention heads and
+    # SwiGLU split over "model"; the tied vocab table shards over rows
+    # (XLA all-gathers the [N, V] logits for loss/top-k)
+    (r".*/self_attn/(q|k|v)/w$", P(None, "model")),
+    (r".*/self_attn/o/w$", P("model", None)),
+    (r".*/ffn/(w1|w3)/w$", P(None, "model")),
+    (r".*/ffn/w2/w$", P("model", None)),
+    (r".*tok_embed$", P("model", None)),
     # everything else replicated
     (r".*", P()),
 ]
@@ -71,6 +79,14 @@ def param_sharding_rules(params, mesh: Mesh):
                 # drop axes the leaf doesn't have (e.g. 1-D bias rules)
                 if len([a for a in spec if a is not None]) > leaf.ndim:
                     spec = P()
+                # replicate when a sharded dim doesn't divide evenly
+                # (e.g. an odd vocab size over the "model" axis)
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    if leaf.shape[dim] % mesh.shape[axis] != 0:
+                        spec = P()
+                        break
                 return NamedSharding(mesh, spec)
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -29,18 +29,20 @@ CFG = LLMConfig(
 
 def make_batch(rng, B=3):
     ks = jr.split(rng, 6)
-    S = CFG.context("article").max_len if False else 9
     face = jr.normal(ks[2], (B, 3, 8))
     face = face.at[:, -1].set(jnp.nan)  # absent face row
+    caps = jnp.array([[0, 7, 9, 13, 2, 1, 1],
+                      [0, 44, 101, 5, 6, 7, 2],
+                      [0, 3, 2, 1, 1, 1, 1]])
+    caps = jnp.tile(caps, (-(-B // 3), 1))[:B]
+    lens = jnp.array([9, 6, 4] * (-(-B // 3)))[:B]
     return {
         "image_grid": jr.normal(ks[0], (B, 5, 16)),
         "article": jr.normal(ks[1], (B, 9, 12)),
-        "article_mask": jnp.arange(9)[None] >= jnp.array([[9], [6], [4]]),
+        "article_mask": jnp.arange(9)[None] >= lens[:, None],
         "face_embeds": face,
         "obj_embeds": jr.normal(ks[3], (B, 4, 16)),
-        "caption_ids": jnp.array([[0, 7, 9, 13, 2, 1, 1],
-                                  [0, 44, 101, 5, 6, 7, 2],
-                                  [0, 3, 2, 1, 1, 1, 1]]),
+        "caption_ids": caps,
     }
 
 

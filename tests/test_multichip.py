@@ -61,3 +61,26 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_modern_sharded_loss_matches_single_device():
+    """The modern LM's DP x TP sharded loss == unsharded loss (GQA heads
+    and SwiGLU widths shard over 'model'; tied vocab table over rows)."""
+    from tests.test_llm_decoder import CFG, make_batch
+    from tell_tpu.models.llm_decoder import init_llm_decoder, llm_loss
+
+    params = init_llm_decoder(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1), B=4)
+    ref = float(llm_loss(params, CFG, batch)[0])
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded_params = shard_params(params, mesh)
+    qw = param_sharding_rules(params, mesh)["layers"][0]["self_attn"]["q"][
+        "w"]
+    assert "model" in str(qw.spec)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh, batch))
+    with mesh:
+        loss = float(jax.jit(
+            lambda p, b: llm_loss(p, CFG, b)[0])(sharded_params,
+                                                 sharded_batch))
+    np.testing.assert_allclose(loss, ref, rtol=2e-5)

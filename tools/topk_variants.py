@@ -1,0 +1,97 @@
+"""A/B experiments: exact top-k over wide logit rows on the real chip.
+
+The decode loop's adaptive top-k spends most of its time in three
+lax.top_k sorts (head 5002 + tails 15000/30265 wide). Variants:
+
+  direct    — lax.top_k([N, V], k)
+  twolevel  — per-128-block top-k (cheap width-128 sorts) then a final
+              top-k over the nb*k candidates; exact for any k
+  iterk     — k iterated argmax+mask passes (exact, k full-array scans)
+
+Each is timed standalone over the tail2-sized array (slope timing).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+N = int(os.environ.get("N", "640"))
+V = int(os.environ.get("V", "30265"))
+K = int(os.environ.get("K", "5"))
+
+
+def direct(x):
+    return jax.lax.top_k(x, K)
+
+
+def twolevel(x):
+    n, v = x.shape
+    B = 128
+    nb = -(-v // B)
+    pad = nb * B - v
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    blocks = xp.reshape(n, nb, B)
+    bv, bi = jax.lax.top_k(blocks, K)                  # [n, nb, K]
+    base = (jnp.arange(nb) * B)[None, :, None]
+    cand_v = bv.reshape(n, nb * K)
+    cand_i = (bi + base).reshape(n, nb * K)
+    fv, fp_ = jax.lax.top_k(cand_v, K)
+    fi = jnp.take_along_axis(cand_i, fp_, axis=-1)
+    return fv, fi
+
+
+def iterk(x):
+    vals, ids = [], []
+    cur = x
+    for _ in range(K):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[:, None], axis=-1)[:, 0]
+        vals.append(v)
+        ids.append(i)
+        cur = cur.at[jnp.arange(cur.shape[0]), i].set(-jnp.inf)
+    return jnp.stack(vals, -1), jnp.stack(ids, -1)
+
+
+def slope_time(fn, x):
+    @jax.jit
+    def chain(x, bump):
+        def body(c, _):
+            v, i = fn(c)
+            return c + (v[:, :1] * 0 + i[:, :1].astype(c.dtype) * 0
+                        + bump * 0), v[:, 0]
+        out, vs = jax.lax.scan(body, x, None, length=100)
+        return vs.sum()
+
+    def run_k(k):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            acc = acc + chain(x, acc * 0)
+        return float(acc)
+
+    run_k(1)
+    t0 = time.perf_counter(); run_k(1); lo = time.perf_counter() - t0
+    t0 = time.perf_counter(); run_k(5); hi = time.perf_counter() - t0
+    return (hi - lo) / 4 / 100
+
+
+def main():
+    x = jr.normal(jr.PRNGKey(0), (N, V), jnp.float32)
+    # exactness check
+    dv, di = direct(x)
+    for name, fn in (("twolevel", twolevel), ("iterk", iterk)):
+        v, i = fn(x)
+        ok = (jnp.allclose(v, dv) and (i == di).all())
+        print(f"{name}: exact={bool(ok)}")
+    for name, fn in (("direct", direct), ("twolevel", twolevel),
+                     ("iterk", iterk)):
+        t = slope_time(fn, x)
+        print(f"{name:10s} {t*1e6:8.1f} us/call  (N={N} V={V} K={K})")
+
+
+if __name__ == "__main__":
+    main()
