@@ -9,6 +9,13 @@ lax.top_k sorts (head 5002 + tails 15000/30265 wide). Variants:
   iterk     — k iterated argmax+mask passes (exact, k full-array scans)
 
 Each is timed standalone over the tail2-sized array (slope timing).
+
+FINDINGS (v5e-1, N=640 V=30265 K=5): standalone direct=132us,
+iterk=97us, twolevel=3249us per call — but wiring iterk into
+adaptive_top_k REGRESSED end-to-end beam-5 throughput 258.6 -> 191
+captions/s: the five masked full-array copies (`.at[rows, i].set`)
+each force a [N, V] fp32 materialization inside the decode scan, which
+the standalone chain (one live buffer) hides. lax.top_k stays.
 """
 import os
 import sys
