@@ -78,11 +78,17 @@ def _tokenizer(exp):
 
 
 def _frozen_towers(exp):
-    """Load converted frozen-tower weights if present in the run dir."""
+    """Load converted frozen-tower weights if present in the run dir.
+
+    The towers dir (shards_dir/../towers/<name>) is populated by
+    tools/convert_towers.py; any of roberta / vit / resnet152 found there
+    is loaded, so e.g. the 10_vit_modern experiment picks up its ViT image
+    tower without extra config."""
     from ..models.backbones import RobertaConfig, init_roberta
     import jax
     rcfg = getattr(RobertaConfig, exp.data.roberta)()
-    path = os.path.join(exp.data.shards_dir, "..", "towers", "roberta")
+    towers_dir = os.path.join(exp.data.shards_dir, "..", "towers")
+    path = os.path.join(towers_dir, "roberta")
     if os.path.exists(path):
         import orbax.checkpoint as ocp
         roberta = ocp.PyTreeCheckpointer().restore(path)
@@ -91,7 +97,20 @@ def _frozen_towers(exp):
                         "init (quality will be garbage — convert with "
                         "tools/convert_towers.py)", path)
         roberta = init_roberta(jax.random.PRNGKey(0), rcfg)
-    return {"roberta": roberta, "roberta_cfg": rcfg}
+    frozen = {"roberta": roberta, "roberta_cfg": rcfg}
+    vit_path = os.path.join(towers_dir, "vit")
+    if os.path.exists(vit_path):
+        import orbax.checkpoint as ocp
+        from ..models.backbones.vit import ViTConfig
+        frozen["vit"] = ocp.PyTreeCheckpointer().restore(vit_path)
+        frozen["vit_cfg"] = ViTConfig.large()
+    resnet_path = os.path.join(towers_dir, "resnet152")
+    if os.path.exists(resnet_path):
+        import orbax.checkpoint as ocp
+        from ..models.backbones.resnet import ResNetConfig
+        frozen["resnet"] = ocp.PyTreeCheckpointer().restore(resnet_path)
+        frozen["resnet_cfg"] = ResNetConfig.resnet152()
+    return frozen
 
 
 def _restore_params(exp, model_dir, template):

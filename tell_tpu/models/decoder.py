@@ -307,27 +307,33 @@ def _ln_stacked(scale: jax.Array, bias: jax.Array, x: jax.Array,
     return y.astype(x.dtype)
 
 
-def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
-                group: tuple[int, ...], cat: dict, need_weights: bool
-                ) -> tuple[jax.Array, jax.Array | None]:
-    """One stacked attention chain for a context group.
+def stacked_attention_core(attn_params: dict, names: list[str],
+                           num_heads: int, x: jax.Array, cat: dict,
+                           need_weights: bool
+                           ) -> tuple[jax.Array, jax.Array | None]:
+    """The shared stacked multi-context attention body: per-modality q/out
+    projections stacked over a modality axis, one segment-masked attention
+    chain over the group's concatenated K/V (fused Pallas kernel or jnp
+    fallback, int8-K/V aware). Used by both the flagship decoder's
+    _attn_group (which adds per-branch residual+LN) and the modern LM's
+    cross block (which doesn't) — one implementation, one quant path.
 
-    x: [B, G, E] -> branches [B, M_g, G, E] (post residual+LN),
-    optionally head-averaged probs [B, M_g, G, S_g]."""
+    x: [B, G, E] -> (out [B, M, G, E] pre-residual,
+    head-averaged probs [B, M, G, S] or None)."""
     B, G, E = x.shape
-    M = len(group)
-    H = cfg.num_heads
+    M = len(names)
+    H = num_heads
     hd = E // H
-    names = [cfg.contexts[i].name for i in group]
 
-    wq = jnp.stack([lp["attn"][n]["q_proj"]["w"] for n in names])
-    bq = jnp.stack([lp["attn"][n]["q_proj"]["b"] for n in names])
+    wq = jnp.stack([attn_params[n]["q_proj"]["w"] for n in names])
+    bq = jnp.stack([attn_params[n]["q_proj"]["b"] for n in names])
     q = jnp.einsum("bge,mef->bmgf", x, wq.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
     # Fold the modality axis into the query-row axis so the score/value
     # contractions read K and V from HBM once for all M branches; KV is
-    # stored head-major [B, H, S, hd] (see precompute_context_kv_cat).
+    # stored head-major transposed [B, H, hd, S]
+    # (see precompute_context_kv_cat).
     qh = q.reshape(B, M * G, H, hd).transpose(0, 2, 1, 3)  # [B,H,MG,hd]
     kh, vh = cat["k"], cat["v"]                    # [B,H,hd,S] transposed
     S = kh.shape[3]
@@ -366,17 +372,29 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
                          preferred_element_type=jnp.float32
                          ).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)
-    wo = jnp.stack([lp["attn"][n]["out_proj"]["w"] for n in names])
-    bo = jnp.stack([lp["attn"][n]["out_proj"]["b"] for n in names])
+    wo = jnp.stack([attn_params[n]["out_proj"]["w"] for n in names])
+    bo = jnp.stack([attn_params[n]["out_proj"]["b"] for n in names])
     out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out + bo.astype(x.dtype)[None, :, None, :]
+    attn = (jnp.mean(probs, axis=1).reshape(B, M, G, S)
+            if need_weights else None)
+    return out, attn
 
+
+def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
+                group: tuple[int, ...], cat: dict, need_weights: bool
+                ) -> tuple[jax.Array, jax.Array | None]:
+    """One stacked attention chain for a context group.
+
+    x: [B, G, E] -> branches [B, M_g, G, E] (post residual+LN),
+    optionally head-averaged probs [B, M_g, G, S_g]."""
+    names = [cfg.contexts[i].name for i in group]
+    out, attn = stacked_attention_core(lp["attn"], names, cfg.num_heads, x,
+                                       cat, need_weights)
     ln_s = jnp.stack([lp["attn_ln"][n]["scale"] for n in names])
     ln_b = jnp.stack([lp["attn_ln"][n]["bias"] for n in names])
     branches = _ln_stacked(ln_s, ln_b, x[:, None] + out)            # [B,M,G,E]
-    attn = (jnp.mean(probs, axis=1).reshape(B, M, G, S)
-            if need_weights else None)
     return branches, attn
 
 

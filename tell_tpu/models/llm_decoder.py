@@ -26,8 +26,7 @@ Decode is a fixed-shape `lax.scan`; beam search plugs into
 """
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -162,8 +161,11 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Blocks (shared math between full forward and decode step)
 # ---------------------------------------------------------------------------
 
-def _self_attn_full(sp: dict, cfg: LLMConfig, x: jax.Array) -> jax.Array:
+def _self_attn_full(sp: dict, cfg: LLMConfig, x: jax.Array,
+                    rng: jax.Array | None = None,
+                    deterministic: bool = True) -> jax.Array:
     """Causal self-attention over the whole sequence. x: [B, T, E]."""
+    from ..ops.common import dropout
     B, T, E = x.shape
     H, hd, KV = cfg.num_heads, cfg.head_dim, cfg.kv_heads
     q = linear(sp["q"], x).reshape(B, T, H, hd)
@@ -180,6 +182,7 @@ def _self_attn_full(sp: dict, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     causal = jnp.tril(jnp.ones((T, T), bool))
     scores = jnp.where(causal[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = dropout(probs, cfg.attention_dropout, rng, deterministic)
     o = jnp.einsum("bhts,bshd->bthd", probs, v,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     return linear(sp["o"], o.reshape(B, T, E))
@@ -218,18 +221,23 @@ def _self_attn_step(sp: dict, cfg: LLMConfig, x: jax.Array, cache: dict,
 
 
 def _cross_block_full(lp: dict, cfg: LLMConfig, x: jax.Array,
-                      contexts: dict, need_weights: bool
+                      contexts: dict, need_weights: bool,
+                      rng: jax.Array | None = None,
+                      deterministic: bool = True
                       ) -> tuple[jax.Array, dict]:
     """Multi-context cross-attention, full-sequence path. x: [B, T, E]."""
     from ..ops.attention import cross_attention_with_kv
     branches = []
     attns = {}
-    for spec in cfg.contexts:
+    for j, spec in enumerate(cfg.contexts):
         feats, mask = contexts[spec.name]
         k, v, kmask = precompute_kv(lp["attn"][spec.name], feats, mask)
         out, attn = cross_attention_with_kv(
             lp["attn"][spec.name], x, k, v, kmask,
-            num_heads=cfg.num_heads, need_weights=need_weights)
+            num_heads=cfg.num_heads,
+            attn_dropout=cfg.attention_dropout,
+            rng=None if rng is None else jax.random.fold_in(rng, j),
+            deterministic=deterministic, need_weights=need_weights)
         branches.append(out)
         if attn is not None:
             attns[spec.name] = attn
@@ -239,55 +247,25 @@ def _cross_block_full(lp: dict, cfg: LLMConfig, x: jax.Array,
 def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
                       cats: list[dict], B: int, need_weights: bool
                       ) -> tuple[jax.Array, list]:
-    """Decode-step cross-attention over grouped stacked KV (the flagship's
-    stacked chain minus its per-branch residual+LN — modern blocks put the
-    residual around the whole context_fc output instead). x: [R, E]."""
+    """Decode-step cross-attention over grouped stacked KV — the SAME
+    stacked-attention core as the flagship decoder (int8-K/V aware, fused
+    kernel dispatch; decoder.stacked_attention_core) minus its per-branch
+    residual+LN: modern blocks put the residual around the whole
+    context_fc output instead. x: [R, E]."""
+    from .decoder import stacked_attention_core
     R, E = x.shape
     G = R // B
-    H, hd = cfg.num_heads, cfg.head_dim
     xg = x.reshape(B, G, E)
     groups = _context_groups_llm(cfg)
     by_index: dict[int, jax.Array] = {}
     attns = []
     for group, cat in zip(groups, cats):
         names = [cfg.contexts[i].name for i in group]
-        M = len(group)
-        wq = jnp.stack([lp["attn"][n]["q_proj"]["w"] for n in names])
-        bq = jnp.stack([lp["attn"][n]["q_proj"]["b"] for n in names])
-        q = jnp.einsum("bge,mef->bmgf", xg, wq.astype(x.dtype),
-                       preferred_element_type=jnp.float32).astype(x.dtype)
-        q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
-        qh = q.reshape(B, M * G, H, hd).transpose(0, 2, 1, 3)
-        kh, vh = cat["k"], cat["v"]                    # [B,H,hd,S]
-        S = kh.shape[3]
-        from ..ops.kernels.dispatch import fused_kernels_enabled
-        probs = None
-        if fused_kernels_enabled() and not need_weights:
-            from ..ops.kernels.decode_attention import (
-                fused_decode_attention, segment_bias)
-            bias = segment_bias(cat["seg"], cat["mask"], M, G)
-            out = fused_decode_attention(qh, kh, vh, bias)
-        else:
-            scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
-                                preferred_element_type=jnp.float32)
-            seg_ok = cat["seg"][None, :] == jnp.arange(M)[:, None]
-            allowed = seg_ok[None] & ~cat["mask"][:, None, :]
-            allowed = jnp.repeat(allowed, G, axis=1)
-            scores = jnp.where(allowed[:, None], scores, -jnp.inf)
-            probs = jax.nn.softmax(scores, axis=-1)
-            out = jnp.einsum("bhxs,bhds->bhxd", probs.astype(x.dtype), vh,
-                             preferred_element_type=jnp.float32
-                             ).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)
-        wo = jnp.stack([lp["attn"][n]["out_proj"]["w"] for n in names])
-        bo = jnp.stack([lp["attn"][n]["out_proj"]["b"] for n in names])
-        out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out + bo.astype(x.dtype)[None, :, None, :]
+        out, attn = stacked_attention_core(lp["attn"], names, cfg.num_heads,
+                                           xg, cat, need_weights)
         for j, idx in enumerate(group):
             by_index[idx] = out[:, j]
-        attns.append(jnp.mean(probs, axis=1).reshape(B, M, G, S)
-                     if need_weights else None)
+        attns.append(attn)
     ordered = [by_index[i] for i in range(len(cfg.contexts))]
     h = jnp.concatenate(ordered, axis=-1).reshape(R, E * len(cfg.contexts))
     return linear(lp["context_fc"], h), attns
@@ -322,10 +300,15 @@ def llm_forward(params: dict, cfg: LLMConfig, ids: jax.Array,
     for i, lp in enumerate(params["layers"]):
         r = None if rng is None else jax.random.fold_in(rng, 1 + i)
         h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
-        x = x + dropout(_self_attn_full(lp["self_attn"], cfg, h),
-                        cfg.dropout, r, deterministic)
+        x = x + dropout(
+            _self_attn_full(lp["self_attn"], cfg, h,
+                            None if r is None else jax.random.fold_in(r, 9),
+                            deterministic),
+            cfg.dropout, r, deterministic)
         h = rms_norm(lp["cross_norm"], x, cfg.rms_eps)
-        out, attns = _cross_block_full(lp, cfg, h, contexts, need_weights)
+        out, attns = _cross_block_full(
+            lp, cfg, h, contexts, need_weights,
+            None if r is None else jax.random.fold_in(r, 10), deterministic)
         x = x + dropout(out, cfg.dropout,
                         None if r is None else jax.random.fold_in(r, 1),
                         deterministic)
@@ -408,7 +391,6 @@ def llm_loss(params: dict, cfg: LLMConfig, batch: dict,
              ) -> tuple[jax.Array, dict]:
     """Mean per-token loss in BITS (the reference's reporting convention,
     transformer_faces_objects.py:82-90). batch['caption_ids']: [B, T]."""
-    from .captioner import build_contexts as _bc
     contexts = _build_contexts(params, cfg, batch)
     ids = batch["caption_ids"]
     inputs, targets = ids[:, :-1], ids[:, 1:]

@@ -195,7 +195,7 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path in ("/stats", "/status"):
             # SHOW_CONFIG + ServerStatistic analogue
             # (tell/server/base.py:319-383, utils.py:8-17)
-            dcfg = self.service.cfg.decoder
+            dcfg = getattr(self.service.cfg, "decoder", self.service.cfg)
             self._send(200, {
                 "statistics": self.service.batcher.stats,
                 "config": {

@@ -153,3 +153,25 @@ def test_gqa_step_decode_matches_full_forward():
     stepped = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
                                atol=2e-5)
+
+
+def test_kv8_decode_close_to_fp(setup, monkeypatch):
+    """TELL_TPU_KV8=1 must flow through the shared stacked-attention core
+    (scales applied), yielding ~quantization-error outputs, not garbage
+    (regression: the modern cross block once dropped the scales)."""
+    params, batch = setup
+    contexts = _build_contexts(params, CFG, batch)
+    toks = jnp.array([5, 9, 11], jnp.int32)
+
+    monkeypatch.delenv("TELL_TPU_KV8", raising=False)
+    state = init_llm_decode_state(params, CFG, contexts, 3)
+    fp, _, _ = llm_decoder_step(params, CFG, toks, state)
+
+    monkeypatch.setenv("TELL_TPU_KV8", "1")
+    state8 = init_llm_decode_state(params, CFG, contexts, 3)
+    assert state8["kv"][0][0]["k"].dtype == jnp.int8
+    q8, _, _ = llm_decoder_step(params, CFG, toks, state8)
+
+    err = float(jnp.max(jnp.abs(q8 - fp)))
+    scale = float(jnp.max(jnp.abs(fp)))
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
