@@ -110,6 +110,12 @@ def _frozen_towers(exp):
         from ..models.backbones.resnet import ResNetConfig
         frozen["resnet"] = ocp.PyTreeCheckpointer().restore(resnet_path)
         frozen["resnet_cfg"] = ResNetConfig.resnet152()
+    # serving vision towers (on-request face/object features)
+    for name in ("mtcnn", "facenet", "yolov3"):
+        path = os.path.join(towers_dir, name)
+        if os.path.exists(path):
+            import orbax.checkpoint as ocp
+            frozen[name] = ocp.PyTreeCheckpointer().restore(path)
     return frozen
 
 

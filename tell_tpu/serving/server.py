@@ -79,6 +79,11 @@ class CaptionService:
                       "image": spec_of("image")}
         self._needs_copy_masks = (adapter is not None
                                   and adapter.name.startswith("pointer"))
+        # raw-image requests: compute grid/face/object features from the
+        # towers at pack time (the reference worker's get_faces/get_objects
+        # staging, captioner.py:291-362) when towers are available
+        from .vision import VisionPipeline
+        self.vision = VisionPipeline(frozen)
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
     def _context_text(self, req: dict) -> str:
@@ -105,6 +110,11 @@ class CaptionService:
         from ..data.pipeline import entity_occurrences
 
         B = len(requests)
+        requests = [
+            {**req, **self.vision.process(req)}
+            if ("image" in req or "image_b64" in req) else req
+            for req in requests
+        ]
         dcfg = getattr(self.cfg, "decoder", self.cfg)
         ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
         masks = np.full((B, self.article_len), -1, np.int32)
