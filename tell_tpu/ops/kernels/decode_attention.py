@@ -74,13 +74,39 @@ def segment_bias(seg: jax.Array, pad: jax.Array, M: int, G: int
     return jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
 
 
+# ~16 MB VMEM/core; the production shape (BB=2, S=640) measures 13.8 MB
+# (10.4 double-buffered K/V + 3.4 fp32 scores/bias), so the budget sits
+# just above it — only genuinely long contexts demote BB or fall back.
+_VMEM_BUDGET = 15 * 2**20
+
+
+def _pick_bb(B: int, H: int, hd: int, S: int, MG: int,
+             itemsize: int) -> int | None:
+    """Largest BB in (2, 1) whose per-cell working set (K+V tiles, double-
+    buffered by Mosaic, + fp32 scores/bias) fits VMEM; None = fall back to
+    the unfused jnp path (very long contexts — S in the thousands)."""
+    for bb in (2, 1):
+        if B % bb:
+            continue
+        kv = 2 * bb * H * hd * S * itemsize * 2      # x2 double buffering
+        scores = bb * H * MG * S * 4 + bb * MG * S * 4
+        if kv + scores <= _VMEM_BUDGET:
+            return bb
+    return None
+
+
 def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias: jax.Array) -> jax.Array:
     """q: [B, H, MG, hd]; k, v: [B, H, hd, S] (head-major, TRANSPOSED);
-    bias: [B, MG, S] additive mask. Returns [B, H, MG, hd]."""
+    bias: [B, MG, S] additive mask. Returns [B, H, MG, hd].
+
+    Falls back to the jnp math twin when a grid cell's K/V working set
+    would not fit VMEM (long-article configs, S >~ 1300 at bf16)."""
     B, H, MG, hd = q.shape
     S = k.shape[3]
-    BB = 2 if B % 2 == 0 else 1
+    BB = _pick_bb(B, H, hd, S, MG, k.dtype.itemsize)
+    if BB is None:
+        return reference_decode_attention(q, k, v, bias)
     return pl.pallas_call(
         functools.partial(_kernel, H=H, BB=BB),
         out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
@@ -138,7 +164,18 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
     fp32 [B, H, 1, S]; bias: [B, MG, S]. Returns [B, H, MG, hd]."""
     B, H, MG, hd = q.shape
     S = k8.shape[3]
-    BB = 2 if B % 2 == 0 else 1
+    BB = _pick_bb(B, H, hd, S, MG, 1)
+    if BB is None:
+        # jnp twin of the int8 math (decoder.stacked_attention_core's
+        # quant fallback branch, inlined here for very long contexts)
+        scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
+                            preferred_element_type=jnp.float32)
+        scores = scores * k_scale + bias[:, None]
+        p = jax.nn.softmax(scores, axis=-1) * v_scale
+        return jnp.einsum("bhxs,bhds->bhxd", p.astype(q.dtype),
+                          v8.astype(q.dtype),
+                          preferred_element_type=jnp.float32
+                          ).astype(q.dtype)
     kv_spec = pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((BB, H, 1, S), lambda b: (b, 0, 0, 0),

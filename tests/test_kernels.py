@@ -218,3 +218,36 @@ def test_topk_logits_matches_reference(N, D, V, k):
     same = np.asarray(i) == np.asarray(ri)
     tied = np.isclose(np.asarray(v), np.asarray(rv))
     assert (same | tied).all()
+
+
+def test_fused_decode_attention_long_context_fallback():
+    """S too large for a VMEM-resident cell must fall back to the jnp twin
+    (and stay exact), not fail to compile. _pick_bb sanity alongside."""
+    from tell_tpu.ops.kernels.decode_attention import (
+        _pick_bb, fused_decode_attention, reference_decode_attention,
+        segment_bias)
+    # production shape keeps BB=2; bf16 S=1024 fits at BB=1; S=4096 falls
+    # back entirely
+    assert _pick_bb(64, 16, 64, 640, 20, 2) == 2
+    assert _pick_bb(64, 16, 64, 1024, 20, 2) == 1
+    assert _pick_bb(64, 16, 64, 4096, 20, 2) is None
+
+    B, M, G, hd = 2, 2, 1, 64
+    S = 4200
+    # H=2 fp32 still fits VMEM (at BB=1) -> kernel runs even at this long
+    # S; H=16 does not -> dispatcher must return None and fall back.
+    assert _pick_bb(B, 2, hd, S, M * G, 4) is not None
+    assert _pick_bb(B, 16, hd, S, M * G, 4) is None
+    for H in (2, 16):
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q = jax.random.normal(ks[0], (B, H, M * G, hd))
+        k = jax.random.normal(ks[1], (B, H, hd, S))
+        v = jax.random.normal(ks[2], (B, H, hd, S))
+        seg = jnp.concatenate([jnp.zeros(S // 2, jnp.int32),
+                               jnp.ones(S - S // 2, jnp.int32)])
+        pad = jnp.zeros((B, S), bool)
+        bias = segment_bias(seg, pad, M, G)
+        out = fused_decode_attention(q, k, v, bias)
+        ref = reference_decode_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
