@@ -95,18 +95,118 @@ def _pick_bb(B: int, H: int, hd: int, S: int, MG: int,
     return None
 
 
+def _pick_tile(B: int, H: int, hd: int, S: int, MG: int,
+               itemsize: int) -> tuple[int, int] | None:
+    """(BB, TS) for the S-tiled kernel: largest batch block then largest
+    S tile whose working set (double-buffered K/V tiles + fp32 scores/bias
+    tile + persistent fp32 accumulator + q) fits VMEM. None = even a
+    (1, 128) cell does not fit (enormous H*MG — not a real config)."""
+    persist = 4 * H * MG * (hd + 2)                  # acc + m + l, per row
+    for bb in (2, 1):
+        if B % bb:
+            continue
+        for ts in (1024, 512, 256, 128):
+            if ts >= 2 * S:                           # pointless tiling
+                continue
+            kv = 2 * bb * H * hd * ts * itemsize * 2  # x2 double buffering
+            scores = bb * H * MG * ts * 4 + bb * MG * ts * 4
+            q = bb * H * MG * hd * itemsize
+            if kv + scores + q + bb * persist <= _VMEM_BUDGET:
+                return bb, ts
+    return None
+
+
+def _kernel_tiled(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *,
+                  H: int, BB: int, S: int, TS: int):
+    """Online-softmax (flash-decode) variant for long contexts: the S axis
+    rides an inner 'arbitrary' grid dimension; running max / normalizer /
+    output accumulator live in VMEM scratch across tiles. The final tile
+    may be ragged — out-of-bounds columns are masked to -inf before the
+    max (OOB block contents are unspecified) and V's OOB columns zeroed
+    (the weights there are exactly 0.0, but 0 * garbage-NaN would still
+    poison the value contraction)."""
+    s_idx = pl.program_id(1)
+    n_s = pl.num_programs(1)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, TS), 2)
+             + s_idx * TS) < S                        # [1, 1, TS]
+    for b in range(BB):
+        q = q_ref[b]                                  # [H, MG, hd]
+        kt = k_ref[b]                                 # [H, hd, TS]
+        vt = jnp.where(valid, v_ref[b], 0)            # [H, hd, TS]
+        scores = jax.lax.dot_general(
+            q, kt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, TS]
+        scores = jnp.where(valid, scores + bias_ref[b][None], -jnp.inf)
+        m_prev = m_ref[b]                             # [H, MG, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)                   # 0.0 at masked cols
+        l_ref[b] = l_ref[b] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            e.astype(vt.dtype), vt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, hd]
+        acc_ref[b] = acc_ref[b] * alpha + pv
+        m_ref[b] = m_new
+
+    @pl.when(s_idx == n_s - 1)
+    def _finish():
+        for b in range(BB):
+            o_ref[b] = (acc_ref[b] / l_ref[b]).astype(o_ref.dtype)
+
+
+def _tiled_decode_attention(q, k, v, bias, BB: int, TS: int) -> jax.Array:
+    B, H, MG, hd = q.shape
+    S = k.shape[3]
+    n_s = -(-S // TS)
+    kv_spec = pl.BlockSpec((BB, H, hd, TS), lambda b, s: (b, 0, 0, s),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_tiled, H=H, BB=BB, S=S, TS=TS),
+        out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
+        grid=(B // BB, n_s),
+        in_specs=[
+            pl.BlockSpec((BB, H, MG, hd), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, kv_spec,
+            pl.BlockSpec((BB, MG, TS), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, H, MG, hd), lambda b, s: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BB, H, MG, hd), jnp.float32),
+            pltpu.VMEM((BB, H, MG, 1), jnp.float32),
+            pltpu.VMEM((BB, H, MG, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(q, k, v, bias)
+
+
 def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            bias: jax.Array) -> jax.Array:
     """q: [B, H, MG, hd]; k, v: [B, H, hd, S] (head-major, TRANSPOSED);
     bias: [B, MG, S] additive mask. Returns [B, H, MG, hd].
 
-    Falls back to the jnp math twin when a grid cell's K/V working set
-    would not fit VMEM (long-article configs, S >~ 1300 at bf16)."""
+    Long contexts whose whole K/V stripe does not fit a VMEM cell ride the
+    S-tiled online-softmax kernel instead; jnp twin only as a last resort."""
     B, H, MG, hd = q.shape
     S = k.shape[3]
     BB = _pick_bb(B, H, hd, S, MG, k.dtype.itemsize)
     if BB is None:
-        return reference_decode_attention(q, k, v, bias)
+        tile = _pick_tile(B, H, hd, S, MG, k.dtype.itemsize)
+        if tile is None:
+            return reference_decode_attention(q, k, v, bias)
+        return _tiled_decode_attention(q, k, v, bias, *tile)
     return pl.pallas_call(
         functools.partial(_kernel, H=H, BB=BB),
         out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
@@ -157,6 +257,86 @@ def _kernel_q8(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref, *,
         o_ref[b] = out.astype(o_ref.dtype)
 
 
+def _kernel_q8_tiled(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
+                     acc_ref, m_ref, l_ref, *,
+                     H: int, BB: int, S: int, TS: int):
+    """Online-softmax int8-K/V variant. As in the single-shot q8 kernel the
+    per-source-row scales factor out of both contractions: scores *= ks per
+    column; the unnormalized weights are multiplied by vs before the value
+    matmul while the normalizer l accumulates the raw e. vs is zeroed at
+    ragged-tile OOB columns (fp32 garbage there could be NaN and 0 * NaN
+    would poison the accumulator; int8 K/V garbage is always finite)."""
+    s_idx = pl.program_id(1)
+    n_s = pl.num_programs(1)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, TS), 2)
+             + s_idx * TS) < S                        # [1, 1, TS]
+    for b in range(BB):
+        q = q_ref[b]                                  # [H, MG, hd]
+        kt = k_ref[b].astype(q_ref.dtype)             # [H, hd, TS]
+        vt = v_ref[b].astype(q_ref.dtype)
+        vs = jnp.where(valid, vs_ref[b], 0.0)         # [H, 1, TS]
+        scores = jax.lax.dot_general(
+            q, kt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, TS]
+        scores = jnp.where(valid, scores * ks_ref[b] + bias_ref[b][None],
+                           -jnp.inf)
+        m_prev = m_ref[b]                             # [H, MG, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(scores - m_new)                   # 0.0 at masked cols
+        l_ref[b] = l_ref[b] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (e * vs).astype(vt.dtype), vt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # [H, MG, hd]
+        acc_ref[b] = acc_ref[b] * alpha + pv
+        m_ref[b] = m_new
+
+    @pl.when(s_idx == n_s - 1)
+    def _finish():
+        for b in range(BB):
+            o_ref[b] = (acc_ref[b] / l_ref[b]).astype(o_ref.dtype)
+
+
+def _tiled_decode_attention_q8(q, k8, k_scale, v8, v_scale, bias,
+                               BB: int, TS: int) -> jax.Array:
+    B, H, MG, hd = q.shape
+    S = k8.shape[3]
+    n_s = -(-S // TS)
+    kv_spec = pl.BlockSpec((BB, H, hd, TS), lambda b, s: (b, 0, 0, s),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((BB, H, 1, TS), lambda b, s: (b, 0, 0, s),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_q8_tiled, H=H, BB=BB, S=S, TS=TS),
+        out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
+        grid=(B // BB, n_s),
+        in_specs=[
+            pl.BlockSpec((BB, H, MG, hd), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+            pl.BlockSpec((BB, MG, TS), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, H, MG, hd), lambda b, s: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BB, H, MG, hd), jnp.float32),
+            pltpu.VMEM((BB, H, MG, 1), jnp.float32),
+            pltpu.VMEM((BB, H, MG, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret_mode(),
+    )(q, k8, k_scale, v8, v_scale, bias)
+
+
 def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
                               v8: jax.Array, v_scale: jax.Array,
                               bias: jax.Array) -> jax.Array:
@@ -166,8 +346,12 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
     S = k8.shape[3]
     BB = _pick_bb(B, H, hd, S, MG, 1)
     if BB is None:
+        tile = _pick_tile(B, H, hd, S, MG, 1)
+        if tile is not None:
+            return _tiled_decode_attention_q8(
+                q, k8, k_scale, v8, v_scale, bias, *tile)
         # jnp twin of the int8 math (decoder.stacked_attention_core's
-        # quant fallback branch, inlined here for very long contexts)
+        # quant fallback branch, inlined here for enormous H*MG shapes)
         scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
                             preferred_element_type=jnp.float32)
         scores = scores * k_scale + bias[:, None]

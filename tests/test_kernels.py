@@ -220,24 +220,26 @@ def test_topk_logits_matches_reference(N, D, V, k):
     assert (same | tied).all()
 
 
-def test_fused_decode_attention_long_context_fallback():
-    """S too large for a VMEM-resident cell must fall back to the jnp twin
-    (and stay exact), not fail to compile. _pick_bb sanity alongside."""
+def test_fused_decode_attention_long_context_dispatch():
+    """Dispatch ladder: single-shot kernel while the whole K/V stripe fits
+    a VMEM cell, S-tiled online-softmax kernel past that. _pick_bb /
+    _pick_tile sanity at production head shapes (H=16, hd=64, MG=20)."""
     from tell_tpu.ops.kernels.decode_attention import (
-        _pick_bb, fused_decode_attention, reference_decode_attention,
-        segment_bias)
-    # production shape keeps BB=2; bf16 S=1024 fits at BB=1; S=4096 falls
-    # back entirely
+        _pick_bb, _pick_tile, fused_decode_attention,
+        reference_decode_attention, segment_bias)
+    # production shape keeps BB=2; bf16 S=1024 fits single-shot at BB=1;
+    # S=4096 rides the tiled kernel (BB=2, TS=512 measured fastest)
     assert _pick_bb(64, 16, 64, 640, 20, 2) == 2
     assert _pick_bb(64, 16, 64, 1024, 20, 2) == 1
     assert _pick_bb(64, 16, 64, 4096, 20, 2) is None
+    assert _pick_tile(64, 16, 64, 4096, 20, 2) == (2, 512)
 
     B, M, G, hd = 2, 2, 1, 64
-    S = 4200
-    # H=2 fp32 still fits VMEM (at BB=1) -> kernel runs even at this long
-    # S; H=16 does not -> dispatcher must return None and fall back.
+    S = 4200  # ragged: 4200 = 16*256 + 104, so the last tile is partial
+    # H=2 fp32 fits single-shot (BB=1); H=16 must go tiled
     assert _pick_bb(B, 2, hd, S, M * G, 4) is not None
     assert _pick_bb(B, 16, hd, S, M * G, 4) is None
+    assert _pick_tile(B, 16, hd, S, M * G, 4) is not None
     for H in (2, 16):
         ks = jax.random.split(jax.random.PRNGKey(5), 3)
         q = jax.random.normal(ks[0], (B, H, M * G, hd))
@@ -245,9 +247,51 @@ def test_fused_decode_attention_long_context_fallback():
         v = jax.random.normal(ks[2], (B, H, hd, S))
         seg = jnp.concatenate([jnp.zeros(S // 2, jnp.int32),
                                jnp.ones(S - S // 2, jnp.int32)])
-        pad = jnp.zeros((B, S), bool)
+        pad = jnp.zeros((B, S), bool).at[:, -300:].set(True)
         bias = segment_bias(seg, pad, M, G)
         out = fused_decode_attention(q, k, v, bias)
         ref = reference_decode_attention(q, k, v, bias)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_decode_attention_q8_long_context_tiled():
+    """The int8-K/V tiled kernel must match the jnp int8 math to fp32
+    rounding across tiles (incl. a ragged final tile and padded tail)."""
+    from tell_tpu.ops.kernels.decode_attention import (
+        _pick_bb, _tiled_decode_attention_q8, segment_bias)
+    from tell_tpu.models.decoder import _quantize_kv
+    B, H, M, G, hd = 2, 2, 2, 1, 16
+    S = 300  # TS=128 -> 3 tiles, last ragged
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (B, H, M * G, hd))
+    k = jax.random.normal(ks[1], (B, H, hd, S))
+    v = jax.random.normal(ks[2], (B, H, hd, S))
+    k8, k_s = _quantize_kv(k)
+    v8, v_s = _quantize_kv(v)
+    seg = (jnp.arange(S) * M // S).astype(jnp.int32)
+    pad = jnp.zeros((B, S), bool).at[:, -50:].set(True)
+    bias = segment_bias(seg, pad, M, G)
+
+    scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_s + bias[:, None]
+    p = jax.nn.softmax(scores, axis=-1) * v_s
+    ref = jnp.einsum("bhxs,bhds->bhxd", p.astype(q.dtype),
+                     v8.astype(q.dtype),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    out = _tiled_decode_attention_q8(q, k8, k_s, v8, v_s, bias, 2, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("V", [127, 129, 640, 5002, 30265])
+def test_exact_top_k_matches_lax(V):
+    from tell_tpu.ops.common import exact_top_k
+    x = jax.random.normal(jax.random.PRNGKey(2), (16, V))
+    dv, di = jax.lax.top_k(x, 5)
+    bv, bi = exact_top_k(x, 5)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(dv))
+    # ids must point at elements carrying the reported values
+    picked = np.take_along_axis(np.asarray(x), np.asarray(bi), axis=-1)
+    np.testing.assert_allclose(picked, np.asarray(dv))

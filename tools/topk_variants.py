@@ -52,6 +52,29 @@ def twolevel(x):
     return fv, fi
 
 
+def blockmax(x):
+    """Exact top-k by block-MAX selection: one cheap max-reduce pass over
+    [N, V], a small top-k over the nb block maxima, gather only those k
+    128-wide blocks, re-top-k over k*128 candidates. Exact because any
+    block containing the j-th ranked value has block max >= v_j, and at
+    most j-1 blocks have a larger max (each must hold one of ranks
+    1..j-1) — so the top-k-by-max blocks cover all top-k values."""
+    n, v = x.shape
+    B = 128
+    nb = -(-v // B)
+    if nb <= K:                                        # narrow rows: direct
+        return jax.lax.top_k(x, K)
+    pad = nb * B - v
+    xp = jnp.pad(x, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    blocks = xp.reshape(n, nb, B)
+    bm = jnp.max(blocks, axis=-1)                      # [n, nb] reduce
+    _, bsel = jax.lax.top_k(bm, K)                     # [n, K] block ids
+    cand = jnp.take_along_axis(blocks, bsel[:, :, None], axis=1)
+    fv, fp_ = jax.lax.top_k(cand.reshape(n, K * B), K)
+    fi = jnp.take_along_axis(bsel, fp_ // B, axis=-1) * B + fp_ % B
+    return fv, fi
+
+
 def iterk(x):
     vals, ids = [], []
     cur = x
@@ -90,12 +113,13 @@ def main():
     x = jr.normal(jr.PRNGKey(0), (N, V), jnp.float32)
     # exactness check
     dv, di = direct(x)
-    for name, fn in (("twolevel", twolevel), ("iterk", iterk)):
+    for name, fn in (("twolevel", twolevel), ("iterk", iterk),
+                     ("blockmax", blockmax)):
         v, i = fn(x)
         ok = (jnp.allclose(v, dv) and (i == di).all())
         print(f"{name}: exact={bool(ok)}")
     for name, fn in (("direct", direct), ("twolevel", twolevel),
-                     ("iterk", iterk)):
+                     ("iterk", iterk), ("blockmax", blockmax)):
         t = slope_time(fn, x)
         print(f"{name:10s} {t*1e6:8.1f} us/call  (N={N} V={V} K={K})")
 
