@@ -71,10 +71,22 @@ def _adapter(exp):
     return get_model(exp.model_type, exp.model)
 
 
+def _article_len(exp) -> int:
+    """Article token capacity from the model's context spec (512 in every
+    reference config; long-article experiments raise it and ride the
+    windowed RoBERTa encode)."""
+    dcfg = getattr(exp.model, "decoder", exp.model)
+    for c in getattr(dcfg, "contexts", ()):
+        if c.name == "article":
+            return c.max_len
+    return 512
+
+
 def _tokenizer(exp):
     from ..data.tokenizer import RobertaTokenizer
     return RobertaTokenizer.from_files(exp.data.vocab_file,
-                                       exp.data.merges_file)
+                                       exp.data.merges_file,
+                                       max_len=_article_len(exp))
 
 
 def _frozen_towers(exp):

@@ -173,6 +173,36 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
     return x
 
 
+def roberta_encode_windowed(params: dict, cfg: RobertaConfig,
+                            ids: jax.Array,
+                            return_all_hiddens: bool = True,
+                            window: int | None = None) -> jax.Array:
+    """Long-article encode: independent non-overlapping windows.
+
+    RoBERTa's learned position table stops at max_positions (514), which is
+    why the reference hard-truncates articles at 512 BPE tokens
+    (/root/reference/tell/data/token_indexers/roberta_indexer.py:99-101).
+    The decoder cross-attends over article features with NO positional
+    signal on the KV side, so windowing extends the attended context
+    honestly: each <= 512-token window is encoded with positions restarting
+    at its start (windows fold into the batch axis — one big encode, MXU
+    stays saturated), and the feature streams are re-concatenated. The
+    tradeoff is no cross-window self-attention; the alternative — clamped
+    position ids past 512 — silently reuses the last position embedding
+    and degrades everything after token 512.
+    """
+    B, S = ids.shape
+    W = window or (cfg.max_positions - 2)
+    if S <= W:
+        return roberta_encode(params, cfg, ids, return_all_hiddens)
+    n_w = -(-S // W)
+    idsp = jnp.pad(ids, ((0, 0), (0, n_w * W - S)),
+                   constant_values=cfg.pad_id)
+    out = roberta_encode(params, cfg, idsp.reshape(B * n_w, W),
+                         return_all_hiddens)
+    return out.reshape((B, n_w * W) + out.shape[2:])[:, :S]
+
+
 def convert_hf_roberta(state_dict: dict, cfg: RobertaConfig) -> dict:
     """Map a HuggingFace RobertaModel state_dict to our pytree.
 

@@ -91,11 +91,14 @@ def encode_contexts(frozen: dict, cfg: CaptionerConfig, batch: dict) -> dict:
     out = dict(batch)
     if ("context_ids" in batch and "article_hiddens" not in batch
             and "article" not in batch):
-        from .backbones.roberta import roberta_encode
+        from .backbones.roberta import roberta_encode_windowed
         rcfg = frozen["roberta_cfg"]
-        hiddens = roberta_encode(frozen["roberta"], rcfg,
-                                 batch["context_ids"],
-                                 return_all_hiddens=cfg.weigh_bert)
+        # windowed past the position table (long-article configs: the
+        # decoder attends over all windows' features; see
+        # backbones/roberta.py::roberta_encode_windowed)
+        hiddens = roberta_encode_windowed(frozen["roberta"], rcfg,
+                                          batch["context_ids"],
+                                          return_all_hiddens=cfg.weigh_bert)
         if not cfg.weigh_bert:
             out["article"] = jax.lax.stop_gradient(hiddens)
         else:

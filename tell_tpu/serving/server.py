@@ -34,7 +34,8 @@ class CaptionService:
 
     def __init__(self, params: dict, frozen: dict, cfg: CaptionerConfig,
                  tokenizer: RobertaTokenizer, max_batch: int = 32,
-                 article_len: int = 512, need_attention: bool = False,
+                 article_len: int | None = None,
+                 need_attention: bool = False,
                  adapter=None):
         from ..models.captioner import encode_contexts, generate
 
@@ -46,10 +47,13 @@ class CaptionService:
         self.cfg = cap_cfg
         cfg = cap_cfg
         self.tokenizer = tokenizer
-        self.article_len = article_len
         self.need_attention = need_attention
         # the modern LM config exposes contexts/pad ids at the top level
         dcfg = getattr(cfg, "decoder", cfg)
+        if article_len is None:  # derive from the article context spec
+            article_len = next((c.max_len for c in dcfg.contexts
+                                if c.name == "article"), 512)
+        self.article_len = article_len
         if adapter is not None and adapter.encode is not None:
             encode = adapter.encode
         else:
@@ -102,7 +106,8 @@ class CaptionService:
             }
             pos = int(req.get("image_position", 0))
             count = lambda t: len(self.tokenizer.bpe.encode(t))  # noqa:E731
-            paragraphs, _ = assemble_location_aware(article, pos, count)
+            paragraphs, _ = assemble_location_aware(
+                article, pos, count, budget=self.article_len - 2)
             return "\n".join(paragraphs).strip()
         return ""
 

@@ -16,6 +16,18 @@ adaptive_top_k REGRESSED end-to-end beam-5 throughput 258.6 -> 191
 captions/s: the five masked full-array copies (`.at[rows, i].set`)
 each force a [N, V] fp32 materialization inside the decode scan, which
 the standalone chain (one live buffer) hides. lax.top_k stays.
+
+  blockmax  — exact block-max selection (ops/common.py::exact_top_k):
+              max-reduce to V/128 block maxima, top-k over maxima,
+              gather k blocks, re-top-k. Measured 637us — 5x SLOWER
+              than direct: the pad+reshape copy and the block gather
+              cost more than the sort, and direct's 117us already sits
+              at the [N, V] fp32 HBM-read bound (77 MB / ~800 GB/s), so
+              no sort strategy can beat it by more than ~15%. The
+              decode top-k's cost is the logits materialization, not
+              the sort — which is why the fused-logits kernel
+              (TELL_TPU_TOPK) is the only lever left, and it measured
+              slower for other reasons (ops/adaptive.py).
 """
 import os
 import sys
