@@ -101,16 +101,37 @@ def _lin(p, x):
 
 
 def _flash_ok(cfg: RobertaConfig, S: int, dtype) -> bool:
-    """Flash attention engages on TPU for LONG block-aligned sequences:
-    at S=512 the einsum path measured faster (51 vs 84 ms/fwd, v5e), so
-    flash is the >=1024-token long-context enabler (SURVEY.md §5) where
-    the S x S score matrix stops fitting comfortably, not the default.
+    """Flash attention engages on TPU for block-aligned sequences S >= 512.
+
+    With DEFAULT BlockSizes flash measured slower than einsum at S=512
+    (1.90 vs 0.75 ms/layer-fwd, v5e) — the default blocks are tuned for
+    much longer sequences. With 512-wide q/k blocks it is 2.6x FASTER
+    (0.29 ms/layer: the fp32 S x S score round-trip to HBM disappears and
+    the whole tile chain stays in VMEM), so flash is now the default for
+    every 512-multiple bucket. Shorter buckets (128/256) keep the einsum
+    path — their score matrices are small enough that XLA's fusion wins.
     The einsum path is the semantic reference (flash is an online-softmax
     reformulation; pad queries attend only pads under segment ids, and
-    their outputs are masked out downstream)."""
+    their outputs are masked out downstream). Unlike our own kernels the
+    library flash_attention has no interpret mode, so it additionally
+    requires a real TPU backend (TELL_TPU_FUSED=1 on CPU falls back to
+    einsum here instead of failing to lower)."""
+    import jax as _jax
     from ...ops.kernels.dispatch import fused_kernels_enabled
-    return (fused_kernels_enabled() and S >= 1024 and S % 128 == 0
+    return (fused_kernels_enabled() and _jax.default_backend() == "tpu"
+            and S >= 512 and S % 512 == 0
             and (cfg.dim // cfg.num_heads) % 64 == 0)
+
+
+def _flash_block_sizes(S: int):
+    """512-wide q/k blocks (measured fastest at S=512..2048 on v5e; the
+    library defaults lose 6x at these lengths)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+    b = min(S, 512)
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
 
 
 def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
@@ -151,7 +172,8 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 segment_ids=SegmentIds(q=seg, kv=seg),
-                sm_scale=hd ** -0.5)
+                sm_scale=hd ** -0.5,
+                block_sizes=_flash_block_sizes(S))
             o = o.transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k,
