@@ -79,13 +79,16 @@ def main():
     # call's result, forcing serialization), fetch one scalar at the end,
     # and divide the time difference by (k_hi - k_lo). The fixed transfer
     # and dispatch overheads cancel exactly.
+    # early_stop=False: the bench contract is conservative full-length
+    # decode (gen_len steps of work regardless of EOS)
     if BEAM <= 1:
         gen = jax.jit(lambda p, b, bump: generate(
-            p, cfg, _bumped(b, bump))["log_probs"].sum())
+            p, cfg, _bumped(b, bump), early_stop=False)["log_probs"].sum())
     else:
         from tell_tpu.models.beam import beam_search
         gen = jax.jit(lambda p, b, bump: beam_search(
-            p, cfg, _bumped(b, bump), beam_size=BEAM)["scores"].sum())
+            p, cfg, _bumped(b, bump), beam_size=BEAM,
+            early_stop=False)["scores"].sum())
 
     def run_k(k):
         acc = jnp.zeros((), jnp.float32)

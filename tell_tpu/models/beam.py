@@ -35,7 +35,8 @@ from .decoder import decoder_step, decoder_top_k, init_decode_state
 def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
                      B: int, K: int, gen_len: int,
                      bos_id: int, eos_id: int, pad_id: int,
-                     length_penalty: float = 0.0) -> dict:
+                     length_penalty: float = 0.0,
+                     early_stop: bool = True) -> dict:
     """Model-agnostic fixed-shape beam search.
 
     step_fn(tokens [B*K] int32, state) -> (cand_lp [B*K, K] fp32 per-beam
@@ -46,6 +47,12 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
     Returns {"token_ids": [B, K, gen_len+1] sorted best-first,
     "scores": [B, K] (length-normalized when length_penalty > 0),
     "finished": [B, K]}.
+
+    early_stop: run the loop as a while_loop that exits once every beam of
+    every row has emitted EOS. Exact: a finished beam's only candidate is
+    a zero-cost <pad> continuation, so further steps permute nothing the
+    final argsort does not already order. bench.py passes False (its
+    contract is conservative full-length decode).
     """
     tokens = jnp.full((B, K), bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),
@@ -97,8 +104,21 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
                 new_state), None
 
     carry = (tokens, scores, finished, lengths, paths0, state0)
-    (tokens, scores, finished, lengths, paths, _), _ = jax.lax.scan(
-        step, carry, jnp.arange(gen_len))
+    if early_stop:
+        def w_cond(c):
+            t, carry = c
+            return (t < gen_len) & ~jnp.all(carry[2])
+
+        def w_body(c):
+            t, carry = c
+            carry, _ = step(carry, t)
+            return (t + 1, carry)
+
+        _, (tokens, scores, finished, lengths, paths, _) = \
+            jax.lax.while_loop(w_cond, w_body, (0, carry))
+    else:
+        (tokens, scores, finished, lengths, paths, _), _ = jax.lax.scan(
+            step, carry, jnp.arange(gen_len))
 
     if length_penalty > 0:
         norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
@@ -114,7 +134,8 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
 
 
 def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
-                beam_size: int = 5, length_penalty: float = 0.0) -> dict:
+                beam_size: int = 5, length_penalty: float = 0.0,
+                early_stop: bool = True) -> dict:
     """Flagship-captioner beam decode (see beam_search_core)."""
     dcfg = cfg.decoder
     contexts = build_contexts(params, cfg, batch)
@@ -143,4 +164,4 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
 
     return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
                             dcfg.bos_id, dcfg.eos_id, dcfg.pad_id,
-                            length_penalty)
+                            length_penalty, early_stop=early_stop)

@@ -135,12 +135,21 @@ def captioner_loss(params: dict, cfg: CaptionerConfig, batch: dict,
 
 
 def generate(params: dict, cfg: CaptionerConfig, batch: dict,
-             rng: jax.Array | None = None, need_weights: bool = False
-             ) -> dict:
+             rng: jax.Array | None = None, need_weights: bool = False,
+             early_stop: bool = True) -> dict:
     """Top-k sampled generation (greedy when sampling_topk == 1).
 
     Returns {token_ids [B, gen_len+1] incl. seed <s>, log_probs [B, gen_len],
     attns (optional per-step per-layer head-averaged maps)}.
+
+    early_stop: decode in a while_loop that exits once EVERY row has
+    emitted EOS (captions average ~15 tokens vs gen_len=100, so serving
+    latency drops several-fold on real batches). Exact: post-finish steps
+    emit <pad> / 0.0 log-prob, which is precisely the buffer prefill, and
+    the reference retires finished rows the same way
+    (transformer_faces_objects.py:478-486). Ignored when need_weights
+    (the demo's attention path keeps the scan). bench.py passes False —
+    its contract is conservative full-length decode.
     """
     dcfg = cfg.decoder
     contexts = build_contexts(params, cfg, batch)
@@ -184,8 +193,27 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
         return (next_tok, new_finished, state), outs
 
     step_rngs = jax.random.split(rng, cfg.gen_len)
-    (_, finished, _), (toks, lps, attns) = jax.lax.scan(
-        step, (seed, finished0, state), step_rngs)
+    if early_stop and not need_weights:
+        toks0 = jnp.full((cfg.gen_len, B), dcfg.pad_id, jnp.int32)
+        lps0 = jnp.zeros((cfg.gen_len, B), jnp.float32)
+
+        def w_cond(c):
+            t, _, finished, _, _, _ = c
+            return (t < cfg.gen_len) & ~jnp.all(finished)
+
+        def w_body(c):
+            t, tokens, finished, dyn, toks, lps = c
+            (tokens, finished, dyn), (tok, lp, _) = step(
+                (tokens, finished, dyn), step_rngs[t])
+            return (t + 1, tokens, finished, dyn,
+                    toks.at[t].set(tok), lps.at[t].set(lp))
+
+        _, _, finished, _, toks, lps = jax.lax.while_loop(
+            w_cond, w_body, (0, seed, finished0, state, toks0, lps0))
+        attns = ()
+    else:
+        (_, finished, _), (toks, lps, attns) = jax.lax.scan(
+            step, (seed, finished0, state), step_rngs)
     token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
     out = {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
     if need_weights:

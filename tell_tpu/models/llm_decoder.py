@@ -511,9 +511,12 @@ def llm_decoder_step(params: dict, cfg: LLMConfig, tokens: jax.Array,
 
 
 def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
-                 rng: jax.Array | None = None) -> dict:
+                 rng: jax.Array | None = None,
+                 early_stop: bool = True) -> dict:
     """Greedy generation. Returns {token_ids [B, gen_len+1], log_probs,
-    finished} — the same payload shape as captioner.generate."""
+    finished} — the same payload shape as captioner.generate.
+    early_stop: exit the decode loop once every row emitted EOS (exact —
+    see captioner.generate)."""
     contexts = _build_contexts(params, cfg, batch)
     feat0 = next(iter(contexts.values()))[0]
     B = feat0.shape[0]
@@ -535,14 +538,33 @@ def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
         return (next_tok, finished | (sampled == cfg.eos_id), st), (
             next_tok, sel_lp)
 
-    (_, finished, _), (toks, lps) = jax.lax.scan(
-        step, (seed, finished0, state), None, length=cfg.gen_len)
+    if early_stop:
+        toks0 = jnp.full((cfg.gen_len, B), cfg.pad_id, jnp.int32)
+        lps0 = jnp.zeros((cfg.gen_len, B), jnp.float32)
+
+        def w_cond(c):
+            t, _, finished, _, _, _ = c
+            return (t < cfg.gen_len) & ~jnp.all(finished)
+
+        def w_body(c):
+            t, tokens, finished, dyn, toks, lps = c
+            (tokens, finished, dyn), (tok, lp) = step(
+                (tokens, finished, dyn), None)
+            return (t + 1, tokens, finished, dyn,
+                    toks.at[t].set(tok), lps.at[t].set(lp))
+
+        _, _, finished, _, toks, lps = jax.lax.while_loop(
+            w_cond, w_body, (0, seed, finished0, state, toks0, lps0))
+    else:
+        (_, finished, _), (toks, lps) = jax.lax.scan(
+            step, (seed, finished0, state), None, length=cfg.gen_len)
     token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
     return {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
 
 
 def llm_beam_search(params: dict, cfg: LLMConfig, batch: dict,
-                    beam_size: int = 5, length_penalty: float = 0.0) -> dict:
+                    beam_size: int = 5, length_penalty: float = 0.0,
+                    early_stop: bool = True) -> dict:
     """Beam decode via the generic core (beam.beam_search_core); the
     self-KV caches are the per-row state reordered by parent each step."""
     from .beam import beam_search_core
@@ -569,4 +591,4 @@ def llm_beam_search(params: dict, cfg: LLMConfig, batch: dict,
 
     return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
                             cfg.bos_id, cfg.eos_id, cfg.pad_id,
-                            length_penalty)
+                            length_penalty, early_stop=early_stop)
