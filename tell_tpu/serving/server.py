@@ -54,6 +54,9 @@ class CaptionService:
             article_len = next((c.max_len for c in dcfg.contexts
                                 if c.name == "article"), 512)
         self.article_len = article_len
+        self._article_buckets = tuple(sorted(
+            {max(16, article_len // 4), max(16, article_len // 2),
+             article_len}))  # e.g. 512 -> (128, 256, 512)
         if adapter is not None and adapter.encode is not None:
             encode = adapter.encode
         else:
@@ -121,9 +124,9 @@ class CaptionService:
             for req in requests
         ]
         dcfg = getattr(self.cfg, "decoder", self.cfg)
-        ids = np.full((B, self.article_len), dcfg.pad_id, np.int32)
-        masks = np.full((B, self.article_len), -1, np.int32)
-        for i, req in enumerate(requests):
+        all_toks: list = []
+        all_masks: list = []
+        for req in requests:
             text = self._context_text(req)
             if self._needs_copy_masks:
                 # pointer models: proper-noun masks from the request's
@@ -136,11 +139,27 @@ class CaptionService:
                 spans = entity_occurrences(text, ents)
                 toks, pm = self.tokenizer.encode_with_indexed_spans(
                     text, spans, max_len=self.article_len)
-                masks[i, : len(pm)] = pm
+                all_masks.append(pm)
             else:
                 toks = self.tokenizer.encode(text,
                                              max_len=self.article_len)
+            all_toks.append(toks)
+        # article-width bucketing: decode at the smallest power-of-two-ish
+        # bucket covering this micro-batch (pad columns are exactly masked,
+        # so a short bucket gives IDENTICAL captions while the per-step K/V
+        # stream shrinks with S). One compiled decode per bucket, as in
+        # training (data/bucketing.py).
+        width = self.article_len
+        for b in self._article_buckets:
+            if max((len(t) for t in all_toks), default=0) <= b:
+                width = b
+                break
+        ids = np.full((B, width), dcfg.pad_id, np.int32)
+        masks = np.full((B, width), -1, np.int32)
+        for i, toks in enumerate(all_toks):
             ids[i, : len(toks)] = toks
+        for i, pm in enumerate(all_masks):
+            masks[i, : len(pm)] = pm
         batch = {"context_ids": ids}
         if self._needs_copy_masks:
             batch["proper_masks"] = masks
