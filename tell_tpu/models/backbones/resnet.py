@@ -43,6 +43,11 @@ class ResNetConfig:
         return self.width * 8 * 4  # 2048 for width 64
 
 
+
+# static pytree leaf: ResNetConfig rides inside jitted args (e.g. the frozen-towers
+# dict passed to the train step at call time) without becoming a traced value
+jax.tree_util.register_static(ResNetConfig)
+
 def _conv_init(rng, kh, kw, cin, cout):
     fan_out = kh * kw * cout
     std = (2.0 / fan_out) ** 0.5

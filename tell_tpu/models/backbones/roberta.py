@@ -51,6 +51,11 @@ class RobertaConfig:
                              ffn_dim=1024)
 
 
+
+# static pytree leaf: RobertaConfig rides inside jitted args (e.g. the frozen-towers
+# dict passed to the train step at call time) without becoming a traced value
+jax.tree_util.register_static(RobertaConfig)
+
 def _dense(rng, din, dout):
     std = 0.02
     return {"w": jax.random.normal(rng, (din, dout), jnp.float32) * std,

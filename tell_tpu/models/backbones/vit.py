@@ -58,6 +58,11 @@ class ViTConfig:
                          num_layers=2, num_heads=16, ffn_dim=1024)
 
 
+
+# static pytree leaf: ViTConfig rides inside jitted args (e.g. the frozen-towers
+# dict passed to the train step at call time) without becoming a traced value
+jax.tree_util.register_static(ViTConfig)
+
 def _dense(rng, din, dout):
     return {"w": jax.random.normal(rng, (din, dout), jnp.float32) * 0.02,
             "b": jnp.zeros((dout,), jnp.float32)}

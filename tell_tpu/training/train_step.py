@@ -50,18 +50,25 @@ def make_train_step(cfg: CaptionerConfig,
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
+    # NOTE: a make-time `frozen` is kept for convenience on small towers,
+    # but jit treats closure arrays as compile-time CONSTANTS — a frozen
+    # RoBERTa-large baked into the HLO bloats the executable (and overflows
+    # remote-compile transports). Pass the towers at CALL time instead:
+    # step(params, opt, batch, rng, frozen=towers) — they ride as runtime
+    # buffers like params do.
     frozen_c = _cast(frozen) if frozen is not None else None
 
-    def step(params, opt_state, batch, rng):
+    def step(params, opt_state, batch, rng, frozen=None):
         batch_c = _cast(batch)
+        fz = frozen if frozen is not None else frozen_c
 
         def loss_fn(p):
             # bf16 compute / fp32 master params (apex O2 analogue,
             # callback_apex_trainer.py:121-129): the cast is inside the
             # grad so gradients flow back to the fp32 leaves
             p = _cast(p)
-            if frozen is not None:
-                l, aux = loss_e2e_f(p, frozen_c, cfg, batch_c,
+            if fz is not None:
+                l, aux = loss_e2e_f(p, _cast(fz), cfg, batch_c,
                                     rng=rng, deterministic=False)
             else:
                 l, aux = loss_f(p, cfg, batch_c, rng=rng,

@@ -90,8 +90,10 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(tcfg.serialization_dir, "checkpoints"),
             keep=tcfg.keep_checkpoints)
+        # frozen towers ride as a CALL-time argument — closure arrays would
+        # be baked into the HLO as constants (see make_train_step note)
         self._step_fn = jax.jit(
-            make_train_step(self.cfg, self.optimizer, frozen=self.frozen,
+            make_train_step(self.cfg, self.optimizer,
                             loss=adapter.loss, loss_e2e=adapter.loss_e2e),
             donate_argnums=(0, 1))
         self._eval_fn = None
@@ -209,7 +211,8 @@ class Trainer:
                     jax.profiler.start_trace(os.path.join(
                         self.tcfg.serialization_dir, "profile"))
                 self.state["params"], self.state["opt"], m = self._step_fn(
-                    self.state["params"], self.state["opt"], batch, step_rng)
+                    self.state["params"], self.state["opt"], batch, step_rng,
+                    self.frozen)
                 if (self.tcfg.profile_steps
                         and self.state["step"] == self.tcfg.profile_at
                         + self.tcfg.profile_steps):
@@ -235,9 +238,11 @@ class Trainer:
             return {}
         if self._eval_fn is None:
             if self.frozen is not None and self.adapter.loss_e2e is not None:
-                self._eval_fn = jax.jit(
-                    lambda p, b: self.adapter.loss_e2e(
-                        p, self.frozen, self.cfg, b)[0])
+                # towers as a call-time arg, not closure constants
+                eval_e2e = jax.jit(
+                    lambda p, fz, b: self.adapter.loss_e2e(
+                        p, fz, self.cfg, b)[0])
+                self._eval_fn = lambda p, b: eval_e2e(p, self.frozen, b)
             else:
                 self._eval_fn = jax.jit(
                     lambda p, b: self.adapter.loss(p, self.cfg, b)[0])
