@@ -36,7 +36,8 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
                      B: int, K: int, gen_len: int,
                      bos_id: int, eos_id: int, pad_id: int,
                      length_penalty: float = 0.0,
-                     early_stop: bool = True) -> dict:
+                     early_stop: bool = True,
+                     finished0: "jax.Array | None" = None) -> dict:
     """Model-agnostic fixed-shape beam search.
 
     step_fn(tokens [B*K] int32, state) -> (cand_lp [B*K, K] fp32 per-beam
@@ -53,11 +54,15 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
     a zero-cost <pad> continuation, so further steps permute nothing the
     final argsort does not already order. bench.py passes False (its
     contract is conservative full-length decode).
+
+    finished0 [B] bool: rows to treat as finished from step 0 (shape-pad
+    filler rows in serving) so the early exit tracks real requests only.
     """
     tokens = jnp.full((B, K), bos_id, jnp.int32)
     scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32),
                       (B, 1))
-    finished = jnp.zeros((B, K), bool)
+    finished = (jnp.zeros((B, K), bool) if finished0 is None
+                else jnp.broadcast_to(finished0[:, None], (B, K)))
     lengths = jnp.ones((B, K), jnp.int32)  # emitted tokens incl. EOS
     paths0 = jnp.full((B, K, gen_len + 1), pad_id, jnp.int32)
     paths0 = paths0.at[:, :, 0].set(bos_id)
@@ -136,7 +141,8 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
 def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
                 beam_size: int = 5, length_penalty: float = 0.0,
                 early_stop: bool = True) -> dict:
-    """Flagship-captioner beam decode (see beam_search_core)."""
+    """Flagship-captioner beam decode (see beam_search_core). A `row_live`
+    bool vector in the batch marks shape-pad filler rows as pre-finished."""
     dcfg = cfg.decoder
     contexts = build_contexts(params, cfg, batch)
     feat0 = next(iter(contexts.values()))[0]
@@ -162,6 +168,8 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
                 "conv": [jnp.take(buf, flat_parent, axis=0)
                          for buf in state["conv"]]}
 
+    finished0 = ~batch["row_live"] if "row_live" in batch else None
     return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
                             dcfg.bos_id, dcfg.eos_id, dcfg.pad_id,
-                            length_penalty, early_stop=early_stop)
+                            length_penalty, early_stop=early_stop,
+                            finished0=finished0)

@@ -163,7 +163,13 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     kv = state.pop("kv")
     embed_table = state.pop("embed_table")
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
-    finished0 = jnp.zeros((B,), bool)
+    # rows padded into the batch for shape stability (serving packs every
+    # micro-batch to max_batch) start out finished, so the early-exit
+    # condition depends only on real requests
+    if "row_live" in batch:
+        finished0 = ~batch["row_live"]
+    else:
+        finished0 = jnp.zeros((B,), bool)
     if rng is None:
         rng = jax.random.PRNGKey(0)
 

@@ -524,7 +524,8 @@ def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
                                   dtype=feat0.dtype)
     kv = state.pop("kv")
     seed = jnp.full((B,), cfg.bos_id, jnp.int32)
-    finished0 = jnp.zeros((B,), bool)
+    finished0 = (~batch["row_live"] if "row_live" in batch
+                 else jnp.zeros((B,), bool))
 
     def step(carry, _):
         tokens, finished, dyn = carry
@@ -589,6 +590,8 @@ def llm_beam_search(params: dict, cfg: LLMConfig, batch: dict,
                              "v": jnp.take(c["v"], flat_parent, axis=0)}
                             for c in st["self_kv"]]}
 
+    finished0 = ~batch["row_live"] if "row_live" in batch else None
     return beam_search_core(step_fn, reorder_fn, state, B, K, cfg.gen_len,
                             cfg.bos_id, cfg.eos_id, cfg.pad_id,
-                            length_penalty, early_stop=early_stop)
+                            length_penalty, early_stop=early_stop,
+                            finished0=finished0)

@@ -81,14 +81,17 @@ _VMEM_BUDGET = 15 * 2**20
 
 
 def _pick_bb(B: int, H: int, hd: int, S: int, MG: int,
-             itemsize: int) -> int | None:
+             itemsize: int, quant: bool = False) -> int | None:
     """Largest BB in (2, 1) whose per-cell working set (K+V tiles, double-
-    buffered by Mosaic, + fp32 scores/bias) fits VMEM; None = fall back to
-    the unfused jnp path (very long contexts — S in the thousands)."""
+    buffered by Mosaic, + fp32 scores/bias, + the fp32 per-source-row
+    k/v scale tiles when quant) fits VMEM; None = fall back to the tiled
+    kernel (very long contexts — S in the thousands)."""
     for bb in (2, 1):
         if B % bb:
             continue
         kv = 2 * bb * H * hd * S * itemsize * 2      # x2 double buffering
+        if quant:
+            kv += 2 * bb * H * S * 4 * 2             # k/v scales [H,1,S]
         scores = bb * H * MG * S * 4 + bb * MG * S * 4
         if kv + scores <= _VMEM_BUDGET:
             return bb
@@ -96,11 +99,12 @@ def _pick_bb(B: int, H: int, hd: int, S: int, MG: int,
 
 
 def _pick_tile(B: int, H: int, hd: int, S: int, MG: int,
-               itemsize: int) -> tuple[int, int] | None:
+               itemsize: int, quant: bool = False) -> tuple[int, int] | None:
     """(BB, TS) for the S-tiled kernel: largest batch block then largest
     S tile whose working set (double-buffered K/V tiles + fp32 scores/bias
-    tile + persistent fp32 accumulator + q) fits VMEM. None = even a
-    (1, 128) cell does not fit (enormous H*MG — not a real config)."""
+    tile + persistent fp32 accumulator + q + fp32 scale tiles when quant)
+    fits VMEM. None = even a (1, 128) cell does not fit (enormous H*MG —
+    not a real config)."""
     persist = 4 * H * MG * (hd + 2)                  # acc + m + l, per row
     for bb in (2, 1):
         if B % bb:
@@ -109,6 +113,8 @@ def _pick_tile(B: int, H: int, hd: int, S: int, MG: int,
             if ts >= 2 * S:                           # pointless tiling
                 continue
             kv = 2 * bb * H * hd * ts * itemsize * 2  # x2 double buffering
+            if quant:
+                kv += 2 * bb * H * ts * 4 * 2        # k/v scale tiles
             scores = bb * H * MG * ts * 4 + bb * MG * ts * 4
             q = bb * H * MG * hd * itemsize
             if kv + scores + q + bb * persist <= _VMEM_BUDGET:
@@ -344,9 +350,9 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
     fp32 [B, H, 1, S]; bias: [B, MG, S]. Returns [B, H, MG, hd]."""
     B, H, MG, hd = q.shape
     S = k8.shape[3]
-    BB = _pick_bb(B, H, hd, S, MG, 1)
+    BB = _pick_bb(B, H, hd, S, MG, 1, quant=True)
     if BB is None:
-        tile = _pick_tile(B, H, hd, S, MG, 1)
+        tile = _pick_tile(B, H, hd, S, MG, 1, quant=True)
         if tile is not None:
             return _tiled_decode_attention_q8(
                 q, k8, k_scale, v8, v_scale, bias, *tile)

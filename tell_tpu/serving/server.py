@@ -16,6 +16,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import CaptionerConfig
@@ -66,7 +67,10 @@ class CaptionService:
         gen_params = inspect.signature(gen).parameters
         takes_weights = "need_weights" in gen_params
 
-        def decode_fn(params, batch):
+        def decode_fn(params, frozen, batch):
+            # towers ride as call-time args — closure arrays would be baked
+            # into the HLO as constants (see training/train_step.py note),
+            # once per compiled article bucket
             batch = encode(frozen, batch)
             # pass attention-map capture to any generate that supports it
             # (captioner + LSTM do; the pointer decode does not)
@@ -74,6 +78,9 @@ class CaptionService:
             return gen(params, model_cfg, batch, **kwargs)
 
         self._decode = jax.jit(decode_fn)
+        # device arrays up front: numpy towers would re-transfer per call
+        self._frozen = jax.tree.map(
+            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, frozen)
         self._params = params
         self.max_batch = max_batch
         def spec_of(name):
@@ -188,7 +195,10 @@ class CaptionService:
         n = len(requests)
         padded = requests + [{"context": ""}] * (self.max_batch - n)
         batch = self._pack(padded)
-        out = self._decode(self._params, batch)
+        # filler rows start pre-finished so early-exit decode tracks only
+        # the real requests
+        batch["row_live"] = np.arange(self.max_batch) < n
+        out = self._decode(self._params, self._frozen, batch)
         token_ids = np.asarray(out["token_ids"])[:n]
         results = []
         for i in range(n):

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from typing import Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import CaptionerConfig
@@ -79,6 +80,23 @@ class Trainer:
         self.tcfg = tcfg
         self.train_batches = train_batches
         self.val_batches = val_batches
+        # Cast the frozen towers to the compute dtype ONCE and materialize
+        # them as device arrays here: orbax restores host numpy, and numpy
+        # leaves passed to a jitted step are re-transferred host->device on
+        # EVERY call (~1.4 GB/step for RoBERTa-large) with the bf16 cast
+        # re-run on device each step.
+        if frozen is not None:
+            compute_dtype = getattr(getattr(self.cfg, "captioner", self.cfg),
+                                    "compute_dtype", "float32")
+
+            def _prep(x):
+                if not hasattr(x, "dtype"):
+                    return x
+                if compute_dtype == "bfloat16" and x.dtype == jnp.float32:
+                    return jnp.asarray(x, jnp.bfloat16)
+                return jnp.asarray(x)
+
+            frozen = jax.tree.map(_prep, frozen)
         self.frozen = frozen
         self.hooks = hooks or []
         self.optimizer = bert_adam(

@@ -129,3 +129,22 @@ def test_beam_core_early_exit_stops_stepping():
     # can't read the loop count back directly, but the emitted paths past
     # step 2 must be all-pad (prefill), proving no further tokens were set
     assert (np.asarray(es_out["token_ids"])[:, :, 3:] == 1).all()
+
+
+def test_row_live_prefinishes_filler_rows():
+    """Serving pads micro-batches to max_batch; row_live=False rows start
+    finished (pad-only output) and real rows decode unchanged."""
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    live = jnp.asarray([True, False])
+    out = generate(params, CFG, {**batch, "row_live": live})
+    ref = generate(params, CFG, batch)
+    assert bool(out["finished"][1])
+    assert (np.asarray(out["token_ids"])[1, 1:] == CFG.decoder.pad_id).all()
+    np.testing.assert_array_equal(np.asarray(out["token_ids"][0]),
+                                  np.asarray(ref["token_ids"][0]))
+    bout = beam_search(params, CFG, {**batch, "row_live": live}, beam_size=3)
+    bref = beam_search(params, CFG, batch, beam_size=3)
+    assert bool(bout["finished"][1].all())
+    np.testing.assert_array_equal(np.asarray(bout["token_ids"][0]),
+                                  np.asarray(bref["token_ids"][0]))

@@ -283,15 +283,3 @@ def test_fused_decode_attention_q8_long_context_tiled():
     out = _tiled_decode_attention_q8(q, k8, k_s, v8, v_s, bias, 2, 128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
-
-
-@pytest.mark.parametrize("V", [127, 129, 640, 5002, 30265])
-def test_exact_top_k_matches_lax(V):
-    from tell_tpu.ops.common import exact_top_k
-    x = jax.random.normal(jax.random.PRNGKey(2), (16, V))
-    dv, di = jax.lax.top_k(x, 5)
-    bv, bi = exact_top_k(x, 5)
-    np.testing.assert_allclose(np.asarray(bv), np.asarray(dv))
-    # ids must point at elements carrying the reported values
-    picked = np.take_along_axis(np.asarray(x), np.asarray(bi), axis=-1)
-    np.testing.assert_allclose(picked, np.asarray(dv))

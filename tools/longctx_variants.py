@@ -43,8 +43,6 @@ def main():
               da._pick_tile(B, H, hd, S, MG, 2))
     elif VARIANT == "single1":
         assert da._pick_bb(B, H, hd, S, MG, 2) is not None
-        fn = lambda *a: da._single_shot(*a, BB=1) if hasattr(
-            da, "_single_shot") else None
         # single-shot path with BB forced: rebuild the pallas call inline
         import functools
         from jax.experimental import pallas as pl

@@ -17,7 +17,7 @@ captions/s: the five masked full-array copies (`.at[rows, i].set`)
 each force a [N, V] fp32 materialization inside the decode scan, which
 the standalone chain (one live buffer) hides. lax.top_k stays.
 
-  blockmax  — exact block-max selection (ops/common.py::exact_top_k):
+  blockmax  — exact block-max selection:
               max-reduce to V/128 block maxima, top-k over maxima,
               gather k blocks, re-top-k. Measured 637us — 5x SLOWER
               than direct: the pad+reshape copy and the block gather
