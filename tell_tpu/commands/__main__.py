@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(sv)
     sv.add_argument("-m", "--model", default=None)
     sv.add_argument("-p", "--port", type=int, default=5558)
+    sv.add_argument("-b", "--max-batch", type=int, default=32)
+    sv.add_argument("--mesh-data", type=int, default=1,
+                    help="shard each decode micro-batch over this many "
+                    "devices (data-parallel serving; 1 = single chip)")
 
     bn = sub.add_parser("bench", help="decode-throughput benchmark "
                         "(one JSON line; see bench.py)")
@@ -208,9 +212,15 @@ def cmd_serve(args) -> int:
     adapter = _adapter(exp)
     template = adapter.init(jax.random.PRNGKey(0), adapter.config)
     params = _restore_params(exp, args.model, template)
+    mesh = None
+    if args.mesh_data > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_data=args.mesh_data, n_model=1)
     service = CaptionService(params, _frozen_towers(exp), exp.model,
-                             _tokenizer(exp), adapter=adapter)
-    print(f"serving on :{args.port}")
+                             _tokenizer(exp), adapter=adapter,
+                             max_batch=args.max_batch, mesh=mesh)
+    print(f"serving on :{args.port}"
+          + (f" (data-parallel x{args.mesh_data})" if mesh else ""))
     serve(service, port=args.port)
     return 0
 

@@ -37,7 +37,7 @@ class CaptionService:
                  tokenizer: RobertaTokenizer, max_batch: int = 32,
                  article_len: int | None = None,
                  need_attention: bool = False,
-                 adapter=None):
+                 adapter=None, mesh=None):
         from ..models.captioner import encode_contexts, generate
 
         # model registry adapter (pointer/LSTM/modern models serve through
@@ -78,6 +78,21 @@ class CaptionService:
             return gen(params, model_cfg, batch, **kwargs)
 
         self._decode = jax.jit(decode_fn)
+        # Multi-chip serving (the ZeroMQ worker fan-out of the reference,
+        # tell/server/base.py:116-120, becomes one batch-sharded program):
+        # batch rows ride the mesh's "data" axis, params/towers replicate.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(mesh, PartitionSpec())
+            put = lambda t: jax.device_put(t, rep)  # noqa: E731
+            params = jax.tree.map(put, params)
+            frozen = jax.tree.map(
+                lambda x: put(x) if hasattr(x, "dtype") else x, frozen)
+            if max_batch % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_batch {max_batch} must be divisible by the mesh "
+                    f"data axis {mesh.shape['data']}")
         # device arrays up front: numpy towers would re-transfer per call
         self._frozen = jax.tree.map(
             lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, frozen)
@@ -198,7 +213,14 @@ class CaptionService:
         # filler rows start pre-finished so early-exit decode tracks only
         # the real requests
         batch["row_live"] = np.arange(self.max_batch) < n
-        out = self._decode(self._params, self._frozen, batch)
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            batch = jax.device_put(batch,
+                                   batch_sharding(self.mesh, batch))
+            with self.mesh:
+                out = self._decode(self._params, self._frozen, batch)
+        else:
+            out = self._decode(self._params, self._frozen, batch)
         token_ids = np.asarray(out["token_ids"])[:n]
         results = []
         for i in range(n):

@@ -279,3 +279,23 @@ def test_article_width_bucketing_exact(service):
     out_full = full.caption(short)
     assert out_short["caption"] == out_full["caption"]
     assert out_short["token_ids"] == out_full["token_ids"]
+
+
+def test_mesh_sharded_serving_matches_single_device(service):
+    """A data-mesh CaptionService returns identical captions to the plain
+    one (batch rows sharded over the 8-device CPU mesh, params replicated)."""
+    from tell_tpu.parallel import make_mesh
+    mesh = make_mesh(n_data=4, n_model=1)
+    frozen = service.vision.frozen
+    msvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=4,
+                          article_len=16, mesh=mesh)
+    req = {"context": "the news in the city today"}
+    out_mesh = msvc.caption(req)
+    out_ref = service.caption(req)
+    assert out_mesh["caption"] == out_ref["caption"]
+    assert out_mesh["token_ids"] == out_ref["token_ids"]
+    with pytest.raises(ValueError):
+        CaptionService(service._params, frozen, service.cfg,
+                       service.tokenizer, max_batch=6, article_len=16,
+                       mesh=mesh)
