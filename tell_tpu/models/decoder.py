@@ -199,7 +199,8 @@ def _kv8_enabled() -> bool:
     (~1e-2 relative on attention outputs — off by default, the fp path is
     the parity reference)."""
     import os
-    return os.environ.get("TELL_TPU_KV8") == "1"
+    from ..ops.kernels.dispatch import env_flag
+    return env_flag("TELL_TPU_KV8")
 
 
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -135,13 +135,25 @@ def init_adaptive_softmax(rng: jax.Array, cutoffs: tuple[int, ...],
     return p
 
 
+def _pad_col_mask(n: int, padding_idx: int) -> jax.Array | None:
+    """[n] fp32 ones with a 0 at padding_idx — multiplying the LOGITS by it
+    equals zeroing the table's padding row before the matmul (0 * w = 0 for
+    every x), but fuses into the matmul epilogue instead of materializing a
+    full table copy per call (the old .at[padding_idx].set(0.0) cost a
+    dynamic-update-slice over each [band, D] table on every decode step)."""
+    if not 0 <= padding_idx < n:
+        return None
+    return jnp.ones((n,), jnp.float32).at[padding_idx].set(0.0)
+
+
 def _head_logits(sm: dict, emb: dict, x: jax.Array,
                  padding_idx: int = 0) -> jax.Array:
     """[N, cutoff0 + n_tails]: band-0 word logits ++ tail-cluster logits."""
     table = emb["bands"][0]["embed"]
-    if 0 <= padding_idx < table.shape[0]:
-        table = table.at[padding_idx].set(0.0)
     word = jnp.dot(x, table.T, preferred_element_type=jnp.float32)
+    m = _pad_col_mask(table.shape[0], padding_idx)
+    if m is not None:
+        word = word * m
     cls = linear(sm["class_proj"], x)
     return jnp.concatenate([word, cls.astype(word.dtype)], axis=-1)
 
@@ -154,9 +166,9 @@ def _tail_logits(sm: dict, emb: dict, x: jax.Array, i: int,
     h = linear(sm["tail_projs"][i], x)
     h = dropout(h, drop_rate, rng, deterministic)
     table = emb["bands"][i + 1]["embed"]
-    if 0 <= padding_idx < table.shape[0]:
-        table = table.at[padding_idx].set(0.0)
-    return jnp.dot(h, table.T, preferred_element_type=jnp.float32)
+    out = jnp.dot(h, table.T, preferred_element_type=jnp.float32)
+    m = _pad_col_mask(table.shape[0], padding_idx)
+    return out if m is None else out * m
 
 
 def _xent(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -183,7 +195,13 @@ def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
     c0 = ranges[0][1]
     not_pad = targets != pad_id
 
-    x = dropout(x, drop_rate, rng, deterministic)
+    # independent dropout masks per site: the input drop and each tail's
+    # hidden drop get folded keys (one shared key would correlate masks)
+    tail_rng = (lambda i: jax.random.fold_in(rng, i + 1)) if rng is not None \
+        else (lambda i: None)
+    x = dropout(x, drop_rate,
+                jax.random.fold_in(rng, 0) if rng is not None else None,
+                deterministic)
 
     # Head: targets in tail band i are remapped to class slot c0 + i
     # (adapt_target, softmax.py:144-167).
@@ -198,7 +216,7 @@ def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
         in_band = (targets >= lo) & (targets < hi) & not_pad
         if tail_capacity is None:
             tl = _tail_logits(sm, emb, x, i, padding_idx, drop_rate,
-                              rng, deterministic)
+                              tail_rng(i), deterministic)
             ce = _xent(tl, jnp.clip(targets - lo, 0, hi - lo - 1))
             loss = loss + jnp.sum(ce * in_band)
         else:
@@ -210,7 +228,7 @@ def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
             xg = jnp.take(x, idx, axis=0)
             tg = jnp.clip(jnp.take(targets, idx) - lo, 0, hi - lo - 1)
             tl = _tail_logits(sm, emb, xg, i, padding_idx, drop_rate,
-                              rng, deterministic)
+                              tail_rng(i), deterministic)
             ce = _xent(tl, tg)
             loss = loss + jnp.sum(ce * valid)
             n_dropped = n_dropped + jnp.maximum(
@@ -236,8 +254,8 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # [N, V] logits round-trip but measured ~5% SLOWER end-to-end on v5e
     # (XLA's sort overlaps the matmul better than the in-kernel k-pass
     # extraction), so it is opt-in: TELL_TPU_TOPK=1.
-    import os
-    if (os.environ.get("TELL_TPU_TOPK") == "1" and k <= 8
+    from .kernels.dispatch import env_flag
+    if (env_flag("TELL_TPU_TOPK") and k <= 8
             and x.shape[0] * 2048 * 4 < 8 * 2**20):
         return _adaptive_top_k_fused(sm, emb, x, ranges, k, padding_idx)
     # top_k on RAW logits (order-preserving), log-softmax applied only to

@@ -356,16 +356,8 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
         if tile is not None:
             return _tiled_decode_attention_q8(
                 q, k8, k_scale, v8, v_scale, bias, *tile)
-        # jnp twin of the int8 math (decoder.stacked_attention_core's
-        # quant fallback branch, inlined here for enormous H*MG shapes)
-        scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
-                            preferred_element_type=jnp.float32)
-        scores = scores * k_scale + bias[:, None]
-        p = jax.nn.softmax(scores, axis=-1) * v_scale
-        return jnp.einsum("bhxs,bhds->bhxd", p.astype(q.dtype),
-                          v8.astype(q.dtype),
-                          preferred_element_type=jnp.float32
-                          ).astype(q.dtype)
+        return reference_decode_attention_q8(q, k8, k_scale, v8, v_scale,
+                                             bias)
     kv_spec = pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((BB, H, 1, S), lambda b: (b, 0, 0, 0),
@@ -387,6 +379,20 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
             dimension_semantics=("parallel",)),
         interpret=interpret_mode(),
     )(q, k8, k_scale, v8, v_scale, bias)
+
+
+def reference_decode_attention_q8(q, k8, k_scale, v8, v_scale, bias):
+    """jnp math twin of the int8-K/V kernels (parity tests + the
+    last-resort fallback for shapes where even a (1, 128) tile cell would
+    not fit VMEM). Same int8 math as decoder.stacked_attention_core's
+    quant branch: scales factor out of both contractions."""
+    scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * k_scale + bias[:, None]
+    p = jax.nn.softmax(scores, axis=-1) * v_scale
+    return jnp.einsum("bhxs,bhds->bhxd", p.astype(q.dtype),
+                      v8.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def reference_decode_attention(q, k, v, bias):

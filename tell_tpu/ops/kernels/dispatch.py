@@ -25,6 +25,11 @@ def fused_kernels_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def env_flag(name: str) -> bool:
+    """Shared truthy parsing for kernel opt-in env vars (1/true/on)."""
+    return os.environ.get(name, "").lower() in ("1", "true", "on")
+
+
 def interpret_mode() -> bool:
     """Pallas interpret=True is required off-TPU (tests force kernels on CPU)."""
     return jax.default_backend() != "tpu"

@@ -72,7 +72,10 @@ def _pallas_forward(x: jax.Array, w_km: jax.Array, kernel_size: int,
                     num_heads: int, weight_softmax: bool) -> jax.Array:
     B, T, C = x.shape
     K, H = kernel_size, num_heads
-    tile = min(TILE_T, max(T, 8))
+    # the kernel's window slice needs tile >= K (a short caption bucket,
+    # e.g. T=15 under the flagship's K=31 layer, would otherwise produce a
+    # negative-start empty slice); trailing pad rows are sliced off below
+    tile = min(TILE_T, max(T, K, 8))
     Tp = -(-T // tile) * tile
     if Tp != T:
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))

@@ -33,6 +33,9 @@ def init_linear(rng: jax.Array, in_dim: int, out_dim: int,
 
 def linear(params: dict, x: jax.Array,
            compute_dtype: jnp.dtype | None = None) -> jax.Array:
+    """Returns the CALLER's input dtype (matching gehring_linear's
+    contract) even when compute_dtype downcasts the matmul internally."""
+    out_dtype = x.dtype
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -40,7 +43,7 @@ def linear(params: dict, x: jax.Array,
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in params:
         y = y + params["b"]
-    return y.astype(x.dtype)
+    return y.astype(out_dtype)
 
 
 def init_gehring_linear(rng: jax.Array, in_dim: int, out_dim: int,

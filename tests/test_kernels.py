@@ -283,3 +283,16 @@ def test_fused_decode_attention_q8_long_context_tiled():
     out = _tiled_decode_attention_q8(q, k8, k_s, v8, v_s, bias, 2, 128)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_dynamic_conv_short_sequence():
+    """T < kernel_size (caption bucket 16 under the K=31 layer) must not
+    crash the fused kernel and must match the jnp reference."""
+    B, T, C, H, K = 2, 15, 128, 4, 31
+    p = init_dynamic_conv(jax.random.PRNGKey(0), C, K, H)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    ref = dynamic_conv(p, x, kernel_size=K, num_heads=H)
+    w_km = _rearrange(p["weight_linear"]["w"], H, K)
+    out = fused_dynamic_conv(x, w_km, K, H, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
