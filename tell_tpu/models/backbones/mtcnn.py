@@ -230,7 +230,7 @@ def detect_faces(params: dict, img: jax.Array,
     cap1 = cfg.stage1_boxes
 
     # ---- stage 1: PNet over the pyramid
-    all_boxes, all_scores, all_valid = [], [], []
+    all_boxes, all_regs, all_scores, all_valid = [], [], [], []
     for scale in pyramid_scales(H, W, cfg.min_face_size, cfg.factor):
         hs, ws = int(H * scale + 1), int(W * scale + 1)
         xi = jax.image.resize(x, (hs, ws, 3), "linear", antialias=True)
@@ -251,20 +251,27 @@ def detect_faces(params: dict, img: jax.Array,
         r = jnp.take(reg.reshape(-1, 4), idx, axis=0)
         valid = top >= cfg.thresholds[0]
         keep = nms_mask(boxes, top, valid, 0.5)
-        all_boxes.append(bbreg(boxes, r))
+        # RAW boxes into the global NMS — the reference regresses only the
+        # global-NMS survivors (detect_face.py: nms(0.7) over un-regressed
+        # 12x12-cell boxes, then qq1..qq4), so regressing earlier would
+        # change which boxes survive
+        all_boxes.append(boxes)
+        all_regs.append(r)
         all_scores.append(top)
         all_valid.append(keep)
 
     boxes = jnp.concatenate(all_boxes, axis=0)
+    regs = jnp.concatenate(all_regs, axis=0)
     scores = jnp.concatenate(all_scores, axis=0)
     valid = jnp.concatenate(all_valid, axis=0)
     # global stage-1 NMS then keep a fixed budget
     keep = nms_mask(boxes, scores, valid, 0.7)
     order = jnp.argsort(-jnp.where(keep, scores, -jnp.inf))[:cap1]
     boxes = jnp.take(boxes, order, axis=0)
+    regs = jnp.take(regs, order, axis=0)
     scores = jnp.take(scores, order)
     valid = jnp.take(keep, order)
-    boxes = jnp.where(valid[:, None], rerec(boxes), 0.0)
+    boxes = jnp.where(valid[:, None], rerec(bbreg(boxes, regs)), 0.0)
 
     # ---- stage 2: RNet on 24x24 crops
     crops = _crop_resize(x, boxes, 24)
@@ -272,7 +279,6 @@ def detect_faces(params: dict, img: jax.Array,
     valid = valid & (prob >= cfg.thresholds[1])
     keep = nms_mask(boxes, prob, valid, 0.7)
     boxes = jnp.where(keep[:, None], rerec(bbreg(boxes, reg)), 0.0)
-    scores = jnp.where(keep, prob, 0.0)
 
     # ---- stage 3: ONet on 48x48 crops
     crops = _crop_resize(x, boxes, 48)

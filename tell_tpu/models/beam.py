@@ -63,7 +63,7 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
                       (B, 1))
     finished = (jnp.zeros((B, K), bool) if finished0 is None
                 else jnp.broadcast_to(finished0[:, None], (B, K)))
-    lengths = jnp.ones((B, K), jnp.int32)  # emitted tokens incl. EOS
+    lengths = jnp.zeros((B, K), jnp.int32)  # emitted tokens incl. EOS
     paths0 = jnp.full((B, K, gen_len + 1), pad_id, jnp.int32)
     paths0 = paths0.at[:, :, 0].set(bos_id)
 

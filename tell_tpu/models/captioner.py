@@ -187,9 +187,12 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
             choice = jnp.zeros((B,), jnp.int32)
             sel_lp = topk_lp[:, 0]
         else:
+            # temperature shapes the SAMPLING distribution only; the
+            # reported log_probs stay the model's actual log-probability
+            # of the sampled token (lstm_generate's contract)
             scaled = topk_lp / cfg.sampling_temp
             choice = jax.random.categorical(step_rng, scaled, axis=-1)
-            sel_lp = jnp.take_along_axis(topk_lp / cfg.sampling_temp,
+            sel_lp = jnp.take_along_axis(topk_lp,
                                          choice[:, None], axis=-1)[:, 0]
         sampled = jnp.take_along_axis(topk_idx, choice[:, None], axis=-1)[:, 0]
         next_tok = jnp.where(finished, dcfg.pad_id, sampled)

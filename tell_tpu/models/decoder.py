@@ -356,7 +356,7 @@ def stacked_attention_core(attn_params: dict, names: list[str],
             scores = jnp.einsum("bhxd,bhds->bhxs", qh,
                                 kh.astype(x.dtype),
                                 preferred_element_type=jnp.float32)
-            scores = scores * cat["k_scale"].transpose(0, 1, 3, 2)                 .reshape(B, H, 1, S)
+            scores = scores * cat["k_scale"]          # fp32 [B, H, 1, S]
         else:
             scores = jnp.einsum("bhxd,bhds->bhxs", qh, kh,
                                 preferred_element_type=jnp.float32)

@@ -256,7 +256,7 @@ def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
     R, E = x.shape
     G = R // B
     xg = x.reshape(B, G, E)
-    groups = _context_groups_llm(cfg)
+    groups = _context_groups(cfg)  # duck-typed on .contexts
     by_index: dict[int, jax.Array] = {}
     attns = []
     for group, cat in zip(groups, cats):
@@ -269,12 +269,6 @@ def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
     ordered = [by_index[i] for i in range(len(cfg.contexts))]
     h = jnp.concatenate(ordered, axis=-1).reshape(R, E * len(cfg.contexts))
     return linear(lp["context_fc"], h), attns
-
-
-def _context_groups_llm(cfg: LLMConfig) -> tuple[tuple[int, ...], ...]:
-    """Same single-chain grouping policy as the flagship decoder (decode is
-    op-chain-latency bound; see decoder.context_groups)."""
-    return (tuple(range(len(cfg.contexts))),)
 
 
 def _ffn(lp: dict, x: jax.Array) -> jax.Array:
@@ -428,11 +422,13 @@ def modern_encode_contexts(frozen: dict, cfg: LLMConfig, batch: dict) -> dict:
     (no learned layer-sum — modern taste is the top layer)."""
     out = dict(batch)
     if ("context_ids" in batch and "article" not in batch):
-        from .backbones.roberta import roberta_encode
+        from .backbones.roberta import roberta_encode_windowed
         rcfg = frozen["roberta_cfg"]
-        hidden = roberta_encode(frozen["roberta"], rcfg,
-                                batch["context_ids"],
-                                return_all_hiddens=False)
+        # windowed past the position table — an unwindowed encode would
+        # silently clamp positions for >512-token articles
+        hidden = roberta_encode_windowed(frozen["roberta"], rcfg,
+                                         batch["context_ids"],
+                                         return_all_hiddens=False)
         out["article"] = jax.lax.stop_gradient(hidden)
         out["article_mask"] = batch["context_ids"] == rcfg.pad_id
     if "image" in batch and "image_grid" not in batch:

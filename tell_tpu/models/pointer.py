@@ -319,7 +319,12 @@ def pointer_generate(params: dict, cfg: PointerConfig, batch: dict,
         finished = carry["finished"] | (tok == dcfg.eos_id)
         new_carry = {"tokens": tok, "finished": finished, "state": new_state,
                      "feats": hist, "copied": copied, "step": t + 1}
-        outs = (tok, jnp.where(carry["finished"], 0.0, sel_lp), should_copy,
+        # log_probs reports the probability of the token actually EMITTED:
+        # on copy steps that is the copy mass, not the generator's argmax
+        # (which was discarded)
+        lp_emit = jnp.where(should_copy,
+                            jnp.log(jnp.maximum(copy_prob, 1e-9)), sel_lp)
+        outs = (tok, jnp.where(carry["finished"], 0.0, lp_emit), should_copy,
                 jnp.where(should_copy, copy_prob, 0.0))
         return new_carry, outs
 

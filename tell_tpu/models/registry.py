@@ -68,13 +68,26 @@ def _pointer(cfg: CaptionerConfig, version: int) -> ModelAdapter:
         encode=encode)
 
 
-def _modern(cfg) -> ModelAdapter:
-    from .llm_decoder import (LLMConfig, init_llm_decoder, llm_beam_search,
-                              llm_generate, llm_loss, llm_loss_e2e,
-                              modern_encode_contexts)
+def _modern(cfg, vit: bool = False) -> ModelAdapter:
+    from .llm_decoder import (LLMConfig, VIT_CONTEXTS, init_llm_decoder,
+                              llm_beam_search, llm_generate, llm_loss,
+                              llm_loss_e2e, modern_encode_contexts)
     if isinstance(cfg, CaptionerConfig):
-        # allow reusing a captioner YAML: carry over the context tuple
-        cfg = LLMConfig(contexts=cfg.decoder.contexts, gen_len=cfg.gen_len)
+        # allow reusing a captioner YAML: carry over the context tuple and
+        # every shared token-level hyper-parameter (dropping vocab/pad ids
+        # would silently train against a different vocabulary)
+        d = cfg.decoder
+        contexts = d.contexts
+        if vit and any(c.name == "image" and c.kv_dim == 2048
+                       for c in contexts):
+            # a ViT tower emits 1024-d patch tokens; swap out the flagship
+            # ResNet 2048-d grid spec (custom/test context tuples with
+            # other dims are left to the caller)
+            contexts = VIT_CONTEXTS
+        cfg = LLMConfig(contexts=contexts, gen_len=cfg.gen_len,
+                        vocab_size=d.vocab_size, pad_id=d.pad_id,
+                        bos_id=d.bos_id, eos_id=d.eos_id,
+                        max_target_positions=d.max_target_positions)
     return ModelAdapter(
         name="modern", config=cfg, init=init_llm_decoder,
         loss=llm_loss, loss_e2e=llm_loss_e2e, generate=llm_generate,
@@ -109,6 +122,8 @@ def get_model(model_type: str, cfg: CaptionerConfig) -> ModelAdapter:
         return _pointer(cfg, 2)
     if mt in ("lstm", "baseline_glove", "lstm_decoder_flattened"):
         return _lstm(cfg)
-    if mt in ("modern", "transformer_modern", "vit_modern"):
+    if mt in ("modern", "transformer_modern"):
         return _modern(cfg)
+    if mt == "vit_modern":
+        return _modern(cfg, vit=True)
     raise KeyError(f"unknown model_type {model_type!r}")
