@@ -60,7 +60,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     n = 0
     with open(gen_path, "w", encoding="utf-8") as f:
         for batch in bucket_batches(ds.epoch(shuffle=False, limit=limit),
-                                    exp.bucketing):
+                                    exp.bucketing, include_meta=True):
             real = batch.pop("real", np.ones(len(batch["caption_ids"]), bool))
             captions = batch.pop("caption", None)
             hashes = batch.pop("image_hash", None)

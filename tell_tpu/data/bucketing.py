@@ -25,7 +25,6 @@ class BucketingConfig:
     token_budget: int = 16384
     max_batch: int = 64
     min_batch: int = 1
-    sort_buffer: int = 8192  # max_instances_in_memory analogue
     max_faces: int = 4
     face_dim: int = 512
     max_objects: int = 64
@@ -63,8 +62,12 @@ def _pad_ids(ids: np.ndarray, length: int) -> np.ndarray:
 
 
 def pack_batch(examples: list[dict], article_len: int, caption_len: int,
-               cfg: BucketingConfig) -> dict:
-    """Stack ragged examples into one fixed-shape numpy batch."""
+               cfg: BucketingConfig, include_meta: bool = False) -> dict:
+    """Stack ragged examples into one fixed-shape numpy batch.
+
+    include_meta: also carry string metadata ("caption", "image_hash") as
+    plain lists — evaluation pops these for generations.jsonl; the trainer
+    must NOT set it (strings cannot ride device_put/jit)."""
     from .readers import pad_embeds
 
     B = len(examples)
@@ -105,17 +108,24 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
         batch["obj_embeds"] = np.stack(
             [pad_embeds(e.get("obj_embeds"), cfg.max_objects, cfg.object_dim)
              for e in examples])
+    if include_meta:
+        # string metadata rides as plain lists (evaluate.py pops these for
+        # generations.jsonl: untruncated references + image linkage)
+        for meta in ("caption", "image_hash"):
+            if meta in examples[0]:
+                batch[meta] = [str(e.get(meta, "")) for e in examples]
     return batch
 
 
 def bucket_batches(examples: Iterator[dict], cfg: BucketingConfig,
-                   drop_last: bool = False) -> Iterator[dict]:
+                   drop_last: bool = False,
+                   include_meta: bool = False) -> Iterator[dict]:
     """Group a stream of examples into fixed-shape batches.
 
-    Buffers up to sort_buffer examples, routes each to its (article, caption)
-    bucket, and emits a batch whenever a bucket fills. Mirrors the bucket
-    iterator's locality (similar lengths batch together) without its
-    arbitrary shapes.
+    Routes each example to its (article, caption) length bucket and emits a
+    batch whenever a bucket fills (buffering is bounded by the bucket
+    count x batch size). Mirrors the reference bucket iterator's locality
+    (similar lengths batch together) without its arbitrary shapes.
     """
     buckets: dict[tuple[int, int], list[dict]] = {}
     for ex in examples:
@@ -125,7 +135,7 @@ def bucket_batches(examples: Iterator[dict], cfg: BucketingConfig,
         buckets.setdefault(key, []).append(ex)
         b = _batch_size(al, cl, cfg)
         if len(buckets[key]) >= b:
-            yield pack_batch(buckets[key][:b], al, cl, cfg)
+            yield pack_batch(buckets[key][:b], al, cl, cfg, include_meta)
             buckets[key] = buckets[key][b:]
     if not drop_last:
         for (al, cl), rest in buckets.items():
@@ -135,7 +145,7 @@ def bucket_batches(examples: Iterator[dict], cfg: BucketingConfig,
                 # pad the final ragged batch by repeating the last example so
                 # shapes stay fixed; a "real" mask marks genuine rows
                 batch = pack_batch(chunk + [chunk[-1]] * (b - len(chunk)),
-                                   al, cl, cfg)
+                                   al, cl, cfg, include_meta)
                 batch["real"] = np.arange(b) < len(chunk)
                 yield batch
                 rest = rest[b:]

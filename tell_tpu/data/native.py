@@ -78,6 +78,9 @@ class NativeBPE:
         self._h = self._lib.tnt_bpe_new(
             blob, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(tokens), mblob, len(merges), unk)
+        if not self._h:
+            raise RuntimeError("native BPE construction failed (null "
+                               "handle) — callers fall back to ByteBPE")
         # Python twin for decode()
         from .tokenizer import ByteBPE
         self._py = ByteBPE(vocab, merges)
@@ -95,6 +98,11 @@ class NativeBPE:
 
     def encode(self, text: str) -> list[int]:
         data = text.encode("utf-8")
+        if b"\x00" in data:
+            # the C API takes a NUL-terminated string; embedded NULs (seen
+            # in scraped data) would silently truncate — the Python twin
+            # byte-maps NUL like any other byte
+            return self._py.encode(text)
         cap = max(4 * len(data) + 16, 64)
         out = np.empty((cap,), np.int32)
         n = self._lib.tnt_bpe_encode(

@@ -35,7 +35,11 @@ def entity_occurrences(text: str, entities: list[str]
     for i, name in enumerate(entities):
         if not name:
             continue
-        for m in re.finditer(re.escape(name), text):
+        # word-boundary match: a short name must not match inside a longer
+        # word ('Rose' in 'Rosenberg') — the reference's spans come from
+        # spaCy tokens, which are whole words by construction
+        pat = r"(?<!\w)" + re.escape(name) + r"(?!\w)"
+        for m in re.finditer(pat, text):
             spans.append((m.start(), m.end(), i + 1))
     return spans
 

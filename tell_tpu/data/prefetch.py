@@ -73,6 +73,14 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
+        # a worker blocked in q.put can slip one more batch into the slot
+        # the drain just freed; drain again after the join so the promise
+        # of releasing queued device batches holds
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __enter__(self):
         return self

@@ -33,21 +33,39 @@ def write_shard(path: str, examples: list[dict]) -> None:
 
 
 class ShardReader:
+    """Lazy npz shard access: np.load keeps the zip handle open for the
+    NpzFile's lifetime, and an 800k-example dataset is ~1600 shards — eagerly
+    holding every handle blows the default 1024-fd ulimit at train startup.
+    The index (lengths + field names) is read once with the file closed
+    again; the handle reopens on first access and an LRU of open shards is
+    bounded by RecordDataset."""
+
     def __init__(self, path: str):
         self.path = path
-        self._z = np.load(path, allow_pickle=False)
-        self._len = int(self._z["__len__"])
-        self._fields: dict[int, list[str]] = {}
-        for key in self._z.files:
-            if key == "__len__":
-                continue
-            idx, field = key.split("/", 1)
-            self._fields.setdefault(int(idx), []).append(field)
+        self._z = None
+        with np.load(path, allow_pickle=False) as z:
+            self._len = int(z["__len__"])
+            self._fields: dict[int, list[str]] = {}
+            for key in z.files:
+                if key == "__len__":
+                    continue
+                idx, field = key.split("/", 1)
+                self._fields.setdefault(int(idx), []).append(field)
+
+    def open(self):
+        if self._z is None:
+            self._z = np.load(self.path, allow_pickle=False)
+
+    def close(self):
+        if self._z is not None:
+            self._z.close()
+            self._z = None
 
     def __len__(self) -> int:
         return self._len
 
     def __getitem__(self, i: int) -> dict:
+        self.open()
         out = {}
         for field in self._fields.get(i, []):
             v = self._z[f"{i}/{field}"]
@@ -73,6 +91,8 @@ class RecordDataset:
         self.index = [(s, i) for s, r in enumerate(self.readers)
                       for i in range(len(r))]
         self.rs = np.random.RandomState(seed)
+        self._open_lru: list[int] = []  # bounded set of open shard handles
+        self._max_open = 64
 
     def __len__(self) -> int:
         return len(self.index)
@@ -86,4 +106,8 @@ class RecordDataset:
             order = order[:limit]
         for o in order:
             s, i = self.index[o]
+            if s not in self._open_lru:
+                self._open_lru.append(s)
+                if len(self._open_lru) > self._max_open:
+                    self.readers[self._open_lru.pop(0)].close()
             yield self.readers[s][i]

@@ -151,42 +151,45 @@ class RobertaTokenizer:
         ids = self.bpe.encode(text)[: max_len - 2]
         return [self.BOS] + ids + [self.EOS]
 
-    def encode_with_spans(self, text: str,
-                          entity_spans: list[tuple[int, int]],
-                          max_len: int | None = None
-                          ) -> tuple[list[int], list[int]]:
-        """ids plus a 0/1 copy-mask per token (1 = inside an entity span).
+    def _piece_spans(self, text: str):
+        """Yield (bpe_piece, char_start, char_end) over the whole text.
 
-        A token is inside a span if its character range overlaps the span
-        (roberta_indexer.py:149-178).
-        """
-        max_len = max_len or self.max_len
-        ids: list[int] = []
-        masks: list[int] = []
+        Char spans come from CUMULATIVE byte decoding per chunk: a piece
+        holding only part of a multi-byte UTF-8 character gets a zero-width
+        span at its position (the per-piece decode used previously shifted
+        every later span left, losing the leading pieces of accented
+        names), and the piece that completes the character owns it."""
         pos = 0
         for chunk in _PRETOKENIZE.findall(text):
             start = text.index(chunk, pos)
             mapped = "".join(self.bpe.byte_encoder[b]
                              for b in chunk.encode("utf-8"))
-            toks = self.bpe._bpe(mapped)
-            # distribute the chunk's chars over its BPE pieces
-            piece_chars = []
-            cursor = start
-            for tok in toks:
-                nbytes = len([c for c in tok])
-                # decode piece back to chars to get its length
-                raw = bytearray(self.bpe.byte_decoder[c] for c in tok)
-                s = raw.decode("utf-8", errors="ignore")
-                piece_chars.append((cursor, cursor + len(s)))
-                cursor += len(s)
+            raw = bytearray()
+            prev = 0
+            for tok in self.bpe._bpe(mapped):
+                raw.extend(self.bpe.byte_decoder[c] for c in tok)
+                cur = len(raw.decode("utf-8", errors="ignore"))
+                yield tok, start + prev, start + cur
+                prev = cur
             pos = start + len(chunk)
-            for tok, (s, e) in zip(toks, piece_chars):
-                inside = any(not (e <= a or s >= b) for a, b in entity_spans)
-                ids.append(self.bpe.encoder.get(tok, self.UNK))
-                masks.append(1 if inside else 0)
-        ids = ids[: max_len - 2]
-        masks = masks[: max_len - 2]
-        return ([self.BOS] + ids + [self.EOS], [0] + masks + [0])
+
+    @staticmethod
+    def _piece_inside(s: int, e: int, a: int, b: int) -> bool:
+        """Does piece span [s, e) belong to entity span [a, b)? Zero-width
+        pieces (partial multi-byte chars) belong to the char at s."""
+        if s == e:
+            return a <= s < b
+        return not (e <= a or s >= b)
+
+    def encode_with_spans(self, text: str,
+                          entity_spans: list[tuple[int, int]],
+                          max_len: int | None = None
+                          ) -> tuple[list[int], list[int]]:
+        """ids plus a 0/1 copy-mask per token (1 = inside an entity span;
+        roberta_indexer.py:149-178). Thin wrapper over the indexed variant
+        with every span mapped to index 1."""
+        return self.encode_with_indexed_spans(
+            text, [(a, b, 1) for a, b in entity_spans], max_len)
 
     def encode_with_indexed_spans(self, text: str,
                                   entity_spans: list[tuple[int, int, int]],
@@ -204,27 +207,13 @@ class RobertaTokenizer:
         max_len = max_len or self.max_len
         ids: list[int] = []
         masks: list[int] = []
-        pos = 0
-        for chunk in _PRETOKENIZE.findall(text):
-            start = text.index(chunk, pos)
-            mapped = "".join(self.bpe.byte_encoder[b]
-                             for b in chunk.encode("utf-8"))
-            toks = self.bpe._bpe(mapped)
-            piece_chars = []
-            cursor = start
-            for tok in toks:
-                raw = bytearray(self.bpe.byte_decoder[c] for c in tok)
-                s = raw.decode("utf-8", errors="ignore")
-                piece_chars.append((cursor, cursor + len(s)))
-                cursor += len(s)
-            pos = start + len(chunk)
-            for tok, (s, e) in zip(toks, piece_chars):
-                idx = 0
-                for (a, b, i) in entity_spans:
-                    if not (e <= a or s >= b):
-                        idx = i
-                ids.append(self.bpe.encoder.get(tok, self.UNK))
-                masks.append(idx)
+        for tok, s, e in self._piece_spans(text):
+            idx = 0
+            for (a, b, i) in entity_spans:
+                if self._piece_inside(s, e, a, b):
+                    idx = i
+            ids.append(self.bpe.encoder.get(tok, self.UNK))
+            masks.append(idx)
         ids = ids[: max_len - 2]
         masks = masks[: max_len - 2]
         return ([self.BOS] + ids + [self.EOS], [0] + masks + [0])

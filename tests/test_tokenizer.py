@@ -72,3 +72,31 @@ def test_entity_copy_masks(tmp_path):
         [i for i, m in zip(ids, masks) if m == 1])
     assert "Yorkshire" in decoded_inside
     assert "news" not in decoded_inside
+
+
+def test_indexed_spans_multibyte_entity(tmp_path):
+    """Accented (multi-byte UTF-8) entity names must have ALL their BPE
+    pieces masked, including pieces holding partial bytes."""
+    vf, mf = build_synthetic_vocab(tmp_path)
+    tok = RobertaTokenizer.from_files(vf, mf, max_len=64)
+    text = "by Émile Zola today"
+    a = text.index("Émile")
+    spans = [(a, a + len("Émile Zola"), 1)]
+    ids, masks = tok.encode_with_indexed_spans(text, spans)
+    dec = [tok.decode([i], skip_special=False) for i in ids]
+    # every non-special token overlapping the entity chars is masked
+    inner = [m for i, m in zip(ids, masks)
+             if i not in (tok.BOS, tok.EOS)]
+    text_toks = [d for i, d in zip(ids, dec) if i not in (tok.BOS, tok.EOS)]
+    covered = "".join(t for t, m in zip(text_toks, inner) if m == 1)
+    assert "mile" in covered and "Zola" in covered
+    # round-trip is exact (byte-level BPE)
+    assert tok.decode(ids) == text
+
+
+def test_entity_occurrences_word_boundaries():
+    from tell_tpu.data.pipeline import entity_occurrences
+    text = "Rosenberg met Rose at the Rose garden; Roses bloomed."
+    spans = entity_occurrences(text, ["Rose"])
+    surf = [text[a:b] for a, b, _ in spans]
+    assert surf == ["Rose", "Rose"]  # not Rosenberg, not Roses
