@@ -22,7 +22,8 @@ from ..data.bucketing import bucket_batches
 from ..data.records import RecordDataset
 from ..data.tokenizer import RobertaTokenizer
 from ..evalm import CiderScorer, bleu_scores, entity_precision_recall, rouge_l
-from ..evalm.entities import reported_entity_metrics, spacy_ner
+from ..evalm.entities import (reported_entity_metrics, spacy_ner,
+                              spacy_propn)
 
 
 def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
@@ -49,6 +50,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                     f"{split}-*.npz"), seed=0)
     ner = spacy_ner()  # None without spaCy; fields are then omitted
+    propn = spacy_propn()
     if ner is not None:
         # evaluation_cache.pkl analogue (reference evaluate.py:101-110,
         # "saves ~30 min"): captions repeat across epochs/splits
@@ -82,16 +84,21 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                     # generations.jsonl (evaluate.py:200-218)
                     "caption_readability":
                         get_readability_scores(ref_text),
-                    "generation_readability":
+                    # reference key names: gen_readability / gen_np
+                    # (evaluate.py:215-217)
+                    "gen_readability":
                         get_readability_scores(gen_text),
                     "caption_np": get_narrative_productivity(ref_text),
-                    "generation_np": get_narrative_productivity(gen_text),
+                    "gen_np": get_narrative_productivity(gen_text),
                 }
                 if ner is not None:
                     entry["caption_entities"] = [
                         {"text": t, "label": l} for t, l in ner(ref_text)]
                     entry["generated_entities"] = [
                         {"text": t, "label": l} for t, l in ner(gen_text)]
+                if propn is not None:
+                    entry["caption_names"] = propn(ref_text)
+                    entry["generated_names"] = propn(gen_text)
                 entries.append(entry)
                 f.write(json.dumps(entry) + "\n")
                 cands.append(gen_text)
@@ -124,7 +131,8 @@ def score_generations(cands: list[str], refs: list[list[str]],
     metrics = {
         "bleu-1": bleus[0] * 100, "bleu-2": bleus[1] * 100,
         "bleu-3": bleus[2] * 100, "bleu-4": bleus[3] * 100,
-        "rouge-l": rouge_l(cands, refs) * 100,
+        "rouge-l": rouge_l([strip(c) for c in cands],
+                           [[strip(r) for r in rs] for rs in refs]) * 100,
         "meteor": corpus_meteor([strip(c) for c in cands],
                                 [[strip(r) for r in rs]
                                  for rs in refs]) * 100,

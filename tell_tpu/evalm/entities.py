@@ -26,6 +26,21 @@ def spacy_ner(model: str = "en_core_web_lg") -> NerFn | None:
     return ner
 
 
+def spacy_propn(model: str = "en_core_web_lg"):
+    """Single-token PROPN extractor — the reference's name unit
+    (evaluate.py:234-239: 'Barack Obama' counts as TWO names). None
+    without spaCy."""
+    try:
+        import spacy
+        nlp = spacy.load(model)
+    except Exception:
+        return None
+
+    def propn(text: str) -> list:
+        return [t.text for t in nlp(text) if t.pos_ == "PROPN"]
+    return propn
+
+
 def entity_precision_recall(
         gen_entities: Iterable[Iterable[str]],
         ref_entities: Iterable[Iterable[str]]) -> dict:
@@ -146,16 +161,24 @@ def reported_entity_metrics(entries: list[dict],
         caps = obj.get("caption_entities", [])
         gens = obj.get("generated_entities", [])
         count_entity_matches(caps, gens, c)
-        cn = obj.get("caption_names",
-                     [e["text"] for e in caps
-                      if e["label"] in ("PERSON", "ORG", "GPE")])
-        gn = obj.get("generated_names",
-                     [e["text"] for e in gens
-                      if e["label"] in ("PERSON", "ORG", "GPE")])
+        # fallback name unit = single tokens of PERSON/ORG/GPE spans —
+        # the reference counts PROPN TOKENS ('Barack Obama' = two names;
+        # evaluate.py:234-239), and the name_counters.pkl keys are
+        # token-level too, so span-level names would misclassify nearly
+        # everything as rare
+        cn = obj.get("caption_names")
+        if cn is None:
+            cn = [t for e in caps if e["label"] in ("PERSON", "ORG", "GPE")
+                  for t in e["text"].split()]
+        gn = obj.get("generated_names")
+        if gn is None:
+            gn = [t for e in gens if e["label"] in ("PERSON", "ORG", "GPE")
+                  for t in e["text"].split()]
         a, b_, p, q = name_counts(cn, gn)
         fr, frt, fp, fpt = fr + a, frt + b_, fp + p, fpt + q
         if counters is not None:
-            a, b_, p, q = rare_name_counts(cn, gn, counters["caption"])
+            a, b_, p, q = rare_name_counts(cn, gn,
+                                           counters.get("caption", {}))
             rr, rrt, rp, rpt = rr + a, rrt + b_, rp + p, rpt + q
             a, b_, p, q = rare_name_counts(cn, gn, full_counter)
             frr, frrt, frp, frpt = frr + a, frrt + b_, frp + p, frpt + q

@@ -19,13 +19,31 @@ strategy as nltk.translate.meteor_score.
 from __future__ import annotations
 
 
+_STEMMER = None
+_STEM_CACHE: dict = {}
+
+
 def _stem(words: list[str]) -> list[str]:
-    try:
-        from nltk.stem.porter import PorterStemmer
-        ps = PorterStemmer()
-        return [ps.stem(w) for w in words]
-    except Exception:  # pragma: no cover - nltk is in the image
+    """Module-cached stemmer + per-word memo: corpus scoring re-stems the
+    same vocabulary thousands of times."""
+    global _STEMMER
+    if _STEMMER is None:
+        try:
+            from nltk.stem.porter import PorterStemmer
+            _STEMMER = PorterStemmer()
+        except Exception:  # pragma: no cover - nltk is in the image
+            _STEMMER = False
+    if _STEMMER is False:
         return words
+    out = []
+    for w in words:
+        st = _STEM_CACHE.get(w)
+        if st is None:
+            st = _STEMMER.stem(w)
+            if len(_STEM_CACHE) < 500_000:
+                _STEM_CACHE[w] = st
+        out.append(st)
+    return out
 
 
 def _align(cand: list[str], ref: list[str]) -> list[tuple[int, int]]:

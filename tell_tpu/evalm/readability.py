@@ -74,7 +74,10 @@ def gunning_fog(text: str) -> float:
 
 def smog_index(text: str) -> float:
     _, w, s, _, _, poly = _stats(text)
-    if w == 0 or s < 1:
+    # textstat gates SMOG on >= 3 sentences (returns 0.0 below) — nearly
+    # every caption is one sentence, so without the gate every record
+    # carried a spurious >= 3.13 grade
+    if w == 0 or s < 3:
         return 0.0
     return 1.0430 * math.sqrt(poly * 30 / s) + 3.1291
 
@@ -134,29 +137,36 @@ def difficult_words_ratio(text: str) -> float:
     return sum(1 for x in words if count_syllables(x) >= 3) / w
 
 
+def _grade_votes(text: str) -> list[float]:
+    return [flesch_kincaid_grade(text), gunning_fog(text),
+            smog_index(text), automated_readability_index(text),
+            coleman_liau_index(text)]
+
+
 def text_standard(text: str) -> float:
     """Consensus grade: median-ish average of the grade-level formulas
     (textstat aggregates votes; the mean of rounded grades is the
     float_output analogue)."""
-    grades = [flesch_kincaid_grade(text), gunning_fog(text),
-              smog_index(text), automated_readability_index(text),
-              coleman_liau_index(text)]
-    grades = [round(g) for g in grades]
+    grades = [round(g) for g in _grade_votes(text)]
     return sum(grades) / len(grades)
 
 
 def get_readability_scores(text: str) -> dict:
-    """Same key set as evaluate.py:253-266."""
+    """Same key set as evaluate.py:253-266. The grade formulas are computed
+    once and reused for text_standard (the eval loop calls this twice per
+    sample; recomputing the five votes doubled the per-text work)."""
+    fk, fog, smog, ari, cli = _grade_votes(text)
+    votes = [round(g) for g in (fk, fog, smog, ari, cli)]
     return {
         "flesch_reading_ease": flesch_reading_ease(text),
-        "flesch_kincaid_grade": flesch_kincaid_grade(text),
-        "gunning_fog": gunning_fog(text),
-        "smog_index": smog_index(text),
-        "automated_readability_index": automated_readability_index(text),
-        "coleman_liau_index": coleman_liau_index(text),
+        "flesch_kincaid_grade": fk,
+        "gunning_fog": fog,
+        "smog_index": smog,
+        "automated_readability_index": ari,
+        "coleman_liau_index": cli,
         "linsear_write_formula": linsear_write_formula(text),
         "dale_chall_readability_score": dale_chall_readability_score(text),
-        "text_standard": text_standard(text),
+        "text_standard": sum(votes) / len(votes),
         "difficult_words": (difficult_words_ratio(text)),
     }
 

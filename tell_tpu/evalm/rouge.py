@@ -17,19 +17,23 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
 
 
 def rouge_l(candidates: list[str], references: list[list[str]]) -> float:
-    """Mean over samples of the max-over-refs LCS F-score."""
+    """Mean over samples; multi-reference combines max precision and max
+    recall INDEPENDENTLY before the F-score (pycocoevalcap Rouge.calc_score
+    semantics — max over per-ref F-scores gives different, lower values)."""
     scores = []
     for cand, refs in zip(candidates, references):
         c = cand.split()
-        best = 0.0
+        prec_max = rec_max = 0.0
         for ref in refs:
             r = ref.split()
             lcs = _lcs_len(c, r)
-            if lcs == 0:
+            if lcs == 0 or not c or not r:
                 continue
-            prec = lcs / len(c)
-            rec = lcs / len(r)
-            best = max(best, ((1 + _BETA ** 2) * prec * rec)
-                       / (rec + _BETA ** 2 * prec))
-        scores.append(best)
+            prec_max = max(prec_max, lcs / len(c))
+            rec_max = max(rec_max, lcs / len(r))
+        if prec_max > 0 and rec_max > 0:
+            scores.append(((1 + _BETA ** 2) * prec_max * rec_max)
+                          / (rec_max + _BETA ** 2 * prec_max))
+        else:
+            scores.append(0.0)
     return sum(scores) / max(len(scores), 1)

@@ -195,7 +195,7 @@ def test_preprocess_train_evaluate_score(exp_yaml, capsys):
         rows = [json.loads(l) for l in f]
     assert len(rows) == 10
     assert {"caption", "generation", "caption_readability",
-            "generation_np"} <= set(rows[0])
+            "gen_np"} <= set(rows[0])
 
     assert main(["score", gen_path]) == 0
     scored = json.loads(capsys.readouterr().out)

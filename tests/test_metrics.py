@@ -99,8 +99,11 @@ def test_reported_entity_metrics_families_and_rare():
     assert m["Entity person - precision"]["percentage"] == 1.0
     assert m["Entity GPE - recall"]["percentage"] == 0.0
     assert m["Entity ORG - precision"]["total"] == 0
-    assert m["All names - recall"]["count"] == 1  # Anna Smith
-    assert m["All names - recall"]["total"] == 3
-    # rare = names not in the train counter: Anna Smith, Acme (not Milan)
-    assert m["Caption rare names - recall"]["total"] == 2
-    assert m["Caption rare names - recall"]["count"] == 1
+    # fallback name unit = single tokens of the spans (the reference's
+    # PROPN-token unit, evaluate.py:234-239): caption names are
+    # Anna, Smith, Milan, Acme; generated names Anna, Smith, Paris
+    assert m["All names - recall"]["count"] == 2  # Anna, Smith
+    assert m["All names - recall"]["total"] == 4
+    # rare = tokens not in the train counter: Anna, Smith, Acme (not Milan)
+    assert m["Caption rare names - recall"]["total"] == 3
+    assert m["Caption rare names - recall"]["count"] == 2
