@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("-m", "--model", default=None)
     sv.add_argument("-p", "--port", type=int, default=5558)
     sv.add_argument("-b", "--max-batch", type=int, default=32)
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address (0.0.0.0 to expose; the service "
+                    "has an unauthenticated /shutdown)")
+    sv.add_argument("--attention", action="store_true",
+                    help="include per-word attention maps in responses "
+                    "(the demo page's shading)")
     sv.add_argument("--mesh-data", type=int, default=1,
                     help="shard each decode micro-batch over this many "
                     "devices (data-parallel serving; 1 = single chip)")
@@ -218,10 +224,11 @@ def cmd_serve(args) -> int:
         mesh = make_mesh(n_data=args.mesh_data, n_model=1)
     service = CaptionService(params, _frozen_towers(exp), exp.model,
                              _tokenizer(exp), adapter=adapter,
-                             max_batch=args.max_batch, mesh=mesh)
-    print(f"serving on :{args.port}"
+                             max_batch=args.max_batch, mesh=mesh,
+                             need_attention=args.attention)
+    print(f"serving on {args.host}:{args.port}"
           + (f" (data-parallel x{args.mesh_data})" if mesh else ""))
-    serve(service, port=args.port)
+    serve(service, port=args.port, host=args.host)
     return 0
 
 

@@ -56,8 +56,15 @@ class CaptioningClient:
         return self._post("/caption", article)
 
     def parse(self, articles: list[dict]) -> list[dict]:
-        """The reference client's batch entry (caption.py:9-19)."""
-        return [self.caption(a) for a in articles]
+        """The reference client's batch entry (caption.py:9-19). Requests
+        post CONCURRENTLY so the server's micro-batcher can coalesce them
+        into one decode — serial posting would decode each article as a
+        padded batch of one."""
+        if len(articles) <= 1:
+            return [self.caption(a) for a in articles]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(len(articles), 32)) as ex:
+            return list(ex.map(self.caption, articles))
 
     def scrape(self, url: str) -> dict:
         return self._post("/scrape", {"url": url})

@@ -16,9 +16,26 @@ class ExtractError(Exception):
     pass
 
 
+def _check_fetchable(url: str, require_nyt: bool = False) -> None:
+    """SSRF guard: http(s) only, and (like the reference backend's
+    "'nytimes.com' not in url" check, demo/backend/tat/views.py) article
+    URLs must be nytimes.com — otherwise /scrape is an open proxy that
+    will fetch file:// or internal-network URLs and base64 the response
+    back to the caller."""
+    from urllib.parse import urlparse
+    p = urlparse(url)
+    if p.scheme not in ("http", "https"):
+        raise ExtractError(f"unsupported URL scheme {p.scheme!r}")
+    host = (p.hostname or "").lower()
+    if require_nyt and not (host == "nytimes.com"
+                            or host.endswith(".nytimes.com")):
+        raise ExtractError("Only nytimes.com article URLs are supported.")
+
+
 def get_urls(url: str) -> dict:
     """Fetch + parse an article URL (requires network egress)."""
     from urllib.request import Request, urlopen
+    _check_fetchable(url, require_nyt=True)
     req = Request(url, headers={"User-Agent": "Mozilla/5.0"})
     raw_html = urlopen(req, timeout=10).read().decode("utf-8")
     try:
@@ -33,6 +50,7 @@ def get_urls(url: str) -> dict:
     image_urls = []
     for section in parsed_sections:
         if section["type"] == "caption" and section.get("url"):
+            _check_fetchable(section["url"])  # http(s) only, no file://
             img = urlopen(Request(section["url"],
                                   headers={"User-Agent": "Mozilla/5.0"}),
                           timeout=10).read()

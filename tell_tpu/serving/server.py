@@ -93,10 +93,12 @@ class CaptionService:
                 raise ValueError(
                     f"max_batch {max_batch} must be divisible by the mesh "
                     f"data axis {mesh.shape['data']}")
-        # device arrays up front: numpy towers would re-transfer per call
-        self._frozen = jax.tree.map(
-            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, frozen)
-        self._params = params
+        # device arrays up front: numpy params/towers (orbax restores host
+        # numpy) would re-transfer host->device on every micro-batch
+        as_dev = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, t)
+        self._frozen = as_dev(frozen)
+        self._params = as_dev(params)
         self.max_batch = max_batch
         def spec_of(name):
             if any(c.name == name for c in dcfg.contexts):
@@ -110,9 +112,14 @@ class CaptionService:
                                   and adapter.name.startswith("pointer"))
         # raw-image requests: compute grid/face/object features from the
         # towers at pack time (the reference worker's get_faces/get_objects
-        # staging, captioner.py:291-362) when towers are available
+        # staging, captioner.py:291-362) when towers are available AND the
+        # model has the matching context
         from .vision import VisionPipeline
-        self.vision = VisionPipeline(frozen)
+        self.vision = VisionPipeline(
+            self._frozen,
+            wanted={"image": self._spec["image"][0],
+                    "faces": self._spec["faces"][0],
+                    "obj": self._spec["obj"][0]})
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
     def _context_text(self, req: dict) -> str:
@@ -136,19 +143,48 @@ class CaptionService:
             return "\n".join(paragraphs).strip()
         return ""
 
-    def _pack(self, requests: list[dict]) -> dict:
+    @staticmethod
+    def _request_image(req: dict) -> dict:
+        """Normalize the request's image carrier: the demo's scrape flow
+        ships it as sections[image_position].image_data (base64, reference
+        captioner.py:271-284); direct requests use image / image_b64."""
+        if "image" in req or "image_b64" in req:
+            return req
+        if "sections" in req:
+            try:
+                pos = int(req.get("image_position", 0))
+                data = req["sections"][pos].get("image_data")
+            except (IndexError, TypeError, ValueError):
+                data = None
+            if data:
+                return {**req, "image_b64": data}
+        return req
+
+    def _pack(self, requests: list[dict]) -> tuple[dict, list]:
+        """Returns (batch, errors) — errors[i] is None or a per-request
+        message. A malformed request (bad base64, wrong feature shape) must
+        not poison the futures of the other requests sharing its
+        micro-batch, so per-request work is isolated here and failed rows
+        degrade to an empty context."""
         from ..data.pipeline import entity_occurrences
 
         B = len(requests)
-        requests = [
-            {**req, **self.vision.process(req)}
-            if ("image" in req or "image_b64" in req) else req
-            for req in requests
-        ]
+        errors: list = [None] * B
+        prepped = []
+        for i, req in enumerate(requests):
+            try:
+                req = self._request_image(req)
+                if "image" in req or "image_b64" in req:
+                    req = {**req, **self.vision.process(req)}
+            except Exception as e:  # noqa: BLE001 - reported per request
+                errors[i] = f"bad request image: {e}"
+                req = {"context": req.get("context", "")}
+            prepped.append(req)
+        requests = prepped
         dcfg = getattr(self.cfg, "decoder", self.cfg)
         all_toks: list = []
         all_masks: list = []
-        for req in requests:
+        for i, req in enumerate(requests):
             text = self._context_text(req)
             if self._needs_copy_masks:
                 # pointer models: proper-noun masks from the request's
@@ -190,7 +226,10 @@ class CaptionService:
             grids = np.zeros((B, n_img, img_dim), np.float32)
             for i, req in enumerate(requests):
                 if "image_grid" in req:
-                    grids[i] = np.asarray(req["image_grid"], np.float32)
+                    try:
+                        grids[i] = np.asarray(req["image_grid"], np.float32)
+                    except (ValueError, TypeError) as e:
+                        errors[i] = f"bad image_grid: {e}"
             batch["image_grid"] = grids
         for name, key in (("faces", "face_embeds"), ("obj", "obj_embeds")):
             n, dim = self._spec[name]
@@ -198,18 +237,22 @@ class CaptionService:
                 continue
             em = np.full((B, n, dim), np.nan, np.float32)
             for i, req in enumerate(requests):
-                v = np.asarray(req.get(key, []), np.float32)
+                try:
+                    v = np.asarray(req.get(key, []), np.float32)
+                except (ValueError, TypeError) as e:
+                    errors[i] = f"bad {key}: {e}"
+                    continue
                 if v.size:
                     k = min(n, v.shape[0])
-                    em[i, :k] = v[:k]
+                    em[i, :k] = v[: k, : dim] if v.ndim == 2 else v[:k]
             batch[key] = em
-        return batch
+        return batch, errors
 
     def _run(self, requests: list[dict]) -> list[dict]:
         # pad the micro-batch to max_batch for a single compiled shape
         n = len(requests)
         padded = requests + [{"context": ""}] * (self.max_batch - n)
-        batch = self._pack(padded)
+        batch, errors = self._pack(padded)
         # filler rows start pre-finished so early-exit decode tracks only
         # the real requests
         batch["row_live"] = np.arange(self.max_batch) < n
@@ -224,16 +267,25 @@ class CaptionService:
         token_ids = np.asarray(out["token_ids"])[:n]
         results = []
         for i in range(n):
-            results.append({
+            r = {
                 "caption": self.tokenizer.decode(token_ids[i]),
                 "token_ids": token_ids[i].tolist(),
-            })
+            }
+            if errors[i]:
+                r["error"] = errors[i]
+            results.append(r)
         if self.need_attention and "attns" in out:
-            # attns: per-layer dicts of [gen_len, B, 1, S'] head-averaged maps
+            # attns: per-layer dicts of [gen_len, B, 1, S'] maps from the
+            # conv captioner, or ONE dict of [gen_len, B, S'] maps from the
+            # LSTM decoder — normalize to first-layer per-context lists
+            attns = out["attns"]
+            layer0 = attns[0] if isinstance(attns, (list, tuple)) else attns
             for i in range(n):
                 results[i]["attns"] = {
-                    name: np.asarray(a)[:, i, 0].tolist()
-                    for name, a in out["attns"][0].items()
+                    name: (np.asarray(a)[:, i, 0].tolist()
+                           if np.asarray(a).ndim == 4
+                           else np.asarray(a)[:, i].tolist())
+                    for name, a in layer0.items()
                 }
         return results
 
@@ -324,9 +376,14 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(service: CaptionService, port: int = 5558,
-          block: bool = True) -> ThreadingHTTPServer:
+          block: bool = True,
+          host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """host defaults to loopback: the service exposes an unauthenticated
+    /shutdown control endpoint (the reference's TERMINATE rode an internal
+    ZeroMQ socket) — front a public deployment with the nginx config in
+    demo/ and pass host="0.0.0.0" explicitly."""
     handler = type("Handler", (_Handler,), {"service": service})
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), handler)
+    httpd = ThreadingHTTPServer((host, port), handler)
     if block:
         httpd.serve_forever()
     else:

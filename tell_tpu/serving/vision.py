@@ -72,13 +72,25 @@ class VisionPipeline:
     """Jitted per-stage feature extraction from raw request images."""
 
     def __init__(self, frozen: dict, max_faces: int = 4,
-                 max_objects: int = 64):
+                 max_objects: int = 64,
+                 wanted: dict | None = None):
+        """wanted: the serving model's context capacities ({"image": n,
+        "faces": n, "obj": n}); a stage whose context is absent from the
+        model (n == 0) is disabled even when its towers are on disk —
+        otherwise every raw-image request pays an MTCNN/YOLO jit whose
+        output the packer drops."""
         self.frozen = frozen
         self.max_faces = max_faces
         self.max_objects = max_objects
-        self.has_grid = "resnet" in frozen
-        self.has_faces = "mtcnn" in frozen and "facenet" in frozen
-        self.has_objects = "yolov3" in frozen and "resnet" in frozen
+
+        def want(key):
+            return wanted is None or wanted.get(key, 0) > 0
+
+        self.has_grid = "resnet" in frozen and want("image")
+        self.has_faces = ("mtcnn" in frozen and "facenet" in frozen
+                          and want("faces"))
+        self.has_objects = ("yolov3" in frozen and "resnet" in frozen
+                            and want("obj"))
         self._grid_fn = None
         self._faces_fn = None
         self._objects_fn = None

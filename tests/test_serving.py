@@ -266,10 +266,10 @@ def test_article_width_bucketing_exact(service):
                           service.tokenizer, max_batch=4)
     assert wsvc._article_buckets == (16, 32, 64)
     short = {"context": "the news"}
-    packed = wsvc._pack([short] * 4)
+    packed, _ = wsvc._pack([short] * 4)
     assert packed["context_ids"].shape[1] == 16  # smallest bucket chosen
     long_req = {"context": " ".join(["news"] * 200)}
-    packed_long = wsvc._pack([long_req] * 4)
+    packed_long, _ = wsvc._pack([long_req] * 4)
     assert packed_long["context_ids"].shape[1] == 64
     # captions identical across bucket widths
     out_short = wsvc.caption(short)
@@ -299,3 +299,47 @@ def test_mesh_sharded_serving_matches_single_device(service):
         CaptionService(service._params, frozen, service.cfg,
                        service.tokenizer, max_batch=6, article_len=16,
                        mesh=mesh)
+
+
+def test_malformed_request_does_not_poison_batch(service):
+    """A bad image in one request must not fail its batch-mates."""
+    bad = {"context": "x", "image_b64": "!!!not-base64!!!"}
+    good = {"context": "the news in the city today"}
+    out_bad = service.caption(bad)
+    out_good = service.caption(good)
+    assert "error" in out_bad
+    assert "error" not in out_good and out_good["caption"]
+
+
+def test_scrape_url_validation():
+    from tell_tpu.serving.extractor import ExtractError, _check_fetchable
+    import pytest as _pytest
+    with _pytest.raises(ExtractError):
+        _check_fetchable("file:///etc/passwd")
+    with _pytest.raises(ExtractError):
+        _check_fetchable("http://169.254.169.254/meta", require_nyt=True)
+    with _pytest.raises(ExtractError):
+        _check_fetchable("http://evilnytimes.com/x", require_nyt=True)
+    _check_fetchable("https://www.nytimes.com/2020/x.html", require_nyt=True)
+    _check_fetchable("https://static01.nyt.com/img.jpg")  # image fetch
+
+
+def test_sections_image_data_reaches_vision(service, monkeypatch):
+    """The scrape flow's sections[pos].image_data must feed the vision
+    stage (reference captioner.py:271-284)."""
+    seen = []
+
+    class FakeVision:
+        has_grid = True
+        has_faces = has_objects = False
+
+        def process(self, req):
+            seen.append("image_b64" in req)
+            return {}
+
+    monkeypatch.setattr(service, "vision", FakeVision())
+    req = {"sections": [{"type": "caption", "text": "cap",
+                         "image_data": "aGVsbG8="}],
+           "image_position": 0}
+    service._pack([req])
+    assert seen == [True]

@@ -99,7 +99,7 @@ def test_service_uses_vision_features(monkeypatch):
             return {"image_grid": sentinel} if "image" in req else {}
 
     monkeypatch.setattr(svc, "vision", FakeVision())
-    batch = svc._pack([{"context": "news", "image": [[[0, 0, 0]]]},
-                       {"context": "more"}])
+    batch, _ = svc._pack([{"context": "news", "image": [[[0, 0, 0]]]},
+                          {"context": "more"}])
     np.testing.assert_array_equal(batch["image_grid"][0], sentinel)
     assert batch["image_grid"][1].max() == 0.0
