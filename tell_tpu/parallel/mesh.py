@@ -76,8 +76,10 @@ def param_sharding_rules(params, mesh: Mesh):
         s = _path_str(path)
         for pattern, spec in _RULES:
             if re.fullmatch(pattern, s):
-                # drop axes the leaf doesn't have (e.g. 1-D bias rules)
-                if len([a for a in spec if a is not None]) > leaf.ndim:
+                # drop axes the leaf doesn't have (e.g. 1-D bias rules);
+                # compare against the FULL spec length — counting only
+                # non-None axes lets a short leaf reach shape[dim] below
+                if len(spec) > leaf.ndim:
                     spec = P()
                 # replicate when a sharded dim doesn't divide evenly
                 # (e.g. an odd vocab size over the "model" axis)
@@ -98,16 +100,21 @@ def shard_params(params, mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh, batch):
-    """Shard every batch leaf's leading dim over "data"."""
+    """Shard every batch leaf's leading dim over "data" (0-d leaves
+    replicate). Every leaf is validated — checking only the first would
+    surface later leaves' mismatches as opaque XLA errors."""
     n_data = mesh.shape["data"]
-    leaves = jax.tree.leaves(batch)
-    if leaves and leaves[0].shape[0] % n_data != 0:
-        raise ValueError(
-            f"batch size {leaves[0].shape[0]} is not divisible by the "
-            f"'data' mesh axis ({n_data}); set bucketing.max_batch (and "
-            f"min_batch) to a multiple of trainer.n_data, or shrink "
-            f"n_data")
+    for path, leaf in jax.tree_util.tree_leaves_with_path(batch):
+        if leaf.ndim and leaf.shape[0] % n_data != 0:
+            name = jax.tree_util.keystr(path)
+            raise ValueError(
+                f"batch leaf {name} leading dim {leaf.shape[0]} is not "
+                f"divisible by the 'data' mesh axis ({n_data}); set "
+                f"bucketing.max_batch (and min_batch) to a multiple of "
+                f"trainer.n_data, or shrink n_data")
     def f(leaf):
+        if leaf.ndim == 0:
+            return NamedSharding(mesh, P())
         spec = P("data", *([None] * (leaf.ndim - 1)))
         return NamedSharding(mesh, spec)
     return jax.tree.map(f, batch)

@@ -11,6 +11,13 @@ sequence sharding for the (local) FFN. Memory per device scales as
 S/P for activations and H/P for attention — articles far beyond 512
 tokens fit by adding chips along the mesh axis.
 
+Positions still come from RoBERTa's learned 514-entry table, so S is
+capped at max_positions - 2 per pass (asserted below — silently clamped
+position ids would degrade every token past 512). For longer articles use
+`roberta_encode_windowed` (positions restart per window); sequence
+parallelism here buys per-device MEMORY headroom (activations scale S/P,
+heads H/P), not longer position coverage.
+
 Exact-parity tested against the single-device encoder on the 8-device CPU
 mesh (tests/test_sequence_parallel.py).
 """
@@ -69,6 +76,12 @@ def roberta_encode_seq_parallel(params: dict, cfg: RobertaConfig,
     assert cfg.num_heads % P_seq == 0, \
         (f"Ulysses SP needs heads ({cfg.num_heads}) divisible by the "
          f"sequence-axis size ({P_seq})")
+    if S > cfg.max_positions - 2:
+        raise ValueError(
+            f"S={S} exceeds the position table ({cfg.max_positions - 2} "
+            f"usable rows) — position ids would silently clamp and degrade "
+            f"every token past the table; use roberta_encode_windowed for "
+            f"long articles (SP buys per-device memory, not positions)")
     mask = ids != cfg.pad_id
     positions = jnp.where(
         mask, jnp.cumsum(mask.astype(jnp.int32), axis=1) + cfg.pad_id,

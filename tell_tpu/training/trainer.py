@@ -108,11 +108,22 @@ class Trainer:
         self.ckpt = CheckpointManager(
             os.path.join(tcfg.serialization_dir, "checkpoints"),
             keep=tcfg.keep_checkpoints)
+        # adapters without a native e2e loss (LSTM) still train against
+        # frozen towers: synthesize one from encode + loss so the step
+        # never falls back to the CAPTIONER objective on foreign params
+        loss_e2e = adapter.loss_e2e
+        if loss_e2e is None and adapter.encode is not None:
+            _enc, _loss = adapter.encode, adapter.loss
+
+            def loss_e2e(p, fz, cfg, b, rng=None, deterministic=True):
+                return _loss(p, cfg, _enc(fz, b), rng=rng,
+                             deterministic=deterministic)
+        self._loss_e2e = loss_e2e
         # frozen towers ride as a CALL-time argument — closure arrays would
         # be baked into the HLO as constants (see make_train_step note)
         self._step_fn = jax.jit(
             make_train_step(self.cfg, self.optimizer,
-                            loss=adapter.loss, loss_e2e=adapter.loss_e2e),
+                            loss=adapter.loss, loss_e2e=loss_e2e),
             donate_argnums=(0, 1))
         self._eval_fn = None
         self.state: dict = {}
@@ -153,6 +164,15 @@ class Trainer:
         if restored is None:
             return False
         state, meta = restored
+        # restored leaves arrive with default placement — re-apply the
+        # mesh sharding initialize() established; the optimizer moments
+        # mirror the param tree, so they take the same rules
+        state = dict(state)
+        state["params"] = shard_params(state["params"], self.mesh)
+        opt = state["opt"]
+        if hasattr(opt, "m") and hasattr(opt, "v"):
+            state["opt"] = opt._replace(m=shard_params(opt.m, self.mesh),
+                                        v=shard_params(opt.v, self.mesh))
         self.state.update(state)
         self.state.update({k: meta[k] for k in
                            ("step", "epoch", "best_metric", "bad_epochs")
@@ -219,46 +239,58 @@ class Trainer:
 
     def _train_epoch(self, epoch: int, rng: jax.Array) -> dict:
         t0 = time.time()
-        losses, sizes, skipped = [], [], 0
+        losses, skips = [], []  # device arrays; converted once at epoch end
         n_batches = 0
-        with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
-            for batch in pf:
-                step_rng = jax.random.fold_in(rng, self.state["step"])
-                if (self.tcfg.profile_steps
-                        and self.state["step"] == self.tcfg.profile_at):
-                    jax.profiler.start_trace(os.path.join(
-                        self.tcfg.serialization_dir, "profile"))
-                self.state["params"], self.state["opt"], m = self._step_fn(
-                    self.state["params"], self.state["opt"], batch, step_rng,
-                    self.frozen)
-                if (self.tcfg.profile_steps
-                        and self.state["step"] == self.tcfg.profile_at
-                        + self.tcfg.profile_steps):
-                    jax.tree.map(
-                        lambda x: x.block_until_ready(),
-                        self.state["params"])
-                    jax.profiler.stop_trace()
-                self.state["step"] += 1
-                n_batches += 1
-                losses.append(m["loss"])
-                sizes.append(m["sample_size"])
-                skipped += int(m["skipped"])
-                if n_batches % self.tcfg.log_every == 0:
-                    log.info("epoch %d step %d loss %.4f", epoch,
-                             self.state["step"], float(m["loss"]))
-        losses = [float(x) for x in losses]
-        return {"loss": float(np.mean(losses)) if losses else float("nan"),
-                "batches": n_batches, "skipped": skipped,
+        profiling = False
+        try:
+            with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
+                for batch in pf:
+                    step_rng = jax.random.fold_in(rng, self.state["step"])
+                    if (self.tcfg.profile_steps and not profiling
+                            and self.state["step"] == self.tcfg.profile_at):
+                        jax.profiler.start_trace(os.path.join(
+                            self.tcfg.serialization_dir, "profile"))
+                        profiling = True
+                    self.state["params"], self.state["opt"], m =                         self._step_fn(self.state["params"], self.state["opt"],
+                                      batch, step_rng, self.frozen)
+                    self.state["step"] += 1
+                    # [profile_at, profile_at + profile_steps): stop AFTER
+                    # the step counter has advanced past the window
+                    if (profiling and self.state["step"]
+                            >= self.tcfg.profile_at + self.tcfg.profile_steps):
+                        jax.tree.map(lambda x: x.block_until_ready(),
+                                     self.state["params"])
+                        jax.profiler.stop_trace()
+                        profiling = False
+                    n_batches += 1
+                    losses.append(m["loss"])
+                    # int(skipped) here would sync the host every step and
+                    # serialize dispatch; accumulate device-side instead
+                    skips.append(m["skipped"])
+                    if n_batches % self.tcfg.log_every == 0:
+                        log.info("epoch %d step %d loss %.4f", epoch,
+                                 self.state["step"], float(m["loss"]))
+        finally:
+            if profiling:  # flush the trace even if the epoch aborts early
+                jax.profiler.stop_trace()
+        losses = np.asarray([float(x) for x in losses])
+        skipped = int(sum(float(x) for x in skips))
+        # NaN-skipped batches keep old params AND stay out of the epoch
+        # mean (one NaN batch would otherwise poison the epoch metric and
+        # force a spurious early stop; reference :225-227 drops them too)
+        ok = np.isfinite(losses)
+        mean = float(losses[ok].mean()) if ok.any() else float("nan")
+        return {"loss": mean, "batches": n_batches, "skipped": skipped,
                 "epoch_seconds": time.time() - t0}
 
     def _validate(self) -> dict:
         if self.val_batches is None:
             return {}
         if self._eval_fn is None:
-            if self.frozen is not None and self.adapter.loss_e2e is not None:
+            if self.frozen is not None and self._loss_e2e is not None:
                 # towers as a call-time arg, not closure constants
                 eval_e2e = jax.jit(
-                    lambda p, fz, b: self.adapter.loss_e2e(
+                    lambda p, fz, b: self._loss_e2e(
                         p, fz, self.cfg, b)[0])
                 self._eval_fn = lambda p, b: eval_e2e(p, self.frozen, b)
             else:
