@@ -233,9 +233,10 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    os.environ.setdefault("BENCH_BATCH", str(args.batch))
-    os.environ.setdefault("BENCH_BEAM", str(args.beam))
-    os.environ.setdefault("BENCH_GEN_LEN", str(args.gen_len))
+    # explicit CLI flags win over stale exported BENCH_* vars
+    os.environ["BENCH_BATCH"] = str(args.batch)
+    os.environ["BENCH_BEAM"] = str(args.beam)
+    os.environ["BENCH_GEN_LEN"] = str(args.gen_len)
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     sys.path.insert(0, repo)

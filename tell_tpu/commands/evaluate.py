@@ -22,8 +22,7 @@ from ..data.bucketing import bucket_batches
 from ..data.records import RecordDataset
 from ..data.tokenizer import RobertaTokenizer
 from ..evalm import CiderScorer, bleu_scores, entity_precision_recall, rouge_l
-from ..evalm.entities import (reported_entity_metrics, spacy_ner,
-                              spacy_propn)
+from ..evalm.entities import reported_entity_metrics, spacy_analyze
 
 
 def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
@@ -49,13 +48,17 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
 
     ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                     f"{split}-*.npz"), seed=0)
-    ner = spacy_ner()  # None without spaCy; fields are then omitted
-    propn = spacy_propn()
-    if ner is not None:
-        # evaluation_cache.pkl analogue (reference evaluate.py:101-110,
-        # "saves ~30 min"): captions repeat across epochs/splits
+    # one spaCy model + one CACHED parse per text serves both the entity
+    # fields and the PROPN name lists (the reference's evaluation_cache.pkl
+    # "saves ~30 min"; loading two models / parsing four times per sample
+    # would quadruple the host cost)
+    analyze = spacy_analyze()
+    ner = propn = None
+    if analyze is not None:
         import functools
-        ner = functools.lru_cache(maxsize=200_000)(ner)
+        analyze = functools.lru_cache(maxsize=200_000)(analyze)
+        ner = lambda t: analyze(t)[0]      # noqa: E731
+        propn = lambda t: analyze(t)[1]    # noqa: E731
     cands, refs = [], []
     entries = []
     t0 = time.time()
@@ -66,6 +69,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
             real = batch.pop("real", np.ones(len(batch["caption_ids"]), bool))
             captions = batch.pop("caption", None)
             hashes = batch.pop("image_hash", None)
+            urls = batch.pop("web_url", None)
             gen_ids = np.asarray(decode(params, batch))
             for i in range(len(gen_ids)):
                 if not real[i]:
@@ -80,6 +84,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                     "generation": gen_text,
                     "image_hash": (str(hashes[i]) if hashes is not None
                                    else None),
+                    "web_url": (str(urls[i]) if urls is not None else None),
                     # per-sample analysis fields of the reference's
                     # generations.jsonl (evaluate.py:200-218)
                     "caption_readability":

@@ -111,7 +111,7 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
     if include_meta:
         # string metadata rides as plain lists (evaluate.py pops these for
         # generations.jsonl: untruncated references + image linkage)
-        for meta in ("caption", "image_hash"):
+        for meta in ("caption", "image_hash", "web_url"):
             if meta in examples[0]:
                 batch[meta] = [str(e.get(meta, "")) for e in examples]
     return batch

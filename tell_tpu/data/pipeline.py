@@ -93,6 +93,7 @@ def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
                     "caption_copy_masks": np.asarray(cmask, np.int32),
                     "image_hash": ex["image_hash"],
                     "caption": ex["caption"],
+                    "web_url": ex.get("web_url", ""),
                 }
             else:
                 rec = {
@@ -104,6 +105,7 @@ def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
                         np.int32),
                     "image_hash": ex["image_hash"],
                     "caption": ex["caption"],
+                    "web_url": ex.get("web_url", ""),
                 }
             if glove is not None:
                 # glove experiments: article features ARE the context

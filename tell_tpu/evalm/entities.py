@@ -26,6 +26,23 @@ def spacy_ner(model: str = "en_core_web_lg") -> NerFn | None:
     return ner
 
 
+def spacy_analyze(model: str = "en_core_web_lg"):
+    """One parse -> (entities, propn_tokens). None without spaCy. Use this
+    in loops that need both: two separate factories would load the model
+    twice and parse every text twice."""
+    try:
+        import spacy
+        nlp = spacy.load(model)
+    except Exception:
+        return None
+
+    def analyze(text: str):
+        doc = nlp(text)
+        return (tuple((e.text, e.label_) for e in doc.ents),
+                tuple(t.text for t in doc if t.pos_ == "PROPN"))
+    return analyze
+
+
 def spacy_propn(model: str = "en_core_web_lg"):
     """Single-token PROPN extractor — the reference's name unit
     (evaluate.py:234-239: 'Barack Obama' counts as TWO names). None

@@ -89,9 +89,14 @@ def main() -> int:
                 nv = int(np.sum(np.asarray(valid)))
                 if nv == 0:
                     continue
+                h, w = img.shape[:2]
                 boxes = (np.asarray(boxes)[:nv]
                          - np.array([left, top, left, top])) / r
-                boxes = boxes.clip(0)
+                # clip BOTH edges to the image — a detection lying in the
+                # letterbox padding otherwise yields an empty crop and a
+                # divide-by-zero inside resize
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, w - 1)
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, h - 1)
                 crops = []
                 for b in boxes:
                     x0, y0, x1, y1 = [int(v) for v in b]

@@ -21,13 +21,23 @@ COLUMNS = [("bleu-4", "BLEU-4"), ("rouge-l", "ROUGE"),
            ("entity_precision", "Ent. P"), ("entity_recall", "Ent. R")]
 
 
-def collect(run_dir: str) -> dict[str, dict]:
+def collect(run_dir: str, split: str = "test") -> dict[str, dict]:
+    """One row per run dir. Prefers evaluate-metrics-<split>.json; falls
+    back to any other split ONLY if the preferred one is absent (globbing
+    all splits would let validation numbers overwrite test numbers)."""
     rows = {}
+    fallback = {}
     for path in sorted(glob.glob(os.path.join(run_dir, "*",
                                               "evaluate-metrics-*.json"))):
         name = os.path.basename(os.path.dirname(path))
         with open(path) as f:
-            rows[name] = json.load(f)
+            data = json.load(f)
+        if path.endswith(f"evaluate-metrics-{split}.json"):
+            rows[name] = data
+        else:
+            fallback.setdefault(name, data)
+    for name, data in fallback.items():
+        rows.setdefault(name, data)
     return rows
 
 

@@ -57,8 +57,12 @@ def article_record(meta: dict) -> dict | None:
     image_positions = []
     for i, sec in enumerate(sections):
         if sec["type"] == "caption":
+            if not sec.get("url"):
+                # no image URL: not an image-bearing position (a hash of
+                # the empty string would collide across the whole corpus)
+                continue
             sec["hash"] = hashlib.sha256(
-                sec.get("url", "").encode()).hexdigest()[:24]
+                sec["url"].encode()).hexdigest()[:24]
             image_positions.append(i)
     if not image_positions:
         return None
@@ -82,11 +86,16 @@ def main() -> int:
                     help="also save base64'd images as <hash>.jpg")
     ap.add_argument("--sleep", type=float, default=6.0,
                     help="archive API rate limit (10 req/min)")
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of overwriting "
+                    "(re-running an overlapping range without this flag "
+                    "no longer silently duplicates articles)")
     args = ap.parse_args()
     if args.images_out:
         os.makedirs(args.images_out, exist_ok=True)
     n = 0
-    with open(args.out, "a", encoding="utf-8") as f:
+    with open(args.out, "a" if args.append else "w",
+              encoding="utf-8") as f:
         for year, month in months(args.start, args.end):
             docs = fetch_json(ARCHIVE.format(year=year, month=month,
                                              key=args.key))

@@ -70,9 +70,9 @@ def main():
                     dimension_semantics=("parallel",)),
             )(q, k, v, bias)
     elif VARIANT == "tiled":
-        tile = da._pick_tile(B, H, hd, S, MG, 2)
-        bb = int(os.environ.get("BB", tile[0]))
-        ts = int(os.environ.get("TS", tile[1]))
+        tile = da._pick_tile(B, H, hd, S, MG, 2) or (1, 128)
+        bb = int(os.environ.get("BB") or tile[0])
+        ts = int(os.environ.get("TS") or tile[1])
         print(f"tiled: BB={bb} TS={ts}")
         fn = lambda *a: da._tiled_decode_attention(*a, bb, ts)
     elif VARIANT == "jnp":
