@@ -280,6 +280,32 @@ def _ffn(lp: dict, x: jax.Array) -> jax.Array:
 # Full forward / loss
 # ---------------------------------------------------------------------------
 
+def _layer_full(lp: dict, cfg: LLMConfig, x: jax.Array, contexts: dict,
+                need_weights: bool = False, rng: jax.Array | None = None,
+                deterministic: bool = True) -> tuple[jax.Array, dict]:
+    """One decoder layer, full-sequence path. x: [B, T, E]."""
+    from ..ops.common import dropout
+    r = rng
+    h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
+    x = x + dropout(
+        _self_attn_full(lp["self_attn"], cfg, h,
+                        None if r is None else jax.random.fold_in(r, 9),
+                        deterministic),
+        cfg.dropout, r, deterministic)
+    h = rms_norm(lp["cross_norm"], x, cfg.rms_eps)
+    out, attns = _cross_block_full(
+        lp, cfg, h, contexts, need_weights,
+        None if r is None else jax.random.fold_in(r, 10), deterministic)
+    x = x + dropout(out, cfg.dropout,
+                    None if r is None else jax.random.fold_in(r, 1),
+                    deterministic)
+    h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
+    x = x + dropout(_ffn(lp["ffn"], h), cfg.dropout,
+                    None if r is None else jax.random.fold_in(r, 2),
+                    deterministic)
+    return x, attns
+
+
 def llm_forward(params: dict, cfg: LLMConfig, ids: jax.Array,
                 contexts: dict, rng: jax.Array | None = None,
                 deterministic: bool = True, need_weights: bool = False
@@ -293,23 +319,8 @@ def llm_forward(params: dict, cfg: LLMConfig, ids: jax.Array,
     all_attns = []
     for i, lp in enumerate(params["layers"]):
         r = None if rng is None else jax.random.fold_in(rng, 1 + i)
-        h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
-        x = x + dropout(
-            _self_attn_full(lp["self_attn"], cfg, h,
-                            None if r is None else jax.random.fold_in(r, 9),
-                            deterministic),
-            cfg.dropout, r, deterministic)
-        h = rms_norm(lp["cross_norm"], x, cfg.rms_eps)
-        out, attns = _cross_block_full(
-            lp, cfg, h, contexts, need_weights,
-            None if r is None else jax.random.fold_in(r, 10), deterministic)
-        x = x + dropout(out, cfg.dropout,
-                        None if r is None else jax.random.fold_in(r, 1),
-                        deterministic)
-        h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
-        x = x + dropout(_ffn(lp["ffn"], h), cfg.dropout,
-                        None if r is None else jax.random.fold_in(r, 2),
-                        deterministic)
+        x, attns = _layer_full(lp, cfg, x, contexts, need_weights, r,
+                               deterministic)
         all_attns.append(attns)
     return rms_norm(params["final_norm"], x, cfg.rms_eps), all_attns
 
@@ -449,6 +460,68 @@ def llm_loss_e2e(params: dict, frozen: dict, cfg: LLMConfig, batch: dict,
                  ) -> tuple[jax.Array, dict]:
     return llm_loss(params, cfg, modern_encode_contexts(frozen, cfg, batch),
                     rng, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (pp axis)
+# ---------------------------------------------------------------------------
+
+def stack_llm_layers(params: dict, n_stages: int) -> dict:
+    """Rewrite params['layers'] [L dicts] -> one pytree with leading
+    [n_stages, L/P] axes (parallel/pipeline.py stage layout). Embeddings and
+    final norm stay as-is (replicated). The result is what llm_*_pp expect
+    and what pipeline_spec shards over the 'pipe' mesh axis."""
+    from ..parallel.pipeline import stack_stages
+    p = dict(params)
+    p["layers"] = stack_stages(params["layers"], n_stages)
+    return p
+
+
+def llm_pp_sharding(stacked: dict, mesh, axis: str = "pipe"):
+    """NamedSharding pytree for stack_llm_layers output: the layer stack
+    rides `axis`, everything else is replicated on the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from ..parallel.pipeline import pipeline_spec
+    repl = NamedSharding(mesh, PartitionSpec())
+    out = jax.tree.map(lambda _: repl, stacked)
+    out["layers"] = pipeline_spec(stacked["layers"], mesh, axis)
+    return out
+
+
+def llm_forward_pp(stacked: dict, cfg: LLMConfig, ids: jax.Array,
+                   contexts: dict, mesh, n_micro: int, axis: str = "pipe"
+                   ) -> jax.Array:
+    """Teacher-forced forward with the layer stack pipelined over `axis`
+    (GPipe microbatching; deterministic — pp is a training-scale path, so
+    dropout is applied by the caller's choice of loss, not here). Exactly
+    equals the sequential llm_forward (tests/test_pipeline_parallel.py)."""
+    from ..parallel.pipeline import pipeline_apply
+    x = jnp.take(stacked["tok_embed"], ids, axis=0)
+
+    def layer_fn(lp, h, extras):
+        # contexts are per-example -> arrive as the batched extras slice
+        out, _ = _layer_full(lp, cfg, h, extras[-1])
+        return out
+
+    x = pipeline_apply(stacked["layers"], layer_fn, x, mesh, n_micro,
+                       axis=axis, batched=contexts)
+    return rms_norm(stacked["final_norm"], x, cfg.rms_eps)
+
+
+def llm_loss_pp(stacked: dict, cfg: LLMConfig, batch: dict, mesh,
+                n_micro: int, axis: str = "pipe") -> tuple[jax.Array, dict]:
+    """Pipeline-parallel llm_loss (deterministic). Differentiable end to
+    end: grads on stacked['layers'] come back stage-sharded over `axis`."""
+    contexts = _build_contexts(stacked, cfg, batch)
+    ids = batch["caption_ids"]
+    inputs, targets = ids[:, :-1], ids[:, 1:]
+    feats = llm_forward_pp(stacked, cfg, inputs, contexts, mesh, n_micro,
+                           axis)
+    B, T, E = feats.shape
+    loss_sum, size = llm_xent(stacked, cfg, feats.reshape(B * T, E),
+                              targets.reshape(-1))
+    size = jnp.maximum(size, 1)
+    return loss_sum / jnp.log(2.0) / size, {"sample_size": size}
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Pipeline parallelism: a layer stack sharded into stages over a mesh axis.
+
+The reference has no pipeline parallelism of any kind (SURVEY.md §2.10) and
+the 4-layer flagship decoder does not need it; this module exists so the
+mesh API covers the full taxonomy (dp/tp/sp elsewhere + pp here) for deeper
+stacks — the modern LM family (models/llm_decoder.py) is the intended user
+once its layer count outgrows one chip.
+
+TPU-native design (the "pipelining" recipe of the scaling-book school, not
+a torch-style stage-process fan-out): stage parameters live sharded on a
+`"pipe"` mesh axis (leading stage dimension); activations rotate stage to
+stage with `jax.lax.ppermute` inside a `lax.scan` over a GPipe schedule of
+M microbatches. The scan runs M + P - 1 ticks; at tick t stage s computes
+microbatch t - s (edge ticks are the pipeline bubble — computed but
+discarded), stage 0 injects microbatch t, and stage P-1's tick-t output is
+microbatch t - (P - 1). Everything is differentiable — ppermute's
+transpose is the reverse permute — so one `value_and_grad` over the
+shard_mapped apply yields correctly stage-sharded gradients.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_stages(layer_params: list, n_stages: int):
+    """[L layer pytrees] -> one pytree with leading [n_stages, L/P] axes.
+
+    Layers are assigned contiguously (stage s owns layers
+    s*L/P .. (s+1)*L/P - 1), the standard depth split."""
+    L = len(layer_params)
+    assert L % n_stages == 0, f"{L} layers not divisible by {n_stages} stages"
+    per = L // n_stages
+    stages = []
+    for s in range(n_stages):
+        group = layer_params[s * per:(s + 1) * per]
+        stages.append(jax.tree.map(lambda *xs: jnp.stack(xs), *group))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *stages)
+
+
+def pipeline_spec(stacked, mesh: Mesh, axis: str = "pipe"):
+    """NamedSharding pytree: the leading stage axis rides `axis`."""
+    def f(leaf):
+        return NamedSharding(mesh, P(axis, *([None] * (leaf.ndim - 1))))
+    return jax.tree.map(f, stacked)
+
+
+def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
+                   mesh: Mesh, n_micro: int, axis: str = "pipe",
+                   extras=None, batched=None) -> jax.Array:
+    """Run x [B, ...] through all stages' layers with GPipe microbatching.
+
+    layer_fn(lparams, x, extras) -> x applies ONE layer; each stage scans
+    it over its local [L/P, ...] parameter stack. `extras` (e.g. replicated
+    masks or constants) pass through unchanged to every layer. `batched` is
+    a pytree of per-example arrays with leading dim B (e.g. cross-attention
+    context features): it is split into microbatches and each stage receives
+    the slice matching the microbatch it is computing that tick, appended as
+    the LAST element of layer_fn's extras tuple.
+
+    B must divide into n_micro microbatches. Output equals applying the
+    layers sequentially (exact; asserted on the CPU mesh in
+    tests/test_pipeline_parallel.py)."""
+    B = x.shape[0]
+    Pn = mesh.shape[axis]
+    assert B % n_micro == 0, f"batch {B} not divisible by {n_micro}"
+    mb = B // n_micro
+    micro = x.reshape((n_micro, mb) + x.shape[1:])
+    micro_b = (jax.tree.map(
+        lambda a: a.reshape((n_micro, mb) + a.shape[1:]), batched)
+        if batched is not None else None)
+
+    def stage_fn(stage_params, h, extras):
+        def body(h, lparams):
+            return layer_fn(lparams, h, extras), ()
+        h, _ = jax.lax.scan(body, h, stage_params)
+        return h
+
+    def pipelined(stage_params, micro, extras, micro_b):
+        # inside shard_map: stage_params [1, L/P, ...] (this stage's slice),
+        # micro [n_micro, mb, ...] (replicated)
+        stage_params = jax.tree.map(lambda a: a[0], stage_params)
+        idx = jax.lax.axis_index(axis)
+        last = Pn - 1
+        perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+        buf0 = jnp.zeros_like(micro[0])
+        out0 = jnp.zeros_like(micro)
+
+        def tick(carry, t):
+            buf, outs = carry
+            # stage 0 injects microbatch t (clamped; drain ticks recompute
+            # the final microbatch, discarded by the valid gate below)
+            inject = micro[jnp.clip(t, 0, n_micro - 1)]
+            h = jnp.where(idx == 0, inject, buf)
+            # this stage computes microbatch t - idx right now: hand it the
+            # matching slice of the batched extras (clamped on bubble ticks
+            # whose results are discarded anyway)
+            ex = extras
+            if micro_b is not None:
+                m_here = jnp.clip(t - idx, 0, n_micro - 1)
+                ex = tuple(extras) + (
+                    jax.tree.map(lambda a: a[m_here], micro_b),)
+            h = stage_fn(stage_params, h, ex)
+            # the LAST stage's tick-t result is microbatch m = t - (P-1);
+            # bubble ticks (m outside [0, n_micro)) must not touch outs
+            m = t - last
+            mc = jnp.clip(m, 0, n_micro - 1)
+            valid = (idx == last) & (m >= 0) & (m < n_micro)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(valid, h, outs[mc]), mc, 0)
+            # rotate activations downstream for the next tick
+            buf = jax.lax.ppermute(h, axis, perm)
+            return (buf, outs), ()
+
+        (_, outs), _ = jax.lax.scan(tick, (buf0, out0),
+                                    jnp.arange(n_micro + Pn - 1))
+        # only the last stage holds real outputs; broadcast to every stage
+        # so the result is replicated over the axis (out_specs=P())
+        outs = jax.lax.psum(
+            jnp.where(idx == last, outs, jnp.zeros_like(outs)), axis)
+        return outs
+
+    extras = extras if extras is not None else ()
+    stage_view = jax.tree.map(
+        lambda a: a, stacked)  # leading [P, L/P, ...]: P splits over axis
+    if hasattr(jax, "shard_map"):  # jax >= 0.8
+        smap = jax.shard_map(
+            pipelined, mesh=mesh,
+            in_specs=(P(axis), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    else:
+        from jax.experimental.shard_map import shard_map
+        smap = shard_map(
+            pipelined, mesh=mesh,
+            in_specs=(P(axis), P(), P(), P()),
+            out_specs=P(),
+            check_rep=False,
+        )
+    out = smap(stage_view, micro, extras, micro_b)
+    return out.reshape((B,) + x.shape[1:])

@@ -1,0 +1,125 @@
+"""Pipeline parallelism: GPipe stage rotation == sequential layer stack.
+
+The reference has no pipeline parallelism (SURVEY.md §2.10); this validates
+the pp axis of the mesh taxonomy on the virtual CPU mesh (SURVEY.md §4
+invariant 5 — multi-chip tests without a pod).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tell_tpu.parallel.mesh import P  # noqa: F401  (import check)
+from tell_tpu.parallel.pipeline import (pipeline_apply, pipeline_spec,
+                                        stack_stages)
+from jax.sharding import Mesh
+
+
+def _mesh(n):
+    devs = np.array(jax.devices()[:n]).reshape(n)
+    return Mesh(devs, ("pipe",))
+
+
+def _layer(rng, d):
+    k1, k2 = jax.random.split(rng)
+    return {"w": jax.random.normal(k1, (d, d)) * 0.3,
+            "b": jax.random.normal(k2, (d,)) * 0.1}
+
+
+def _layer_fn(lp, x, extras):
+    bias = extras[0] if extras else 0.0
+    return jnp.tanh(x @ lp["w"] + lp["b"] + bias)
+
+
+def _sequential(layers, x, extras=()):
+    for lp in layers:
+        x = _layer_fn(lp, x, extras)
+    return x
+
+
+def test_pipeline_matches_sequential():
+    d, L, B = 16, 8, 12
+    mesh = _mesh(4)
+    layers = [_layer(jax.random.fold_in(jax.random.PRNGKey(0), i), d)
+              for i in range(L)]
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, d))
+    ref = _sequential(layers, x)
+    stacked = stack_stages(layers, 4)
+    stacked = jax.device_put(stacked, pipeline_spec(stacked, mesh))
+    for n_micro in (2, 4, 6, 12):
+        out = pipeline_apply(stacked, _layer_fn, x, mesh, n_micro)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_llm_pipeline_matches_sequential():
+    """The modern LM's pp path (llm_loss_pp over a 2-stage pipe mesh) equals
+    the sequential llm_loss, value and layer gradients."""
+    from tell_tpu.config import ContextSpec
+    from tell_tpu.models.llm_decoder import (
+        LLMConfig, init_llm_decoder, llm_loss, llm_loss_pp, llm_pp_sharding,
+        stack_llm_layers)
+    cfg = LLMConfig(
+        vocab_size=97, dim=16, num_layers=4, num_heads=2, num_kv_heads=1,
+        ffn_dim=24,
+        dropout=0.0, attention_dropout=0.0, max_target_positions=16,
+        gen_len=5, loss_vocab_chunk=32,
+        contexts=(ContextSpec("image", 8, 3), ContextSpec("article", 8, 5)))
+    params = init_llm_decoder(jax.random.PRNGKey(4), cfg)
+    B, T = 4, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    caps = jax.random.randint(ks[2], (B, T), 4, cfg.vocab_size)
+    caps = caps.at[:, 0].set(0).at[:, -1].set(2)
+    batch = {
+        "image_grid": jax.random.normal(ks[0], (B, 3, 8)),
+        "article": jax.random.normal(ks[1], (B, 5, 8)),
+        "article_mask": jnp.zeros((B, 5), bool),
+        "caption_ids": caps,
+    }
+    mesh = _mesh(2)
+    stacked = stack_llm_layers(params, 2)
+    stacked = jax.device_put(stacked, llm_pp_sharding(stacked, mesh))
+
+    def loss_pp(st):
+        return llm_loss_pp(st, cfg, batch, mesh, n_micro=2)[0]
+
+    def loss_seq(p):
+        return llm_loss(p, cfg, batch)[0]
+
+    lp, gp = jax.value_and_grad(loss_pp)(stacked)
+    ls, gs = jax.value_and_grad(loss_seq)(params)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    gref = stack_llm_layers(gs, 2)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        gp["layers"], gref["layers"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        gp["tok_embed"], gref["tok_embed"])
+
+
+def test_pipeline_with_extras_and_grad():
+    """extras reach every layer; gradients flow through the ppermute chain
+    back to stage-sharded params."""
+    d, L, B = 8, 4, 8
+    mesh = _mesh(2)
+    layers = [_layer(jax.random.fold_in(jax.random.PRNGKey(2), i), d)
+              for i in range(L)]
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, d))
+    bias = jnp.full((d,), 0.05)
+    stacked = stack_stages(layers, 2)
+    stacked = jax.device_put(stacked, pipeline_spec(stacked, mesh))
+
+    def loss_pp(stacked, x):
+        return jnp.sum(pipeline_apply(stacked, _layer_fn, x, mesh, 4,
+                                      extras=(bias,)) ** 2)
+
+    def loss_seq(layers, x):
+        return jnp.sum(_sequential(layers, x, (bias,)) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pp)(stacked, x)
+    ls, gs = jax.value_and_grad(loss_seq)(layers, x)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    # per-layer grads equal after unstacking [P, L/P, ...]
+    gref = stack_stages(gs, 2)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gp, gref)
