@@ -489,8 +489,8 @@ def llm_pp_sharding(stacked: dict, mesh, axis: str = "pipe"):
 
 
 def llm_forward_pp(stacked: dict, cfg: LLMConfig, ids: jax.Array,
-                   contexts: dict, mesh, n_micro: int, axis: str = "pipe"
-                   ) -> jax.Array:
+                   contexts: dict, mesh, n_micro: int, axis: str = "pipe",
+                   data_axis: str | None = None) -> jax.Array:
     """Teacher-forced forward with the layer stack pipelined over `axis`
     (GPipe microbatching; deterministic — pp is a training-scale path, so
     dropout is applied by the caller's choice of loss, not here). Exactly
@@ -504,19 +504,21 @@ def llm_forward_pp(stacked: dict, cfg: LLMConfig, ids: jax.Array,
         return out
 
     x = pipeline_apply(stacked["layers"], layer_fn, x, mesh, n_micro,
-                       axis=axis, batched=contexts)
+                       axis=axis, batched=contexts, data_axis=data_axis)
     return rms_norm(stacked["final_norm"], x, cfg.rms_eps)
 
 
 def llm_loss_pp(stacked: dict, cfg: LLMConfig, batch: dict, mesh,
-                n_micro: int, axis: str = "pipe") -> tuple[jax.Array, dict]:
+                n_micro: int, axis: str = "pipe",
+                data_axis: str | None = None) -> tuple[jax.Array, dict]:
     """Pipeline-parallel llm_loss (deterministic). Differentiable end to
-    end: grads on stacked['layers'] come back stage-sharded over `axis`."""
+    end: grads on stacked['layers'] come back stage-sharded over `axis`.
+    `data_axis` runs dp x pp: microbatch examples sharded over that axis."""
     contexts = _build_contexts(stacked, cfg, batch)
     ids = batch["caption_ids"]
     inputs, targets = ids[:, :-1], ids[:, 1:]
     feats = llm_forward_pp(stacked, cfg, inputs, contexts, mesh, n_micro,
-                           axis)
+                           axis, data_axis)
     B, T, E = feats.shape
     loss_sum, size = llm_xent(stacked, cfg, feats.reshape(B * T, E),
                               targets.reshape(-1))

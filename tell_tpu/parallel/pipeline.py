@@ -50,7 +50,8 @@ def pipeline_spec(stacked, mesh: Mesh, axis: str = "pipe"):
 
 def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
                    mesh: Mesh, n_micro: int, axis: str = "pipe",
-                   extras=None, batched=None) -> jax.Array:
+                   extras=None, batched=None,
+                   data_axis: str | None = None) -> jax.Array:
     """Run x [B, ...] through all stages' layers with GPipe microbatching.
 
     layer_fn(lparams, x, extras) -> x applies ONE layer; each stage scans
@@ -61,13 +62,22 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
     the slice matching the microbatch it is computing that tick, appended as
     the LAST element of layer_fn's extras tuple.
 
-    B must divide into n_micro microbatches. Output equals applying the
-    layers sequentially (exact; asserted on the CPU mesh in
-    tests/test_pipeline_parallel.py)."""
+    `data_axis` composes dp x pp: each microbatch's example dim is sharded
+    over that mesh axis (stage params stay replicated across it), so a
+    ("pipe", "data") mesh runs D pipelines of P stages side by side with
+    ppermute riding only the pipe axis.
+
+    B must divide into n_micro microbatches (each divisible by the data-axis
+    size when given). Output equals applying the layers sequentially (exact;
+    asserted on the CPU mesh in tests/test_pipeline_parallel.py)."""
     B = x.shape[0]
     Pn = mesh.shape[axis]
     assert B % n_micro == 0, f"batch {B} not divisible by {n_micro}"
     mb = B // n_micro
+    if data_axis is not None:
+        Dn = mesh.shape[data_axis]
+        assert mb % Dn == 0, \
+            f"microbatch {mb} not divisible by data axis {Dn}"
     micro = x.reshape((n_micro, mb) + x.shape[1:])
     micro_b = (jax.tree.map(
         lambda a: a.reshape((n_micro, mb) + a.shape[1:]), batched)
@@ -126,19 +136,22 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
     extras = extras if extras is not None else ()
     stage_view = jax.tree.map(
         lambda a: a, stacked)  # leading [P, L/P, ...]: P splits over axis
+    # microbatch example dim (dim 1 of [n_micro, mb, ...]) rides data_axis
+    mb_spec = P() if data_axis is None else P(None, data_axis)
+    in_specs = (P(axis), mb_spec, P(), mb_spec)
     if hasattr(jax, "shard_map"):  # jax >= 0.8
         smap = jax.shard_map(
             pipelined, mesh=mesh,
-            in_specs=(P(axis), P(), P(), P()),
-            out_specs=P(),
+            in_specs=in_specs,
+            out_specs=mb_spec,
             check_vma=False,
         )
     else:
         from jax.experimental.shard_map import shard_map
         smap = shard_map(
             pipelined, mesh=mesh,
-            in_specs=(P(axis), P(), P(), P()),
-            out_specs=P(),
+            in_specs=in_specs,
+            out_specs=mb_spec,
             check_rep=False,
         )
     out = smap(stage_view, micro, extras, micro_b)

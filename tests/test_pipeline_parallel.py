@@ -97,6 +97,38 @@ def test_llm_pipeline_matches_sequential():
         gp["tok_embed"], gref["tok_embed"])
 
 
+def test_pipeline_dp_x_pp_matches_sequential():
+    """dp x pp composition: ("pipe", "data") mesh shards microbatch
+    examples over "data" while stages rotate over "pipe"; still exact."""
+    d, L, B = 16, 4, 16
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("pipe", "data"))
+    layers = [_layer(jax.random.fold_in(jax.random.PRNGKey(6), i), d)
+              for i in range(L)]
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, d))
+    ref = _sequential(layers, x)
+    stacked = stack_stages(layers, 2)
+    stacked = jax.device_put(stacked, pipeline_spec(stacked, mesh))
+    out = pipeline_apply(stacked, _layer_fn, x, mesh, n_micro=4,
+                         data_axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_pp(st, x):
+        return jnp.sum(pipeline_apply(st, _layer_fn, x, mesh, 4,
+                                      data_axis="data") ** 2)
+
+    def loss_seq(layers, x):
+        return jnp.sum(_sequential(layers, x) ** 2)
+
+    lp, gp = jax.value_and_grad(loss_pp)(stacked, x)
+    ls, gs = jax.value_and_grad(loss_seq)(layers, x)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+    gref = stack_stages(gs, 2)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gp, gref)
+
+
 def test_pipeline_with_extras_and_grad():
     """extras reach every layer; gradients flow through the ppermute chain
     back to stage-sharded params."""
