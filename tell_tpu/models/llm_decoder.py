@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..config import ContextSpec, FACES_OBJECTS_CONTEXTS
 from ..ops.attention import init_cross_attention, precompute_kv
 from ..ops.linear import init_linear, linear
+from ..ops.moe import init_moe_ffn, moe_ffn
 from .decoder import context_groups as _context_groups
 
 
@@ -72,6 +73,13 @@ class LLMConfig:
     gen_len: int = 100
     # vocab-chunked loss: logits materialize [N, chunk] at a time
     loss_vocab_chunk: int = 8192
+    # Mixture-of-Experts FFN (ops/moe.py): None = dense SwiGLU. When set,
+    # every layer's FFN becomes `moe_experts` experts with top-k routing;
+    # stacked expert weights shard over the "model" mesh axis (ep)
+    moe_experts: int | None = None
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_coef: float = 0.01
 
     @property
     def head_dim(self) -> int:
@@ -122,11 +130,13 @@ def init_llm_decoder(rng: jax.Array, cfg: LLMConfig) -> dict:
             "context_fc": init_linear(
                 next(ks), cfg.dim * len(cfg.contexts), cfg.dim),
             "ffn_norm": _rms_params(cfg.dim),
-            "ffn": {
+            "ffn": (init_moe_ffn(next(ks), cfg.dim, cfg.ffn_dim,
+                                 cfg.moe_experts)
+                    if cfg.moe_experts else {
                 "w1": init_linear(next(ks), cfg.dim, cfg.ffn_dim, bias=False),
                 "w3": init_linear(next(ks), cfg.dim, cfg.ffn_dim, bias=False),
                 "w2": init_linear(next(ks), cfg.ffn_dim, cfg.dim, bias=False),
-            },
+            }),
         }
         for spec in cfg.contexts:
             lp["attn"][spec.name] = init_cross_attention(
@@ -271,9 +281,18 @@ def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
     return linear(lp["context_fc"], h), attns
 
 
-def _ffn(lp: dict, x: jax.Array) -> jax.Array:
+def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array
+         ) -> tuple[jax.Array, jax.Array]:
+    """FFN (dense SwiGLU or MoE per cfg.moe_experts). x may be [B, T, E]
+    or [R, E]; returns (out, moe aux loss — 0.0 when dense)."""
+    if cfg.moe_experts:
+        shape = x.shape
+        out, aux = moe_ffn(lp, x.reshape(-1, shape[-1]),
+                           top_k=cfg.moe_top_k,
+                           capacity_factor=cfg.moe_capacity_factor)
+        return out.reshape(shape), aux
     h = jax.nn.silu(linear(lp["w1"], x).astype(jnp.float32)).astype(x.dtype)
-    return linear(lp["w2"], h * linear(lp["w3"], x))
+    return linear(lp["w2"], h * linear(lp["w3"], x)), jnp.zeros((), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -300,9 +319,12 @@ def _layer_full(lp: dict, cfg: LLMConfig, x: jax.Array, contexts: dict,
                     None if r is None else jax.random.fold_in(r, 1),
                     deterministic)
     h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
-    x = x + dropout(_ffn(lp["ffn"], h), cfg.dropout,
+    f, moe_aux = _ffn(lp["ffn"], cfg, h)
+    x = x + dropout(f, cfg.dropout,
                     None if r is None else jax.random.fold_in(r, 2),
                     deterministic)
+    attns = dict(attns)
+    attns["moe_aux"] = moe_aux
     return x, attns
 
 
@@ -399,12 +421,19 @@ def llm_loss(params: dict, cfg: LLMConfig, batch: dict,
     contexts = _build_contexts(params, cfg, batch)
     ids = batch["caption_ids"]
     inputs, targets = ids[:, :-1], ids[:, 1:]
-    feats, _ = llm_forward(params, cfg, inputs, contexts, rng, deterministic)
+    feats, attns = llm_forward(params, cfg, inputs, contexts, rng,
+                               deterministic)
     B, T, E = feats.shape
     loss_sum, size = llm_xent(params, cfg, feats.reshape(B * T, E),
                               targets.reshape(-1))
     size = jnp.maximum(size, 1)
-    return loss_sum / jnp.log(2.0) / size, {"sample_size": size}
+    loss = loss_sum / jnp.log(2.0) / size
+    aux = {"sample_size": size}
+    if cfg.moe_experts:
+        moe_aux = sum(a["moe_aux"] for a in attns) / len(attns)
+        aux["moe_aux"] = moe_aux
+        loss = loss + cfg.moe_aux_coef * moe_aux
+    return loss, aux
 
 
 def _build_contexts(params: dict, cfg: LLMConfig, batch: dict) -> dict:
@@ -514,6 +543,8 @@ def llm_loss_pp(stacked: dict, cfg: LLMConfig, batch: dict, mesh,
     """Pipeline-parallel llm_loss (deterministic). Differentiable end to
     end: grads on stacked['layers'] come back stage-sharded over `axis`.
     `data_axis` runs dp x pp: microbatch examples sharded over that axis."""
+    assert not cfg.moe_experts, \
+        "pp path does not collect the MoE aux loss; use llm_loss (dp/tp/ep)"
     contexts = _build_contexts(stacked, cfg, batch)
     ids = batch["caption_ids"]
     inputs, targets = ids[:, :-1], ids[:, 1:]
@@ -574,7 +605,7 @@ def llm_decoder_step(params: dict, cfg: LLMConfig, tokens: jax.Array,
                                      need_weights)
         x = x + o
         h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
-        x = x + _ffn(lp["ffn"], h)
+        x = x + _ffn(lp["ffn"], cfg, h)[0]
         all_attns.append(attns)
     feats = rms_norm(params["final_norm"], x, cfg.rms_eps)
     return feats, {"self_kv": new_self, "kv": state["kv"],

@@ -52,6 +52,10 @@ _RULES: list[tuple[str, P]] = [
     (r".*/self_attn/o/w$", P("model", None)),
     (r".*/ffn/(w1|w3)/w$", P(None, "model")),
     (r".*/ffn/w2/w$", P("model", None)),
+    # MoE (ops/moe.py): stacked [E, ...] expert weights shard over "model"
+    # as the expert axis (ep rides the tp axis); router replicated
+    (r".*/ffn/(w1|w2|w3)$", P("model", None, None)),
+    (r".*/ffn/router/w$", P()),
     (r".*tok_embed$", P("model", None)),
     # everything else replicated
     (r".*", P()),
