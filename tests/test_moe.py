@@ -136,6 +136,74 @@ def test_llm_moe_loss_and_generate():
     assert bool(jnp.isfinite(gen["log_probs"]).all())
 
 
+def test_moe_modern_trains_end_to_end(tmp_path):
+    """Modern MoE family through the full Trainer path (SURVEY.md §4
+    invariant 6): shards -> buckets -> DPxTP mesh (experts sharded over
+    "model") -> loss decreases over epochs."""
+    from tell_tpu.config import ContextSpec, small_test_config
+    from tell_tpu.data.bucketing import BucketingConfig, bucket_batches
+    from tell_tpu.data.records import RecordDataset, write_shard
+    from tell_tpu.models.backbones import RobertaConfig, init_roberta
+    from tell_tpu.models.registry import get_model
+    from tell_tpu.models.llm_decoder import LLMConfig
+    from tell_tpu.training.trainer import Trainer, TrainerConfig
+
+    ccfg = small_test_config()
+    rcfg = RobertaConfig(vocab_size=ccfg.decoder.vocab_size, dim=24,
+                         num_layers=2, num_heads=4, ffn_dim=32,
+                         max_positions=40)
+    bcfg = BucketingConfig(article_lengths=(16,), caption_lengths=(12,),
+                           token_budget=112, max_batch=4,
+                           max_faces=4, face_dim=16, max_objects=8,
+                           object_dim=32)
+    mcfg = LLMConfig(
+        vocab_size=ccfg.decoder.vocab_size, dim=16, num_layers=2,
+        num_heads=2, num_kv_heads=2, ffn_dim=24, dropout=0.0,
+        attention_dropout=0.0, max_target_positions=16, gen_len=5,
+        loss_vocab_chunk=128, moe_experts=2, moe_top_k=2,
+        contexts=(
+            ContextSpec("image", 32, 9),
+            ContextSpec("article", 24, 16),
+            ContextSpec("faces", 16, 4),
+            ContextSpec("obj", 32, 8),
+        ))
+
+    rng = np.random.RandomState(1)
+    examples = []
+    for _ in range(24):
+        la, lc = rng.randint(6, 14), rng.randint(5, 11)
+        examples.append({
+            "context_ids": np.concatenate(
+                [[0], rng.randint(4, 90, la), [2]]).astype(np.int32),
+            "caption_ids": np.concatenate(
+                [[0], rng.randint(4, 90, lc), [2]]).astype(np.int32),
+            "image_grid": rng.randn(9, 32).astype(np.float32),
+            "face_embeds": rng.randn(2, 16).astype(np.float32),
+            "obj_embeds": rng.randn(3, 32).astype(np.float32),
+        })
+    write_shard(str(tmp_path / "train-00000.npz"), examples[:16])
+    write_shard(str(tmp_path / "valid-00000.npz"), examples[16:])
+
+    train_ds = RecordDataset(str(tmp_path / "train-*.npz"), seed=0)
+    val_ds = RecordDataset(str(tmp_path / "valid-*.npz"), seed=0)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(5), rcfg),
+              "roberta_cfg": rcfg}
+    tcfg = TrainerConfig(serialization_dir=str(tmp_path / "run"),
+                         num_epochs=4, patience=10, lr=3e-3,
+                         t_total=200, log_every=1000,
+                         n_data=2, n_model=2)
+    adapter = get_model("modern", mcfg)
+    trainer = Trainer(ccfg, tcfg, lambda e: bucket_batches(
+        train_ds.epoch(), bcfg),
+        lambda: bucket_batches(val_ds.epoch(shuffle=False), bcfg),
+        frozen=frozen, adapter=adapter)
+    trainer.train()
+    hist = trainer.metrics_history
+    assert len(hist) == 4
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert np.isfinite(hist[-1]["val_loss"])
+
+
 def test_llm_moe_sharding_rules_put_experts_on_model_axis():
     from tell_tpu.config import ContextSpec
     from tell_tpu.models.llm_decoder import LLMConfig, init_llm_decoder
