@@ -281,15 +281,21 @@ def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
     return linear(lp["context_fc"], h), attns
 
 
-def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array
+def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array, no_drop: bool = False
          ) -> tuple[jax.Array, jax.Array]:
     """FFN (dense SwiGLU or MoE per cfg.moe_experts). x may be [B, T, E]
-    or [R, E]; returns (out, moe aux loss — 0.0 when dense)."""
+    or [R, E]; returns (out, moe aux loss — 0.0 when dense).
+
+    no_drop=True (decode steps) raises the capacity so no token is ever
+    dropped: capacity drops are a training-efficiency tradeoff, but at
+    inference they would make a caption depend on which other rows share
+    its decode batch."""
     if cfg.moe_experts:
         shape = x.shape
+        cf = (float(cfg.moe_experts) if no_drop
+              else cfg.moe_capacity_factor)
         out, aux = moe_ffn(lp, x.reshape(-1, shape[-1]),
-                           top_k=cfg.moe_top_k,
-                           capacity_factor=cfg.moe_capacity_factor)
+                           top_k=cfg.moe_top_k, capacity_factor=cf)
         return out.reshape(shape), aux
     h = jax.nn.silu(linear(lp["w1"], x).astype(jnp.float32)).astype(x.dtype)
     return linear(lp["w2"], h * linear(lp["w3"], x)), jnp.zeros((), jnp.float32)
@@ -605,7 +611,7 @@ def llm_decoder_step(params: dict, cfg: LLMConfig, tokens: jax.Array,
                                      need_weights)
         x = x + o
         h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
-        x = x + _ffn(lp["ffn"], cfg, h)[0]
+        x = x + _ffn(lp["ffn"], cfg, h, no_drop=True)[0]
         all_attns.append(attns)
     feats = rms_norm(params["final_norm"], x, cfg.rms_eps)
     return feats, {"self_kv": new_self, "kv": state["kv"],

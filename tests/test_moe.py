@@ -136,6 +136,34 @@ def test_llm_moe_loss_and_generate():
     assert bool(jnp.isfinite(gen["log_probs"]).all())
 
 
+def test_moe_decode_is_batch_independent():
+    """No-drop routing at decode: a row's generated caption must not depend
+    on which other rows share its decode batch (capacity competition is a
+    train-time-only tradeoff)."""
+    from tell_tpu.config import ContextSpec
+    from tell_tpu.models.llm_decoder import (LLMConfig, init_llm_decoder,
+                                             llm_generate)
+    cfg = LLMConfig(
+        vocab_size=89, dim=16, num_layers=2, num_heads=2, num_kv_heads=2,
+        ffn_dim=24, dropout=0.0, attention_dropout=0.0,
+        max_target_positions=16, gen_len=6, loss_vocab_chunk=32,
+        moe_experts=4, moe_top_k=2,
+        contexts=(ContextSpec("image", 8, 3), ContextSpec("article", 8, 5)))
+    params = init_llm_decoder(jax.random.PRNGKey(20), cfg)
+    B = 3
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    batch = {
+        "image_grid": jax.random.normal(ks[0], (B, 3, 8)),
+        "article": jax.random.normal(ks[1], (B, 5, 8)),
+        "article_mask": jnp.zeros((B, 5), bool),
+    }
+    full = llm_generate(params, cfg, batch)
+    solo = llm_generate(params, cfg,
+                        jax.tree.map(lambda a: a[:1], batch))
+    np.testing.assert_array_equal(np.asarray(full["token_ids"][0]),
+                                  np.asarray(solo["token_ids"][0]))
+
+
 def test_moe_modern_trains_end_to_end(tmp_path):
     """Modern MoE family through the full Trainer path (SURVEY.md §4
     invariant 6): shards -> buckets -> DPxTP mesh (experts sharded over
