@@ -281,21 +281,29 @@ def _cross_block_step(lp: dict, cfg: LLMConfig, x: jax.Array,
     return linear(lp["context_fc"], h), attns
 
 
-def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array, no_drop: bool = False
+def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array, no_drop: bool = False,
+         token_mask: jax.Array | None = None
          ) -> tuple[jax.Array, jax.Array]:
     """FFN (dense SwiGLU or MoE per cfg.moe_experts). x may be [B, T, E]
     or [R, E]; returns (out, moe aux loss — 0.0 when dense).
 
-    no_drop=True (decode steps) raises the capacity so no token is ever
-    dropped: capacity drops are a training-efficiency tradeoff, but at
+    no_drop=True (decode steps) raises the capacity to N so no token is
+    ever dropped: capacity drops are a training-efficiency tradeoff, but at
     inference they would make a caption depend on which other rows share
-    its decode batch."""
+    its decode batch. The E-wide buffers this implies are fine at decode —
+    the step cost there is streaming all E experts' weights from HBM, and
+    the extra FLOPs on a few dozen rows are noise next to that.
+
+    token_mask (flattened [N], True = real token) keeps pads from
+    consuming expert capacity at train time."""
     if cfg.moe_experts:
         shape = x.shape
         cf = (float(cfg.moe_experts) if no_drop
               else cfg.moe_capacity_factor)
         out, aux = moe_ffn(lp, x.reshape(-1, shape[-1]),
-                           top_k=cfg.moe_top_k, capacity_factor=cf)
+                           top_k=cfg.moe_top_k, capacity_factor=cf,
+                           token_mask=(None if token_mask is None
+                                       else token_mask.reshape(-1)))
         return out.reshape(shape), aux
     h = jax.nn.silu(linear(lp["w1"], x).astype(jnp.float32)).astype(x.dtype)
     return linear(lp["w2"], h * linear(lp["w3"], x)), jnp.zeros((), jnp.float32)
@@ -307,8 +315,11 @@ def _ffn(lp: dict, cfg: LLMConfig, x: jax.Array, no_drop: bool = False
 
 def _layer_full(lp: dict, cfg: LLMConfig, x: jax.Array, contexts: dict,
                 need_weights: bool = False, rng: jax.Array | None = None,
-                deterministic: bool = True) -> tuple[jax.Array, dict]:
-    """One decoder layer, full-sequence path. x: [B, T, E]."""
+                deterministic: bool = True,
+                token_mask: jax.Array | None = None
+                ) -> tuple[jax.Array, dict]:
+    """One decoder layer, full-sequence path. x: [B, T, E]; token_mask
+    [B, T] (True = non-pad) gates MoE capacity/aux."""
     from ..ops.common import dropout
     r = rng
     h = rms_norm(lp["attn_norm"], x, cfg.rms_eps)
@@ -325,7 +336,7 @@ def _layer_full(lp: dict, cfg: LLMConfig, x: jax.Array, contexts: dict,
                     None if r is None else jax.random.fold_in(r, 1),
                     deterministic)
     h = rms_norm(lp["ffn_norm"], x, cfg.rms_eps)
-    f, moe_aux = _ffn(lp["ffn"], cfg, h)
+    f, moe_aux = _ffn(lp["ffn"], cfg, h, token_mask=token_mask)
     x = x + dropout(f, cfg.dropout,
                     None if r is None else jax.random.fold_in(r, 2),
                     deterministic)
@@ -345,10 +356,11 @@ def llm_forward(params: dict, cfg: LLMConfig, ids: jax.Array,
                 None if rng is None else jax.random.fold_in(rng, 0),
                 deterministic)
     all_attns = []
+    token_mask = ids != cfg.pad_id
     for i, lp in enumerate(params["layers"]):
         r = None if rng is None else jax.random.fold_in(rng, 1 + i)
         x, attns = _layer_full(lp, cfg, x, contexts, need_weights, r,
-                               deterministic)
+                               deterministic, token_mask=token_mask)
         all_attns.append(attns)
     return rms_norm(params["final_norm"], x, cfg.rms_eps), all_attns
 

@@ -39,26 +39,21 @@ def init_moe_ffn(rng: jax.Array, dim: int, ffn_dim: int, num_experts: int
     }
 
 
-def moe_ffn(params: dict, x: jax.Array, top_k: int = 2,
-            capacity_factor: float = 1.25
-            ) -> tuple[jax.Array, jax.Array]:
-    """MoE SwiGLU. x: [N, D] tokens -> ([N, D], aux_loss scalar).
+def _route(params: dict, x: jax.Array, top_k: int
+           ) -> tuple[jax.Array, list, jax.Array]:
+    """Shared routing math (single source for moe_ffn AND the dense test
+    reference, so they cannot drift): returns (probs [N, E],
+    chosen [k x [N] expert ids], gate [N, k]).
 
-    aux_loss is the Switch load-balancing term E * sum_e(f_e * P_e)
-    (f_e = fraction of tokens whose top-1 choice is e, P_e = mean router
-    prob) — add it to the task loss scaled by the caller's coefficient.
+    Gates: top-1 keeps the RAW router prob (Switch) — renormalizing a
+    single choice would make the gate identically 1 and starve the router
+    of task-loss gradient; top-k>1 renormalizes over the chosen k (GShard).
     """
-    N, D = x.shape
     E = params["w1"].shape[0]
     k = min(top_k, E)
-    cap = max(1, int(-(-N * k // E) * capacity_factor))
-    cap = min(cap, N)
-
     logits = jnp.einsum("nd,de->ne", x.astype(jnp.float32),
                         params["router"]["w"].astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)                     # [N, E]
-
-    # iterative top-k choice; gates renormalized over the chosen k
     remaining = probs
     chosen, gatevals = [], []
     for _ in range(k):
@@ -68,19 +63,51 @@ def moe_ffn(params: dict, x: jax.Array, top_k: int = 2,
             probs, idx[:, None], axis=-1)[:, 0])
         remaining = remaining * (1.0 - jax.nn.one_hot(idx, E))
     gate = jnp.stack(gatevals, axis=-1)                         # [N, k]
-    gate = gate / jnp.maximum(jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
+    if k > 1:
+        gate = gate / jnp.maximum(jnp.sum(gate, axis=-1, keepdims=True),
+                                  1e-9)
+    return probs, chosen, gate
+
+
+def moe_ffn(params: dict, x: jax.Array, top_k: int = 2,
+            capacity_factor: float = 1.25,
+            token_mask: jax.Array | None = None
+            ) -> tuple[jax.Array, jax.Array]:
+    """MoE SwiGLU. x: [N, D] tokens -> ([N, D], aux_loss scalar).
+
+    token_mask [N] bool (True = real token): masked-out tokens (pads) do
+    not consume expert capacity, produce zero output, and are excluded from
+    the aux statistics — without it, a padded bucket's identical pad
+    embeddings all route together and crowd real tokens out of one
+    expert's buffer.
+
+    aux_loss is the Switch load-balancing term E * sum_e(f_e * P_e)
+    (f_e = fraction of real tokens whose top-1 choice is e, P_e = mean
+    router prob over real tokens) — add it to the task loss scaled by the
+    caller's coefficient.
+    """
+    N, D = x.shape
+    E = params["w1"].shape[0]
+    k = min(top_k, E)
+    cap = max(1, int(-(-N * k // E) * capacity_factor))
+    cap = min(cap, N)
+
+    probs, chosen, gate = _route(params, x, top_k)
+    live = (jnp.ones((N,), jnp.float32) if token_mask is None
+            else token_mask.astype(jnp.float32))
 
     # position of each (token, choice) in its expert's capacity buffer:
     # cumulative count over the flattened [k, N] priority order (choice 0
-    # of every token outranks any choice 1 — GShard's dispatch priority)
-    sel = jax.nn.one_hot(jnp.stack(chosen), E)                  # [k, N, E]
-    flat = sel.reshape(k * N, E)
-    pos = jnp.cumsum(flat, axis=0) - flat                       # [k*N, E]
+    # of every token outranks any choice 1 — GShard's dispatch priority).
+    # Pads are zeroed BEFORE the cumsum so they never consume a slot.
+    sel = jax.nn.one_hot(jnp.stack(chosen), E) * live[None, :, None]
+    flat = sel.reshape(k * N, E)                                # [k*N, E]
+    pos = jnp.cumsum(flat, axis=0) - flat
     pos = jnp.sum(pos * flat, axis=-1).reshape(k, N)            # [k, N]
     keep = (pos < cap).astype(jnp.float32)                      # [k, N]
 
     # dispatch [N, E, cap] (0/1) and combine (gate-weighted dispatch)
-    pos_oh = jax.nn.one_hot(pos, cap)                           # [k, N, cap]
+    pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), cap)         # [k, N, cap]
     disp = jnp.einsum("kne,knc,kn->nec", sel, pos_oh, keep)
     comb = jnp.einsum("kne,knc,kn,nk->nec", sel, pos_oh, keep,
                       gate.astype(jnp.float32))
@@ -94,10 +121,10 @@ def moe_ffn(params: dict, x: jax.Array, top_k: int = 2,
     out = jnp.einsum("nec,ecd->nd", comb, out_e.astype(jnp.float32)
                      ).astype(x.dtype)
 
-    # Switch aux loss on the top-1 assignment
-    top1 = sel[0]                                               # [N, E]
-    f = jnp.mean(top1, axis=0)
-    P = jnp.mean(probs, axis=0)
+    # Switch aux loss on the top-1 assignment, over real tokens only
+    n_live = jnp.maximum(jnp.sum(live), 1.0)
+    f = jnp.sum(sel[0], axis=0) / n_live
+    P = jnp.sum(probs * live[:, None], axis=0) / n_live
     aux = E * jnp.sum(f * P)
     return out, aux
 
@@ -106,23 +133,13 @@ def moe_ffn_dense_reference(params: dict, x: jax.Array, top_k: int = 2
                             ) -> jax.Array:
     """Infinite-capacity reference: every token runs its top-k experts
     densely (no capacity drops). Used by tests to validate the einsum
-    dispatch path when cap >= all routed tokens."""
+    dispatch path when cap >= all routed tokens. Routing comes from the
+    same _route helper as moe_ffn, so the two cannot drift."""
     N, D = x.shape
     E = params["w1"].shape[0]
     k = min(top_k, E)
-    logits = jnp.einsum("nd,de->ne", x.astype(jnp.float32),
-                        params["router"]["w"].astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1)
-    remaining = probs
+    probs, chosen, gate = _route(params, x, top_k)
     out = jnp.zeros((N, D), jnp.float32)
-    chosen, gatevals = [], []
-    for _ in range(k):
-        idx = jnp.argmax(remaining, axis=-1)
-        chosen.append(idx)
-        gatevals.append(jnp.take_along_axis(probs, idx[:, None], axis=-1)[:, 0])
-        remaining = remaining * (1.0 - jax.nn.one_hot(idx, E))
-    gate = jnp.stack(gatevals, axis=-1)
-    gate = gate / jnp.maximum(jnp.sum(gate, axis=-1, keepdims=True), 1e-9)
     for j in range(k):
         for e in range(E):
             w1, w3, w2 = params["w1"][e], params["w3"][e], params["w2"][e]

@@ -72,6 +72,11 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
     asserted on the CPU mesh in tests/test_pipeline_parallel.py)."""
     B = x.shape[0]
     Pn = mesh.shape[axis]
+    n_stages = jax.tree.leaves(stacked)[0].shape[0]
+    assert n_stages == Pn, \
+        (f"stacked params have {n_stages} stages but mesh axis "
+         f"{axis!r} has {Pn} devices (each stage must map to exactly one "
+         f"device slice; a mismatch would silently drop layers)")
     assert B % n_micro == 0, f"batch {B} not divisible by {n_micro}"
     mb = B // n_micro
     if data_axis is not None:
@@ -134,8 +139,6 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
         return outs
 
     extras = extras if extras is not None else ()
-    stage_view = jax.tree.map(
-        lambda a: a, stacked)  # leading [P, L/P, ...]: P splits over axis
     # microbatch example dim (dim 1 of [n_micro, mb, ...]) rides data_axis
     mb_spec = P() if data_axis is None else P(None, data_axis)
     in_specs = (P(axis), mb_spec, P(), mb_spec)
@@ -154,5 +157,5 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
             out_specs=mb_spec,
             check_rep=False,
         )
-    out = smap(stage_view, micro, extras, micro_b)
+    out = smap(stacked, micro, extras, micro_b)
     return out.reshape((B,) + x.shape[1:])

@@ -62,15 +62,40 @@ def test_moe_grads_flow_to_router_and_experts():
     params = _params(jax.random.PRNGKey(7))
     x = jax.random.normal(jax.random.PRNGKey(8), (16, 12))
 
-    def loss(p):
-        out, aux = moe_ffn(p, x)
-        return jnp.sum(out ** 2) + 0.01 * aux
+    for k in (1, 2):
+        def loss(p):
+            out, aux = moe_ffn(p, x, top_k=k)
+            return jnp.sum(out ** 2) + 0.01 * aux
 
-    g = jax.grad(loss)(params)
-    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
-        assert bool(jnp.isfinite(leaf).all()), path
-    # router receives gradient through the gates
-    assert float(jnp.abs(g["router"]["w"]).sum()) > 0
+        g = jax.grad(loss)(params)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+            assert bool(jnp.isfinite(leaf).all()), path
+        # router receives TASK-loss gradient through the gates; at top-1
+        # the gate is the raw prob (renormalizing would pin it to 1 and
+        # starve the router), so the grad must be well above aux-only scale
+        assert float(jnp.abs(g["router"]["w"]).sum()) > 0.01, k
+
+
+def test_moe_pads_do_not_consume_capacity():
+    """With token_mask, pad tokens take no expert slots: real tokens'
+    outputs match a pad-free call, and pad rows output zero."""
+    d, e = 8, 2
+    params = _params(jax.random.PRNGKey(30), d=d, e=e)
+    real = jax.random.normal(jax.random.PRNGKey(31), (4, d))
+    # many identical "pad" rows that would otherwise crowd one expert
+    pads = jnp.tile(jax.random.normal(jax.random.PRNGKey(32), (1, d)),
+                    (12, 1))
+    x = jnp.concatenate([real, pads])
+    mask = jnp.arange(16) < 4
+    # tight capacity: ceil(16*1/2)*0.5 = 4 slots per expert
+    out, aux = moe_ffn(params, x, top_k=1, capacity_factor=0.5,
+                       token_mask=mask)
+    ref, _ = moe_ffn(params, real, top_k=1, capacity_factor=2.0)
+    np.testing.assert_allclose(np.asarray(out[:4]), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[4:]), 0.0)
+    assert np.isfinite(float(aux))
+
 
 
 def test_moe_expert_sharded_matches_unsharded():

@@ -129,6 +129,18 @@ def test_pipeline_dp_x_pp_matches_sequential():
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gp, gref)
 
 
+def test_stage_mesh_mismatch_raises():
+    """A stacked stage count that does not match the pipe axis must be a
+    loud error, not silently dropped layers."""
+    import pytest
+    mesh = _mesh(2)
+    layers = [{"w": jnp.eye(4)} for _ in range(4)]
+    stacked = stack_stages(layers, 4)  # 4 stages, 2-device axis
+    x = jnp.ones((4, 4))
+    with pytest.raises(AssertionError, match="stages"):
+        pipeline_apply(stacked, lambda lp, h, _: h @ lp["w"], x, mesh, 2)
+
+
 def test_pipeline_with_extras_and_grad():
     """extras reach every layer; gradients flow through the ppermute chain
     back to stage-sharded params."""
