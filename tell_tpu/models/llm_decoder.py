@@ -537,22 +537,28 @@ def llm_pp_sharding(stacked: dict, mesh, axis: str = "pipe"):
 
 def llm_forward_pp(stacked: dict, cfg: LLMConfig, ids: jax.Array,
                    contexts: dict, mesh, n_micro: int, axis: str = "pipe",
-                   data_axis: str | None = None) -> jax.Array:
+                   data_axis: str | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
     """Teacher-forced forward with the layer stack pipelined over `axis`
     (GPipe microbatching; deterministic — pp is a training-scale path, so
-    dropout is applied by the caller's choice of loss, not here). Exactly
-    equals the sequential llm_forward (tests/test_pipeline_parallel.py)."""
+    dropout is applied by the caller's choice of loss, not here). Returns
+    (features, moe_aux_sum — zero when dense; per-microbatch capacity/aux,
+    the GShard per-shard convention). Feature output exactly equals the
+    sequential llm_forward (tests/test_pipeline_parallel.py)."""
     from ..parallel.pipeline import pipeline_apply
     x = jnp.take(stacked["tok_embed"], ids, axis=0)
+    token_mask = ids != cfg.pad_id
 
     def layer_fn(lp, h, extras):
-        # contexts are per-example -> arrive as the batched extras slice
-        out, _ = _layer_full(lp, cfg, h, extras[-1])
-        return out
+        # per-example tensors arrive as the batched extras slice
+        ctx_mb, mask_mb = extras[-1]
+        out, attns = _layer_full(lp, cfg, h, ctx_mb, token_mask=mask_mb)
+        return out, attns["moe_aux"]
 
-    x = pipeline_apply(stacked["layers"], layer_fn, x, mesh, n_micro,
-                       axis=axis, batched=contexts, data_axis=data_axis)
-    return rms_norm(stacked["final_norm"], x, cfg.rms_eps)
+    x, aux = pipeline_apply(stacked["layers"], layer_fn, x, mesh, n_micro,
+                            axis=axis, batched=(contexts, token_mask),
+                            data_axis=data_axis, layer_aux=True)
+    return rms_norm(stacked["final_norm"], x, cfg.rms_eps), aux
 
 
 def llm_loss_pp(stacked: dict, cfg: LLMConfig, batch: dict, mesh,
@@ -560,19 +566,28 @@ def llm_loss_pp(stacked: dict, cfg: LLMConfig, batch: dict, mesh,
                 data_axis: str | None = None) -> tuple[jax.Array, dict]:
     """Pipeline-parallel llm_loss (deterministic). Differentiable end to
     end: grads on stacked['layers'] come back stage-sharded over `axis`.
-    `data_axis` runs dp x pp: microbatch examples sharded over that axis."""
-    assert not cfg.moe_experts, \
-        "pp path does not collect the MoE aux loss; use llm_loss (dp/tp/ep)"
+    `data_axis` runs dp x pp: microbatch examples sharded over that axis.
+
+    pp x ep composes: with cfg.moe_experts set, expert capacity and the
+    Switch aux loss are per-microbatch (the GShard per-shard convention —
+    aux here is the mean over layers and microbatches, so it is an
+    estimator of, not bit-identical to, the full-batch llm_loss aux)."""
     contexts = _build_contexts(stacked, cfg, batch)
     ids = batch["caption_ids"]
     inputs, targets = ids[:, :-1], ids[:, 1:]
-    feats = llm_forward_pp(stacked, cfg, inputs, contexts, mesh, n_micro,
-                           axis, data_axis)
+    feats, moe_aux_sum = llm_forward_pp(stacked, cfg, inputs, contexts,
+                                        mesh, n_micro, axis, data_axis)
     B, T, E = feats.shape
     loss_sum, size = llm_xent(stacked, cfg, feats.reshape(B * T, E),
                               targets.reshape(-1))
     size = jnp.maximum(size, 1)
-    return loss_sum / jnp.log(2.0) / size, {"sample_size": size}
+    loss = loss_sum / jnp.log(2.0) / size
+    aux = {"sample_size": size}
+    if cfg.moe_experts:
+        moe_aux = moe_aux_sum / (cfg.num_layers * n_micro)
+        aux["moe_aux"] = moe_aux
+        loss = loss + cfg.moe_aux_coef * moe_aux
+    return loss, aux
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,8 @@ def pipeline_spec(stacked, mesh: Mesh, axis: str = "pipe"):
 def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
                    mesh: Mesh, n_micro: int, axis: str = "pipe",
                    extras=None, batched=None,
-                   data_axis: str | None = None) -> jax.Array:
+                   data_axis: str | None = None,
+                   layer_aux: bool = False):
     """Run x [B, ...] through all stages' layers with GPipe microbatching.
 
     layer_fn(lparams, x, extras) -> x applies ONE layer; each stage scans
@@ -66,6 +67,13 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
     over that mesh axis (stage params stay replicated across it), so a
     ("pipe", "data") mesh runs D pipelines of P stages side by side with
     ppermute riding only the pipe axis.
+
+    `layer_aux=True` changes layer_fn's contract to return (x, aux_scalar)
+    (e.g. a MoE load-balancing term): the function then returns
+    (out, aux_sum) where aux_sum totals every real (layer, microbatch)
+    contribution — bubble-tick recomputes are excluded — psum'd across
+    stages and averaged over the data axis. The caller normalizes (divide
+    by n_layers * n_micro for a mean-per-layer-per-microbatch).
 
     B must divide into n_micro microbatches (each divisible by the data-axis
     size when given). Output equals applying the layers sequentially (exact;
@@ -90,9 +98,14 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
 
     def stage_fn(stage_params, h, extras):
         def body(h, lparams):
-            return layer_fn(lparams, h, extras), ()
-        h, _ = jax.lax.scan(body, h, stage_params)
-        return h
+            out = layer_fn(lparams, h, extras)
+            if layer_aux:
+                h2, aux = out
+                return h2, aux
+            return out, ()
+        h, auxs = jax.lax.scan(body, h, stage_params)
+        aux = jnp.sum(auxs) if layer_aux else jnp.zeros((), jnp.float32)
+        return h, aux
 
     def pipelined(stage_params, micro, extras, micro_b):
         # inside shard_map: stage_params [1, L/P, ...] (this stage's slice),
@@ -103,9 +116,10 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
         perm = [(i, (i + 1) % Pn) for i in range(Pn)]
         buf0 = jnp.zeros_like(micro[0])
         out0 = jnp.zeros_like(micro)
+        aux0 = jnp.zeros((), jnp.float32)
 
         def tick(carry, t):
-            buf, outs = carry
+            buf, outs, aux_acc = carry
             # stage 0 injects microbatch t (clamped; drain ticks recompute
             # the final microbatch, discarded by the valid gate below)
             inject = micro[jnp.clip(t, 0, n_micro - 1)]
@@ -113,12 +127,18 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
             # this stage computes microbatch t - idx right now: hand it the
             # matching slice of the batched extras (clamped on bubble ticks
             # whose results are discarded anyway)
+            m_raw = t - idx
             ex = extras
             if micro_b is not None:
-                m_here = jnp.clip(t - idx, 0, n_micro - 1)
+                m_here = jnp.clip(m_raw, 0, n_micro - 1)
                 ex = tuple(extras) + (
                     jax.tree.map(lambda a: a[m_here], micro_b),)
-            h = stage_fn(stage_params, h, ex)
+            h, stage_aux = stage_fn(stage_params, h, ex)
+            # aux counts only real work: this stage's tick is a bubble when
+            # its current microbatch index falls outside [0, n_micro)
+            live_here = ((m_raw >= 0) & (m_raw < n_micro)).astype(
+                jnp.float32)
+            aux_acc = aux_acc + stage_aux * live_here
             # the LAST stage's tick-t result is microbatch m = t - (P-1);
             # bubble ticks (m outside [0, n_micro)) must not touch outs
             m = t - last
@@ -128,25 +148,29 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
                 outs, jnp.where(valid, h, outs[mc]), mc, 0)
             # rotate activations downstream for the next tick
             buf = jax.lax.ppermute(h, axis, perm)
-            return (buf, outs), ()
+            return (buf, outs, aux_acc), ()
 
-        (_, outs), _ = jax.lax.scan(tick, (buf0, out0),
-                                    jnp.arange(n_micro + Pn - 1))
+        (_, outs, aux_acc), _ = jax.lax.scan(tick, (buf0, out0, aux0),
+                                             jnp.arange(n_micro + Pn - 1))
         # only the last stage holds real outputs; broadcast to every stage
         # so the result is replicated over the axis (out_specs=P())
         outs = jax.lax.psum(
             jnp.where(idx == last, outs, jnp.zeros_like(outs)), axis)
-        return outs
+        aux_acc = jax.lax.psum(aux_acc, axis)  # total over stages' layers
+        if data_axis is not None:  # mean over data shards
+            aux_acc = jax.lax.pmean(aux_acc, data_axis)
+        return outs, aux_acc
 
     extras = extras if extras is not None else ()
     # microbatch example dim (dim 1 of [n_micro, mb, ...]) rides data_axis
     mb_spec = P() if data_axis is None else P(None, data_axis)
     in_specs = (P(axis), mb_spec, P(), mb_spec)
+    out_specs = (mb_spec, P())
     if hasattr(jax, "shard_map"):  # jax >= 0.8
         smap = jax.shard_map(
             pipelined, mesh=mesh,
             in_specs=in_specs,
-            out_specs=mb_spec,
+            out_specs=out_specs,
             check_vma=False,
         )
     else:
@@ -154,8 +178,9 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
         smap = shard_map(
             pipelined, mesh=mesh,
             in_specs=in_specs,
-            out_specs=mb_spec,
+            out_specs=out_specs,
             check_rep=False,
         )
-    out = smap(stacked, micro, extras, micro_b)
-    return out.reshape((B,) + x.shape[1:])
+    out, aux = smap(stacked, micro, extras, micro_b)
+    out = out.reshape((B,) + x.shape[1:])
+    return (out, aux) if layer_aux else out

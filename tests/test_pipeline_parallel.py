@@ -129,6 +129,76 @@ def test_pipeline_dp_x_pp_matches_sequential():
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5), gp, gref)
 
 
+def test_layer_aux_sums_real_work_only():
+    """layer_aux totals every (layer, microbatch) contribution exactly once
+    — bubble-tick recomputes must not inflate it."""
+    d, L, B, n_micro = 8, 4, 8, 4
+    mesh = _mesh(2)
+    layers = [_layer(jax.random.fold_in(jax.random.PRNGKey(8), i), d)
+              for i in range(L)]
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, d))
+
+    def layer_fn(lp, h, extras):
+        out = _layer_fn(lp, h, ())
+        return out, jnp.sum(out ** 2)
+
+    stacked = stack_stages(layers, 2)
+    stacked = jax.device_put(stacked, pipeline_spec(stacked, mesh))
+    out, aux = pipeline_apply(stacked, layer_fn, x, mesh, n_micro,
+                              layer_aux=True)
+    # sequential reference: per-microbatch per-layer sums
+    ref_aux = 0.0
+    for m in range(n_micro):
+        h = x[m * 2:(m + 1) * 2]
+        for lp in layers:
+            h = _layer_fn(lp, h, ())
+            ref_aux += float(jnp.sum(h ** 2))
+    np.testing.assert_allclose(float(aux), ref_aux, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_sequential(layers, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_llm_pp_with_moe_trains():
+    """pp x ep: the modern LM with MoE FFNs runs pipelined — finite loss
+    with the aux term, finite stage-sharded grads including experts."""
+    from tell_tpu.config import ContextSpec
+    from tell_tpu.models.llm_decoder import (
+        LLMConfig, init_llm_decoder, llm_loss_pp, llm_pp_sharding,
+        stack_llm_layers)
+    cfg = LLMConfig(
+        vocab_size=97, dim=16, num_layers=4, num_heads=2, num_kv_heads=2,
+        ffn_dim=24, dropout=0.0, attention_dropout=0.0,
+        max_target_positions=16, gen_len=5, loss_vocab_chunk=32,
+        moe_experts=2, moe_top_k=2,
+        contexts=(ContextSpec("image", 8, 3), ContextSpec("article", 8, 5)))
+    params = init_llm_decoder(jax.random.PRNGKey(10), cfg)
+    B, T = 4, 8
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    caps = jax.random.randint(ks[2], (B, T), 4, cfg.vocab_size)
+    caps = caps.at[:, 0].set(0).at[:, -1].set(2)
+    batch = {
+        "image_grid": jax.random.normal(ks[0], (B, 3, 8)),
+        "article": jax.random.normal(ks[1], (B, 5, 8)),
+        "article_mask": jnp.zeros((B, 5), bool),
+        "caption_ids": caps,
+    }
+    mesh = _mesh(2)
+    stacked = stack_llm_layers(params, 2)
+    stacked = jax.device_put(stacked, llm_pp_sharding(stacked, mesh))
+
+    def loss(st):
+        l, aux = llm_loss_pp(st, cfg, batch, mesh, n_micro=2)
+        return l, aux
+
+    (l, aux), g = jax.value_and_grad(loss, has_aux=True)(stacked)
+    assert np.isfinite(float(l))
+    assert "moe_aux" in aux and np.isfinite(float(aux["moe_aux"]))
+    for leaf in jax.tree.leaves(g):
+        assert bool(jnp.isfinite(leaf).all())
+    assert float(jnp.abs(g["layers"]["ffn"]["router"]["w"]).sum()) > 0
+
+
 def test_stage_mesh_mismatch_raises():
     """A stacked stage count that does not match the pipe axis must be a
     loud error, not silently dropped layers."""
