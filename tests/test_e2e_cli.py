@@ -171,6 +171,24 @@ def test_modern_model_cli_pipeline(modern_yaml, capsys):
     assert len(rows) == 10 and "generation" in rows[0]
 
 
+def test_moe_modern_cli_train(modern_yaml, capsys, tmp_path):
+    """expt-12-style MoE through the CLI: -o overrides switch the modern
+    model to 2 experts; train runs and the loss decreases."""
+    cfg, root = modern_yaml
+    # shards exist from the modern pipeline test (module-scoped fixture);
+    # (re)preprocess defensively in case of test-order isolation
+    assert main(["preprocess", cfg, "-s", "train"]) == 0
+    assert main(["preprocess", cfg, "-s", "valid"]) == 0
+    capsys.readouterr()
+    ov = json.dumps({"model": {"moe_experts": 2, "moe_top_k": 2},
+                     "trainer": {"serialization_dir": str(tmp_path)}})
+    assert main(["train", cfg, "-o", ov]) == 0
+    capsys.readouterr()
+    with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+        hist = [json.loads(l) for l in f]
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_preprocess_train_evaluate_score(exp_yaml, capsys):
     cfg, root = exp_yaml
     assert main(["preprocess", cfg, "-s", "train"]) == 0
