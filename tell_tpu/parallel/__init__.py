@@ -1,3 +1,4 @@
 from .mesh import (batch_sharding, make_mesh, param_sharding_rules,
                    shard_params)
+from .ring import roberta_encode_ring
 from .sequence import roberta_encode_seq_parallel
