@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--mesh-data", type=int, default=1,
                     help="shard each decode micro-batch over this many "
                     "devices (data-parallel serving; 1 = single chip)")
+    sv.add_argument("--engine-slots", type=int, default=0,
+                    help="continuous-batching beam decode with this many "
+                    "request slots (0 = micro-batch mode); flagship "
+                    "captioner only")
+    sv.add_argument("--engine-beam", type=int, default=5,
+                    help="beam size for --engine-slots mode")
 
     bn = sub.add_parser("bench", help="decode-throughput benchmark "
                         "(one JSON line; see bench.py)")
@@ -225,9 +231,13 @@ def cmd_serve(args) -> int:
     service = CaptionService(params, _frozen_towers(exp), exp.model,
                              _tokenizer(exp), adapter=adapter,
                              max_batch=args.max_batch, mesh=mesh,
-                             need_attention=args.attention)
+                             need_attention=args.attention,
+                             engine_slots=args.engine_slots,
+                             engine_beam=args.engine_beam)
     print(f"serving on {args.host}:{args.port}"
-          + (f" (data-parallel x{args.mesh_data})" if mesh else ""))
+          + (f" (data-parallel x{args.mesh_data})" if mesh else "")
+          + (f" (continuous batching: {args.engine_slots} slots, "
+             f"beam {args.engine_beam})" if args.engine_slots else ""))
     serve(service, port=args.port, host=args.host)
     return 0
 

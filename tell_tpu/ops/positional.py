@@ -55,8 +55,14 @@ def sinusoidal_embed(table: jax.Array, ids: jax.Array, padding_idx: int,
 
     start_pos shifts non-pad positions; used during incremental decode where
     the carried decode state tracks how many tokens were already emitted.
+    A scalar shifts every row; a [B] vector shifts per row (continuous
+    batching admits requests at different times, so decode rows carry
+    independent step counters — serving/engine.py).
     """
     positions = make_positions(ids, padding_idx)
     mask = ids != padding_idx
-    positions = jnp.where(mask, positions + start_pos, padding_idx)
+    start = jnp.asarray(start_pos)
+    if start.ndim == 1:
+        start = start[:, None]            # per-row: [B] -> [B, 1]
+    positions = jnp.where(mask, positions + start, padding_idx)
     return jnp.take(table, positions, axis=0)

@@ -1,0 +1,294 @@
+"""Continuous-batching beam-decode engine.
+
+The micro-batcher (`serving/batcher.py`) decodes each micro-batch to
+completion: every request in a batch waits for the slowest one, and a chip
+serving streaming traffic idles between batches. This engine keeps ONE
+resident fixed-shape beam-search state with `slots` request slots and lets
+requests join and leave at chunk boundaries (vLLM-style continuous
+batching, expressed the XLA way — all state surgery is `dynamic_update_slice`
+on a fixed pytree, never a shape change):
+
+* `admit` scatters a newly encoded request's context K/V into slot rows,
+  zeroes the slot's conv ring buffers, and resets its beam bookkeeping —
+  one compiled program, slot index traced;
+* `chunk` advances ALL live slots by up to `chunk_steps` beam-search steps
+  (the exact candidate math of `models/beam.py:beam_search_core`, with the
+  global step counter replaced by a per-slot counter `t` — decode rows
+  carry per-row positions, `ops/positional.py:sinusoidal_embed`);
+* finished slots freeze (their only candidate is a zero-cost <pad>
+  continuation, exactly the beam_search_core mechanism), are harvested on
+  the host, and their slots immediately take the next queued request.
+
+A slot's caption therefore NEVER depends on which other requests share the
+engine (asserted against one-shot `beam_search` in
+tests/test_engine.py::test_engine_matches_one_shot_beam_search, with
+staggered admissions).
+
+The reference's serving has no analogue: its ZeroMQ ventilator hands whole
+jobs to worker processes which decode them to completion
+(/root/reference/tell/server/base.py:30-191, tell/tasks/captioner.py:50-444).
+"""
+from __future__ import annotations
+
+import queue as _queue
+import threading
+from concurrent.futures import Future
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CaptionerConfig
+from ..models.captioner import build_contexts
+from ..models.decoder import (decoder_step, decoder_top_k,
+                              init_decode_state,
+                              precompute_context_kv_cat)
+
+
+def _scatter_rows(full: jax.Array, rows: jax.Array, b: jax.Array
+                  ) -> jax.Array:
+    return jax.lax.dynamic_update_slice_in_dim(
+        full, rows.astype(full.dtype), b, axis=0)
+
+
+class DecodeEngine:
+    """Slot-based continuous beam decode for the flagship captioner.
+
+    params/cfg: captioner params + CaptionerConfig. `slots` concurrent
+    requests x `beam` beams, decode advancing in `chunk_steps`-step jitted
+    chunks. Feature batches (image_grid / article_hiddens / article_mask /
+    face_embeds / obj_embeds, leading dim 1) go in via `submit`; a Future
+    resolving to {"token_ids": [beam, gen_len+1], "scores": [beam],
+    "finished": [beam]} comes back (same contract as beam_search, minus
+    the batch dim).
+    """
+
+    def __init__(self, params: dict, cfg: CaptionerConfig, *,
+                 slots: int = 8, beam: int = 5,
+                 chunk_steps: int = 8, length_penalty: float = 0.0,
+                 dtype=jnp.float32):
+        assert slots >= 2, "a 1-slot engine is just beam_search"
+        self.cfg = cfg
+        self.dcfg = dcfg = cfg.decoder
+        self.slots, self.beam = slots, beam
+        self.chunk_steps = chunk_steps
+        self.length_penalty = length_penalty
+        self.params = params
+        B, K, L = slots, beam, cfg.gen_len
+
+        # resident state, built from zero contexts (slots start empty)
+        zero_batch = self._zero_batch(dtype)
+        contexts0 = build_contexts(params, cfg, zero_batch)
+        dstate = init_decode_state(params["decoder"], dcfg, contexts0, B,
+                                   beam=K, dtype=dtype)
+        self._embed_table = dstate.pop("embed_table")  # constant
+        dstate.pop("step")  # replaced by the per-slot counter below
+        self.state = {
+            **dstate,                               # conv [B*K,...], kv
+            "t": jnp.full((B,), L, jnp.int32),      # per-slot step count
+            "tokens": jnp.full((B, K), dcfg.bos_id, jnp.int32),
+            "scores": jnp.zeros((B, K), jnp.float32),
+            "finished": jnp.ones((B, K), bool),     # empty slots are inert
+            "lengths": jnp.zeros((B, K), jnp.int32),
+            "paths": jnp.full((B, K, L + 1), dcfg.pad_id, jnp.int32),
+        }
+
+        # params/embed_table ride as call-time args — closure arrays would
+        # be baked into the HLO as constants (see training/train_step.py)
+        self._encode = jax.jit(self._encode_impl)
+        self._admit = jax.jit(self._admit_impl, donate_argnums=0)
+        self._chunk = jax.jit(self._chunk_impl, donate_argnums=2)
+
+        self.free: list[int] = list(range(slots))
+        self.pending: dict[int, Future] = {}
+        self.queue: "_queue.Queue[tuple[dict, Future]]" = _queue.Queue()
+        self.stats = {"requests": 0, "chunks": 0, "steps": 0}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _zero_batch(self, dtype) -> dict:
+        cfg, dcfg = self.cfg, self.dcfg
+        B = self.slots
+        z = lambda *s: jnp.zeros(s, dtype)  # noqa: E731
+        batch = {}
+        for spec in dcfg.contexts:
+            if spec.name == "image":
+                batch["image_grid"] = z(B, spec.max_len, spec.kv_dim)
+            elif spec.name == "article":
+                if cfg.weigh_bert:
+                    batch["article_hiddens"] = z(B, spec.max_len,
+                                                 cfg.num_bert_layers,
+                                                 spec.kv_dim)
+                else:
+                    batch["article"] = z(B, spec.max_len, spec.kv_dim)
+                batch["article_mask"] = jnp.ones((B, spec.max_len), bool)
+            elif spec.name == "faces":
+                batch["face_embeds"] = z(B, spec.max_len, spec.kv_dim)
+            elif spec.name == "obj":
+                batch["obj_embeds"] = z(B, spec.max_len, spec.kv_dim)
+        return batch
+
+    def _encode_impl(self, params: dict, batch1: dict):
+        """One request's feature batch (leading dim 1) -> its context KV."""
+        contexts = build_contexts(params, self.cfg, batch1)
+        return precompute_context_kv_cat(params["decoder"], self.dcfg,
+                                         contexts)
+
+    def _admit_impl(self, state: dict, kv1, b: jax.Array) -> dict:
+        B, K, L = self.slots, self.beam, self.cfg.gen_len
+        dcfg = self.dcfg
+
+        def put(full, new):
+            if full.shape == new.shape:   # shared leaves (segment ids)
+                return full
+            return _scatter_rows(full, new, b)
+
+        kv = jax.tree.map(put, state["kv"], kv1)
+        conv = [_scatter_rows(buf, jnp.zeros((K,) + buf.shape[1:],
+                                             buf.dtype), b * K)
+                for buf in state["conv"]]
+        row = lambda a, v: a.at[b].set(v)  # noqa: E731
+        scores0 = jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32)
+        paths0 = jnp.full((K, L + 1), dcfg.pad_id,
+                          jnp.int32).at[:, 0].set(dcfg.bos_id)
+        return {**state, "kv": kv, "conv": conv,
+                "t": row(state["t"], 0),
+                "tokens": row(state["tokens"],
+                              jnp.full((K,), dcfg.bos_id, jnp.int32)),
+                "scores": row(state["scores"], scores0),
+                "finished": row(state["finished"], jnp.zeros((K,), bool)),
+                "lengths": row(state["lengths"], jnp.zeros((K,), jnp.int32)),
+                "paths": row(state["paths"], paths0)}
+
+    def _step(self, params: dict, embed_table: jax.Array,
+              state: dict) -> dict:
+        """One beam step over all slots — beam_search_core's candidate math
+        with a per-slot step counter."""
+        dcfg = self.dcfg
+        B, K, L = self.slots, self.beam, self.cfg.gen_len
+        t, finished = state["t"], state["finished"]
+        # a slot at the length cap freezes exactly like a finished beam
+        eff_finished = finished | (t >= L)[:, None]
+
+        feats, dstate, _ = decoder_step(
+            params["decoder"], dcfg, state["tokens"].reshape(B * K),
+            {"conv": state["conv"], "kv": state["kv"],
+             "embed_table": embed_table,
+             "step": jnp.repeat(t, K)})
+        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        cand_lp = cand_lp.reshape(B, K, K)
+        cand_ids = cand_ids.reshape(B, K, K)
+
+        fin_lp = jnp.full((K,), -jnp.inf).at[0].set(0.0)
+        cand_lp = jnp.where(eff_finished[:, :, None], fin_lp[None, None, :],
+                            cand_lp)
+        cand_ids = jnp.where(eff_finished[:, :, None], dcfg.pad_id, cand_ids)
+
+        total = state["scores"][:, :, None] + cand_lp          # [B, K, K]
+        top_scores, top_flat = jax.lax.top_k(total.reshape(B, K * K), K)
+        parent = top_flat // K
+        tok = jnp.take_along_axis(cand_ids.reshape(B, K * K), top_flat,
+                                  axis=-1).astype(jnp.int32)
+
+        def g(x):
+            return jnp.take_along_axis(
+                x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)),
+                axis=1)
+
+        was_finished = g(eff_finished)
+        new_finished = g(finished) | (tok == dcfg.eos_id)
+        new_lengths = g(state["lengths"]) + (~was_finished).astype(jnp.int32)
+        tok = jnp.where(was_finished, dcfg.pad_id, tok)
+        # write at per-slot position t+1 (past the cap the one-hot is empty)
+        write = jnp.arange(L + 1)[None, None, :] == (t + 1)[:, None, None]
+        new_paths = jnp.where(write, tok[:, :, None], g(state["paths"]))
+
+        flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(B * K)
+        conv = [jnp.take(buf, flat_parent, axis=0) for buf in dstate["conv"]]
+        return {**state, "conv": conv,
+                "t": jnp.minimum(t + 1, L),
+                "tokens": tok, "scores": top_scores,
+                "finished": new_finished, "lengths": new_lengths,
+                "paths": new_paths}
+
+    def _chunk_impl(self, params: dict, embed_table: jax.Array,
+                    state: dict) -> dict:
+        L = self.cfg.gen_len
+
+        def done(s):
+            return jnp.all(s["finished"] | (s["t"] >= L)[:, None])
+
+        def cond(c):
+            i, s = c
+            return (i < self.chunk_steps) & ~done(s)
+
+        def body(c):
+            i, s = c
+            return i + 1, self._step(params, embed_table, s)
+
+        _, state = jax.lax.while_loop(cond, body, (0, state))
+        return state
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+
+    def submit(self, batch1: dict) -> Future:
+        """batch1: feature dict with leading dim 1 (one request)."""
+        fut: Future = Future()
+        self.queue.put((batch1, fut))
+        self.stats["requests"] += 1
+        return fut
+
+    def _admit_queued(self):
+        while self.free and not self.queue.empty():
+            try:
+                batch1, fut = self.queue.get_nowait()
+            except _queue.Empty:
+                return
+            b = self.free.pop()
+            kv1 = self._encode(self.params, batch1)
+            self.state = self._admit(self.state, kv1, jnp.int32(b))
+            self.pending[b] = fut
+
+    def _harvest(self):
+        if not self.pending:
+            return
+        fin = np.asarray(self.state["finished"])
+        t = np.asarray(self.state["t"])
+        done = fin.all(axis=1) | (t >= self.cfg.gen_len)
+        for b in [b for b in self.pending if done[b]]:
+            fut = self.pending.pop(b)
+            scores = np.asarray(self.state["scores"][b])
+            lengths = np.asarray(self.state["lengths"][b])
+            paths = np.asarray(self.state["paths"][b])
+            if self.length_penalty > 0:
+                norm = ((5.0 + lengths.astype(np.float32)) / 6.0
+                        ) ** self.length_penalty
+                ranked = scores / norm
+            else:
+                ranked = scores.astype(np.float32)
+            order = np.argsort(-ranked, kind="stable")
+            fut.set_result({"token_ids": paths[order],
+                            "scores": ranked[order],
+                            "finished": fin[b][order]})
+            self.free.append(b)
+
+    def tick(self) -> bool:
+        """Admit -> chunk -> harvest. Returns True if any slot is live."""
+        with self._lock:
+            self._admit_queued()
+            if self.pending:
+                self.state = self._chunk(self.params, self._embed_table,
+                                         self.state)
+                self.stats["chunks"] += 1
+            self._harvest()
+            return bool(self.pending)
+
+    def run_until_drained(self):
+        """Convenience for offline use: tick until queue + slots empty."""
+        while not self.queue.empty() or self.pending:
+            self.tick()

@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -37,7 +38,12 @@ class CaptionService:
                  tokenizer: RobertaTokenizer, max_batch: int = 32,
                  article_len: int | None = None,
                  need_attention: bool = False,
-                 adapter=None, mesh=None):
+                 adapter=None, mesh=None,
+                 engine_slots: int = 0, engine_beam: int = 5):
+        """engine_slots > 0 switches decode to the continuous-batching beam
+        engine (serving/engine.py): requests join and leave a resident
+        slot-based beam search at chunk boundaries instead of decoding in
+        lock-step micro-batches. Flagship captioner only (adapter=None)."""
         from ..models.captioner import encode_contexts, generate
 
         # model registry adapter (pointer/LSTM/modern models serve through
@@ -122,6 +128,35 @@ class CaptionService:
                     "obj": self._spec["obj"][0]})
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
 
+        self.engine = None
+        if engine_slots:
+            if adapter is not None and adapter.name != "captioner":
+                raise ValueError(
+                    "continuous batching serves the flagship captioner "
+                    f"only (got adapter {adapter.name!r})")
+            if mesh is not None:
+                raise ValueError("continuous batching is single-chip for "
+                                 "now; drop --mesh-data or --engine-slots")
+            if need_attention:
+                raise ValueError("continuous batching does not return "
+                                 "attention maps; drop --attention or "
+                                 "--engine-slots")
+            from .engine import DecodeEngine
+            self.engine = DecodeEngine(self._params, cap_cfg,
+                                       slots=engine_slots, beam=engine_beam)
+            self._encode1 = jax.jit(
+                lambda fr, b: encode_contexts(fr, cap_cfg, b))
+            self._eng_stop = threading.Event()
+
+            def _tick_loop():
+                while not self._eng_stop.is_set():
+                    if not self.engine.tick():
+                        time.sleep(0.005)
+
+            self._eng_thread = threading.Thread(target=_tick_loop,
+                                                daemon=True)
+            self._eng_thread.start()
+
     def _context_text(self, req: dict) -> str:
         """Raw `context` text, or the reference worker's location-aware
         window over scraped sections (captioner.py:232-289)."""
@@ -160,7 +195,8 @@ class CaptionService:
                 return {**req, "image_b64": data}
         return req
 
-    def _pack(self, requests: list[dict]) -> tuple[dict, list]:
+    def _pack(self, requests: list[dict],
+              width: int | None = None) -> tuple[dict, list]:
         """Returns (batch, errors) — errors[i] is None or a per-request
         message. A malformed request (bad base64, wrong feature shape) must
         not poison the futures of the other requests sharing its
@@ -207,11 +243,12 @@ class CaptionService:
         # so a short bucket gives IDENTICAL captions while the per-step K/V
         # stream shrinks with S). One compiled decode per bucket, as in
         # training (data/bucketing.py).
-        width = self.article_len
-        for b in self._article_buckets:
-            if max((len(t) for t in all_toks), default=0) <= b:
-                width = b
-                break
+        if width is None:  # the continuous engine pins its full width
+            width = self.article_len
+            for b in self._article_buckets:
+                if max((len(t) for t in all_toks), default=0) <= b:
+                    width = b
+                    break
         ids = np.full((B, width), dcfg.pad_id, np.int32)
         masks = np.full((B, width), -1, np.int32)
         for i, toks in enumerate(all_toks):
@@ -290,7 +327,27 @@ class CaptionService:
         return results
 
     def caption(self, request: dict) -> dict:
+        if self.engine is not None:
+            return self._caption_continuous(request)
         return self.batcher(request)
+
+    def _caption_continuous(self, request: dict) -> dict:
+        """Continuous-batching path: encode this request's contexts (one
+        compiled B=1 tower pass), submit to the resident engine, decode the
+        best beam. The request starts decoding at the next chunk boundary
+        regardless of what else is in flight."""
+        batch, errors = self._pack([request], width=self.article_len)
+        if errors[0]:  # don't spend a decode slot on zeroed features
+            return {"caption": "", "token_ids": [], "score": 0.0,
+                    "error": errors[0]}
+        batch.pop("proper_masks", None)
+        enc = self._encode1(self._frozen, batch)
+        enc = {k: v for k, v in enc.items() if k != "context_ids"}
+        out = self.engine.submit(enc).result(timeout=600)
+        token_ids = np.asarray(out["token_ids"][0])  # best beam
+        return {"caption": self.tokenizer.decode(token_ids),
+                "token_ids": token_ids.tolist(),
+                "score": float(out["scores"][0])}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -314,7 +371,7 @@ class _Handler(BaseHTTPRequestHandler):
             # SHOW_CONFIG + ServerStatistic analogue
             # (tell/server/base.py:319-383, utils.py:8-17)
             dcfg = getattr(self.service.cfg, "decoder", self.service.cfg)
-            self._send(200, {
+            payload = {
                 "statistics": self.service.batcher.stats,
                 "config": {
                     "max_batch": self.service.max_batch,
@@ -323,7 +380,13 @@ class _Handler(BaseHTTPRequestHandler):
                     "gen_len": self.service.cfg.gen_len,
                     "need_attention": self.service.need_attention,
                 },
-            })
+            }
+            if self.service.engine is not None:
+                eng = self.service.engine
+                payload["engine"] = {**eng.stats, "slots": eng.slots,
+                                     "beam": eng.beam,
+                                     "free_slots": len(eng.free)}
+            self._send(200, payload)
         elif self.path in ("/", "/index.html"):
             self._send_demo_page()
         else:

@@ -1,0 +1,97 @@
+"""Continuous-batching decode engine: slot isolation + one-shot parity.
+
+The engine's contract is that a request's caption NEVER depends on which
+other requests share the engine or when they were admitted — every slot
+must reproduce the one-shot `beam_search` result exactly (same candidate
+math, per-slot step counters). The reference decodes whole jobs to
+completion per worker process (tell/server/base.py:30-191) and has no
+analogue of requests joining a running decode.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tell_tpu.config import small_test_config
+from tell_tpu.models import init_captioner
+from tell_tpu.models.beam import beam_search
+from tell_tpu.serving.engine import DecodeEngine
+
+
+def _request(cfg, seed: int) -> dict:
+    """One encoded feature batch (leading dim 1) with ragged article pad."""
+    import jax.random as jr
+    dcfg = cfg.decoder
+    ks = jr.split(jr.PRNGKey(seed), 5)
+    s_art = dcfg.context("article").max_len
+    n_pad = int(jr.randint(ks[4], (), 0, s_art // 2))
+    mask = jnp.zeros((1, s_art), bool).at[0, s_art - n_pad:].set(True)
+    return {
+        "image_grid": jr.normal(ks[0], (1, dcfg.context("image").max_len,
+                                        dcfg.context("image").kv_dim)),
+        "article_hiddens": jr.normal(
+            ks[1], (1, s_art, cfg.num_bert_layers,
+                    dcfg.context("article").kv_dim)),
+        "article_mask": mask,
+        "face_embeds": jr.normal(ks[2], (1, dcfg.context("faces").max_len,
+                                         dcfg.context("faces").kv_dim)),
+        "obj_embeds": jr.normal(ks[3], (1, dcfg.context("obj").max_len,
+                                        dcfg.context("obj").kv_dim)),
+    }
+
+
+def _setup(gen_len=6):
+    import dataclasses
+    cfg = dataclasses.replace(small_test_config(), gen_len=gen_len)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _ref(params, cfg, req, beam):
+    out = beam_search(params, cfg, req, beam_size=beam, early_stop=True)
+    return {k: np.asarray(v[0]) for k, v in out.items()}
+
+
+def _check(result, ref):
+    np.testing.assert_array_equal(result["token_ids"], ref["token_ids"])
+    np.testing.assert_allclose(result["scores"], ref["scores"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(result["finished"], ref["finished"])
+
+
+def test_engine_matches_one_shot_beam_search():
+    """Staggered admissions: r2 joins while r0/r1 are mid-decode; every
+    result must equal its one-shot beam_search."""
+    cfg, params = _setup()
+    reqs = [_request(cfg, s) for s in (1, 2, 3)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+
+    eng = DecodeEngine(params, cfg, slots=3, beam=2, chunk_steps=2)
+    futs = [eng.submit(reqs[0]), eng.submit(reqs[1])]
+    eng.tick()                      # r0/r1 advance to t=2
+    futs.append(eng.submit(reqs[2]))  # joins at t=0 while others run
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+
+
+def test_engine_slot_reuse():
+    """More requests than slots: freed slots take queued requests and the
+    dirty state (conv buffers, KV, counters) must not leak."""
+    cfg, params = _setup()
+    reqs = [_request(cfg, s) for s in (4, 5, 6, 7)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+
+    eng = DecodeEngine(params, cfg, slots=2, beam=2, chunk_steps=3)
+    futs = [eng.submit(r) for r in reqs]
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+    assert sorted(eng.free) == [0, 1]
+    assert eng.stats["requests"] == 4
+
+
+def test_engine_idle_tick():
+    cfg, params = _setup()
+    eng = DecodeEngine(params, cfg, slots=2, beam=2)
+    assert eng.tick() is False
+    assert eng.stats["chunks"] == 0

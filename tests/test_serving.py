@@ -343,3 +343,46 @@ def test_sections_image_data_reaches_vision(service, monkeypatch):
            "image_position": 0}
     service._pack([req])
     assert seen == [True]
+
+
+def test_engine_service_matches_beam_search(service):
+    """--engine-slots serving: the continuous-batching path must return the
+    one-shot beam_search caption for the same request, with concurrent
+    requests in flight."""
+    from tell_tpu.models.beam import beam_search
+
+    frozen = service.vision.frozen
+    esvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=4, article_len=16,
+                          engine_slots=2, engine_beam=2)
+    reqs = [{"context": f"the news in the city today {i}"} for i in range(3)]
+
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = esvc.caption(reqs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    for req, out in zip(reqs, results):
+        assert out is not None and "error" not in out
+        batch, errs = esvc._pack([req], width=16)
+        assert errs[0] is None
+        batch.pop("proper_masks", None)
+        batch = esvc._encode1(esvc._frozen, batch)  # frozen towers first
+        ref = beam_search(service._params, service.cfg, batch,
+                          beam_size=2, early_stop=True)
+        ref_ids = np.asarray(ref["token_ids"][0, 0])
+        assert out["token_ids"] == ref_ids.tolist()
+        assert out["caption"] == service.tokenizer.decode(ref_ids)
+    assert esvc.engine.stats["requests"] == 3
+    assert sorted(esvc.engine.free) == [0, 1]
+
+    with pytest.raises(ValueError):
+        CaptionService(service._params, frozen, service.cfg,
+                       service.tokenizer, engine_slots=2,
+                       need_attention=True)

@@ -1,0 +1,156 @@
+"""Streaming-serving A/B: continuous-batching engine vs micro-batch decode.
+
+The micro-batcher (`serving/batcher.py`) decodes each micro-batch to
+completion, so under streaming traffic a request arriving just after a
+batch launches waits a full decode before its batch even starts, and every
+request in a batch waits for the slowest. The continuous engine
+(`serving/engine.py`) admits requests into a resident beam state at chunk
+boundaries instead. This tool replays the same Poisson-ish arrival stream
+through both paths at production shapes and reports sustained throughput
+plus per-request latency (submit -> result wall-clock).
+
+The reference has no analogue to compare against — its ZeroMQ ventilator
+hands whole jobs to worker processes (tell/server/base.py:30-191).
+
+Usage: env -u XLA_FLAGS python tools/engine_bench.py
+       SLOTS=16 BEAM=5 GEN_LEN=32 N=64 ARRIVAL_MS=15 python tools/engine_bench.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import numpy as np
+
+SLOTS = int(os.environ.get("SLOTS", "16"))
+BEAM = int(os.environ.get("BEAM", "5"))
+GEN_LEN = int(os.environ.get("GEN_LEN", "32"))
+S = int(os.environ.get("S", "512"))
+N = int(os.environ.get("N", "64"))
+ARRIVAL_MS = float(os.environ.get("ARRIVAL_MS", "15"))
+CHUNK = int(os.environ.get("CHUNK", "8"))
+
+
+def make_requests(n, dtype):
+    ks = jr.split(jr.PRNGKey(1), 4)
+    reqs = []
+    for i in range(n):
+        # vary one tensor per request so XLA can't constant-fold across them
+        reqs.append({
+            "image_grid": jr.normal(ks[0], (1, 49, 2048), dtype) + i * 1e-4,
+            "article": jr.normal(ks[1], (1, S, 1024), dtype),
+            "article_mask": jnp.zeros((1, S), bool),
+            "face_embeds": jr.normal(ks[2], (1, 4, 512), dtype),
+            "obj_embeds": jr.normal(ks[3], (1, 64, 2048), dtype),
+        })
+    return reqs
+
+
+def pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def run_engine(params, cfg, reqs):
+    from tell_tpu.serving.engine import DecodeEngine
+    eng = DecodeEngine(params, cfg, slots=SLOTS, beam=BEAM,
+                       chunk_steps=CHUNK, dtype=jnp.bfloat16)
+    # warm every compiled program (encode/admit/chunk) before timing
+    f = eng.submit(reqs[0])
+    eng.run_until_drained()
+    f.result(timeout=600)
+
+    lat, t_sub = [], {}
+    t0 = time.perf_counter()
+    futs = []
+    next_arrival = t0
+    i = 0
+    while i < len(reqs) or any(not f.done() for f in futs):
+        now = time.perf_counter()
+        while i < len(reqs) and now >= next_arrival:
+            fut = eng.submit(reqs[i])
+            t_sub[id(fut)] = time.perf_counter()
+            fut.add_done_callback(
+                lambda f, ts=t_sub: lat.append(time.perf_counter() - ts[id(f)]))
+            futs.append(fut)
+            next_arrival += ARRIVAL_MS / 1e3
+            i += 1
+        if not eng.tick() and i < len(reqs):
+            time.sleep(max(0.0, next_arrival - time.perf_counter()))
+    wall = time.perf_counter() - t0
+    return wall, lat
+
+
+def run_microbatch(params, cfg, reqs):
+    """Micro-batch baseline: decode queued arrivals to completion in groups
+    of up to SLOTS (the batcher's behavior with max_batch=SLOTS), padding
+    to the fixed compiled shape with dead rows."""
+    from tell_tpu.models.beam import beam_search
+
+    def pack(group):
+        batch = {}
+        for k in group[0]:
+            rows = jnp.concatenate([g[k] for g in group], axis=0)
+            pad = SLOTS - len(group)
+            if pad:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad,) + rows.shape[1:], rows.dtype)],
+                    axis=0)
+            batch[k] = rows
+        batch["row_live"] = jnp.arange(SLOTS) < len(group)
+        return batch
+
+    decode = jax.jit(lambda p, b: beam_search(p, cfg, b, beam_size=BEAM,
+                                              early_stop=True))
+    out = decode(params, pack(reqs[:1]))  # warm
+    jax.block_until_ready(out["scores"])
+
+    lat = []
+    t0 = time.perf_counter()
+    next_arrival = t0
+    queued = 0  # arrivals are deterministic: request i arrives at t0+i*dt
+    done = 0
+    sub_time = [t0 + i * ARRIVAL_MS / 1e3 for i in range(len(reqs))]
+    while done < len(reqs):
+        now = time.perf_counter()
+        queued = min(len(reqs), int((now - t0) / (ARRIVAL_MS / 1e3)) + 1)
+        if queued <= done:
+            time.sleep(sub_time[done] - now)
+            continue
+        group = reqs[done:min(queued, done + SLOTS)]
+        out = decode(params, pack(group))
+        jax.block_until_ready(out["scores"])
+        t_done = time.perf_counter()
+        for j in range(len(group)):
+            lat.append(t_done - sub_time[done + j])
+        done += len(group)
+    wall = time.perf_counter() - t0
+    return wall, lat
+
+
+def main():
+    import dataclasses
+    from tell_tpu.config import CaptionerConfig
+    from tell_tpu.models import init_captioner
+
+    cfg = dataclasses.replace(CaptionerConfig(), gen_len=GEN_LEN)
+    dtype = jnp.bfloat16
+    params = init_captioner(jr.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+    reqs = make_requests(N, dtype)
+    print(f"slots={SLOTS} beam={BEAM} gen_len={GEN_LEN} S={S} "
+          f"N={N} arrival={ARRIVAL_MS}ms chunk={CHUNK}")
+
+    for name, fn in (("microbatch", run_microbatch), ("engine", run_engine)):
+        wall, lat = fn(params, cfg, reqs)
+        print(f"{name:>10}: {N / wall:6.1f} captions/s sustained | latency "
+              f"mean {1e3 * float(np.mean(lat)):6.1f} ms  "
+              f"p50 {1e3 * pct(lat, 50):6.1f}  p95 {1e3 * pct(lat, 95):6.1f}")
+
+
+if __name__ == "__main__":
+    main()
