@@ -17,7 +17,17 @@ on a fixed pytree, never a shape change):
   carry per-row positions, `ops/positional.py:sinusoidal_embed`);
 * finished slots freeze (their only candidate is a zero-cost <pad>
   continuation, exactly the beam_search_core mechanism), are harvested on
-  the host, and their slots immediately take the next queued request.
+  the host, and their slots take the next queued request.
+
+Harvest is PIPELINED: each chunk also emits two packed report arrays
+(int32 bookkeeping + float32 scores) whose device->host copy starts
+asynchronously; the host inspects a report only once it has arrived
+(`is_ready`), up to `max_lag` chunks later, so result transfer rides
+behind the next chunks' compute instead of stalling the decode loop. This
+matters doubly on remote/tunneled devices where a blocking fetch carries a
+large fixed cost. Reports are guarded by a per-slot admission generation:
+a report that predates a slot's re-admission can never resolve the new
+request with the old request's beams.
 
 A slot's caption therefore NEVER depends on which other requests share the
 engine (asserted against one-shot `beam_search` in
@@ -30,6 +40,7 @@ jobs to worker processes which decode them to completion
 """
 from __future__ import annotations
 
+import collections
 import queue as _queue
 import threading
 from concurrent.futures import Future
@@ -66,7 +77,7 @@ class DecodeEngine:
     def __init__(self, params: dict, cfg: CaptionerConfig, *,
                  slots: int = 8, beam: int = 5,
                  chunk_steps: int = 8, length_penalty: float = 0.0,
-                 dtype=jnp.float32):
+                 max_lag: int = 8, dtype=jnp.float32):
         assert slots >= 2, "a 1-slot engine is just beam_search"
         self.cfg = cfg
         self.dcfg = dcfg = cfg.decoder
@@ -95,15 +106,19 @@ class DecodeEngine:
 
         # params/embed_table ride as call-time args — closure arrays would
         # be baked into the HLO as constants (see training/train_step.py)
-        self._encode = jax.jit(self._encode_impl)
-        self._admit = jax.jit(self._admit_impl, donate_argnums=0)
+        self._admit = jax.jit(self._admit_impl, donate_argnums=1)
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=2)
 
+        self.max_lag = max_lag
         self.free: list[int] = list(range(slots))
         self.pending: dict[int, Future] = {}
         self.queue: "_queue.Queue[tuple[dict, Future]]" = _queue.Queue()
         self.stats = {"requests": 0, "chunks": 0, "steps": 0}
         self._lock = threading.Lock()
+        # per-slot admission generation + in-flight packed reports, oldest
+        # first: (report_i32, report_f32, gen-at-chunk-time)
+        self._gen = np.zeros(slots, np.int64)
+        self._reports: collections.deque = collections.deque()
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -131,15 +146,15 @@ class DecodeEngine:
                 batch["obj_embeds"] = z(B, spec.max_len, spec.kv_dim)
         return batch
 
-    def _encode_impl(self, params: dict, batch1: dict):
-        """One request's feature batch (leading dim 1) -> its context KV."""
-        contexts = build_contexts(params, self.cfg, batch1)
-        return precompute_context_kv_cat(params["decoder"], self.dcfg,
-                                         contexts)
-
-    def _admit_impl(self, state: dict, kv1, b: jax.Array) -> dict:
+    def _admit_impl(self, params: dict, state: dict, batch1: dict,
+                    b: jax.Array) -> dict:
+        """Encode one request's feature batch (leading dim 1) into context
+        KV and scatter it into slot b — one dispatch per admission."""
         B, K, L = self.slots, self.beam, self.cfg.gen_len
         dcfg = self.dcfg
+        contexts = build_contexts(params, self.cfg, batch1)
+        kv1 = precompute_context_kv_cat(params["decoder"], self.dcfg,
+                                        contexts)
 
         def put(full, new):
             if full.shape == new.shape:   # shared leaves (segment ids)
@@ -215,8 +230,8 @@ class DecodeEngine:
                 "paths": new_paths}
 
     def _chunk_impl(self, params: dict, embed_table: jax.Array,
-                    state: dict) -> dict:
-        L = self.cfg.gen_len
+                    state: dict):
+        B, K, L = self.slots, self.beam, self.cfg.gen_len
 
         def done(s):
             return jnp.all(s["finished"] | (s["t"] >= L)[:, None])
@@ -230,7 +245,13 @@ class DecodeEngine:
             return i + 1, self._step(params, embed_table, s)
 
         _, state = jax.lax.while_loop(cond, body, (0, state))
-        return state
+        # pack everything harvest needs into two arrays so the host fetch
+        # is two transfers, started asynchronously by tick()
+        report_i = jnp.concatenate(
+            [state["t"][:, None], state["finished"].astype(jnp.int32),
+             state["lengths"], state["paths"].reshape(B, K * (L + 1))],
+            axis=1)
+        return state, report_i, state["scores"]
 
     # ------------------------------------------------------------------
     # host loop
@@ -250,45 +271,80 @@ class DecodeEngine:
             except _queue.Empty:
                 return
             b = self.free.pop()
-            kv1 = self._encode(self.params, batch1)
-            self.state = self._admit(self.state, kv1, jnp.int32(b))
+            self.state = self._admit(self.params, self.state, batch1,
+                                     jnp.int32(b))
+            self._gen[b] += 1
             self.pending[b] = fut
 
-    def _harvest(self):
-        if not self.pending:
-            return
-        fin = np.asarray(self.state["finished"])
-        t = np.asarray(self.state["t"])
-        done = fin.all(axis=1) | (t >= self.cfg.gen_len)
-        for b in [b for b in self.pending if done[b]]:
+    def _harvest_report(self, report_i, report_f, gen):
+        """Resolve futures from one arrived (host-side) report. `gen` is the
+        per-slot admission generation at the report's chunk time — rows
+        whose slot was re-admitted since are stale and skipped."""
+        K, L = self.beam, self.cfg.gen_len
+        ri = np.asarray(report_i)
+        scores_all = np.asarray(report_f).astype(np.float32)
+        t = ri[:, 0]
+        fin = ri[:, 1:1 + K].astype(bool)
+        lengths_all = ri[:, 1 + K:1 + 2 * K]
+        paths_all = ri[:, 1 + 2 * K:].reshape(self.slots, K, L + 1)
+        done = fin.all(axis=1) | (t >= L)
+        for b in [b for b in self.pending
+                  if done[b] and gen[b] == self._gen[b]]:
             fut = self.pending.pop(b)
-            scores = np.asarray(self.state["scores"][b])
-            lengths = np.asarray(self.state["lengths"][b])
-            paths = np.asarray(self.state["paths"][b])
+            scores, lengths = scores_all[b], lengths_all[b]
             if self.length_penalty > 0:
                 norm = ((5.0 + lengths.astype(np.float32)) / 6.0
                         ) ** self.length_penalty
                 ranked = scores / norm
             else:
-                ranked = scores.astype(np.float32)
+                ranked = scores
             order = np.argsort(-ranked, kind="stable")
-            fut.set_result({"token_ids": paths[order],
+            fut.set_result({"token_ids": paths_all[b][order],
                             "scores": ranked[order],
                             "finished": fin[b][order]})
             self.free.append(b)
 
+    def _drain_reports(self, block_first: bool = False):
+        """Harvest every in-flight report that has reached the host;
+        block_first forces the oldest through (used to bound the pipeline
+        and to flush at drain time)."""
+        while self._reports:
+            report_i, report_f, gen = self._reports[0]
+            if not block_first and not report_i.is_ready():
+                return
+            self._reports.popleft()
+            self._harvest_report(report_i, report_f, gen)
+            block_first = False
+
     def tick(self) -> bool:
-        """Admit -> chunk -> harvest. Returns True if any slot is live."""
+        """Harvest arrived reports -> admit -> chunk (async report copy).
+        Returns True while any slot or report is in flight."""
         with self._lock:
+            self._drain_reports()
+            if not self.pending:
+                # every future is resolved; whatever is still in flight
+                # can resolve nothing (reports only settle pending slots)
+                self._reports.clear()
             self._admit_queued()
             if self.pending:
-                self.state = self._chunk(self.params, self._embed_table,
-                                         self.state)
+                self.state, report_i, report_f = self._chunk(
+                    self.params, self._embed_table, self.state)
+                report_i.copy_to_host_async()
+                report_f.copy_to_host_async()
+                self._reports.append((report_i, report_f, self._gen.copy()))
                 self.stats["chunks"] += 1
-            self._harvest()
-            return bool(self.pending)
+                if len(self._reports) > self.max_lag:
+                    self._drain_reports(block_first=True)
+            return bool(self.pending) or bool(self._reports)
 
     def run_until_drained(self):
         """Convenience for offline use: tick until queue + slots empty."""
-        while not self.queue.empty() or self.pending:
-            self.tick()
+        while not self.queue.empty() or self.pending or self._reports:
+            live = self.tick()
+            if not live:
+                break
+            if self.pending and not self.free and self.queue.qsize():
+                # all slots busy: force the oldest report through so
+                # finished slots free up instead of spinning chunks
+                with self._lock:
+                    self._drain_reports(block_first=True)

@@ -106,7 +106,7 @@ def run_microbatch(params, cfg, reqs):
     decode = jax.jit(lambda p, b: beam_search(p, cfg, b, beam_size=BEAM,
                                               early_stop=True))
     out = decode(params, pack(reqs[:1]))  # warm
-    jax.block_until_ready(out["scores"])
+    np.asarray(out["token_ids"])
 
     lat = []
     t0 = time.perf_counter()
@@ -122,7 +122,10 @@ def run_microbatch(params, cfg, reqs):
             continue
         group = reqs[done:min(queued, done + SLOTS)]
         out = decode(params, pack(group))
-        jax.block_until_ready(out["scores"])
+        # serving must deliver token ids to the host — fetch them for real
+        # (block_until_ready can return before remote execution finishes on
+        # tunneled devices and never pays the transfer; np.asarray does)
+        np.asarray(out["token_ids"])
         t_done = time.perf_counter()
         for j in range(len(group)):
             lat.append(t_done - sub_time[done + j])
