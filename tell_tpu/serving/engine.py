@@ -56,10 +56,24 @@ from ..models.decoder import (decoder_step, decoder_top_k,
                               precompute_context_kv_cat)
 
 
-def _scatter_rows(full: jax.Array, rows: jax.Array, b: jax.Array
-                  ) -> jax.Array:
-    return jax.lax.dynamic_update_slice_in_dim(
-        full, rows.astype(full.dtype), b, axis=0)
+def _mask_write(full: jax.Array, new, b: jax.Array) -> jax.Array:
+    """Write `new` (broadcastable to one leading-axis row) into row b of
+    `full` via a masked where. Unlike a dynamic_update_slice this stays
+    collective-free when the leading axis is sharded over a mesh — every
+    device rewrites only its own rows (the replicated `new` broadcasts) —
+    at the cost of touching every row, so it is the mesh-only path."""
+    B = full.shape[0]
+    m = (jnp.arange(B) == b).reshape((B,) + (1,) * (full.ndim - 1))
+    return jnp.where(m, jnp.asarray(new).astype(full.dtype), full)
+
+
+def _row_write(full: jax.Array, new, b: jax.Array) -> jax.Array:
+    """Single-row dynamic_update_slice — the single-chip admit path (only
+    slot b's bytes move; ~10% more saturation throughput than the masked
+    where, which rewrites the whole resident KV per admission)."""
+    row = jnp.broadcast_to(jnp.asarray(new).astype(full.dtype),
+                           full.shape[1:])
+    return jax.lax.dynamic_update_slice_in_dim(full, row[None], b, axis=0)
 
 
 class DecodeEngine:
@@ -77,7 +91,7 @@ class DecodeEngine:
     def __init__(self, params: dict, cfg: CaptionerConfig, *,
                  slots: int = 8, beam: int = 5,
                  chunk_steps: int = 8, length_penalty: float = 0.0,
-                 max_lag: int = 8, dtype=jnp.float32):
+                 max_lag: int = 8, mesh=None, dtype=jnp.float32):
         assert slots >= 2, "a 1-slot engine is just beam_search"
         self.cfg = cfg
         self.dcfg = dcfg = cfg.decoder
@@ -85,7 +99,11 @@ class DecodeEngine:
         self.chunk_steps = chunk_steps
         self.length_penalty = length_penalty
         self.params = params
+        self.mesh = mesh
         B, K, L = slots, beam, cfg.gen_len
+        if mesh is not None and slots % mesh.shape["data"]:
+            raise ValueError(f"engine slots {slots} must divide over the "
+                             f"mesh data axis {mesh.shape['data']}")
 
         # resident state, built from zero contexts (slots start empty)
         zero_batch = self._zero_batch(dtype)
@@ -103,6 +121,25 @@ class DecodeEngine:
             "lengths": jnp.zeros((B, K), jnp.int32),
             "paths": jnp.full((B, K, L + 1), dcfg.pad_id, jnp.int32),
         }
+
+        if mesh is not None:
+            # slot-major leaves (leading dim B or B*K) shard over "data";
+            # everything else (params, embed table, shared segment ids)
+            # replicates. All chunk math is row-local, so XLA compiles the
+            # sharded chunk without collectives (parallel/mesh.py is the
+            # training-side analogue of this rule table).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+
+            def place(x):
+                sharded = getattr(x, "ndim", 0) >= 1 \
+                    and x.shape[0] in (B, B * K)
+                return jax.device_put(x, row if sharded else rep)
+
+            self.state = jax.tree.map(place, self.state)
+            self._embed_table = jax.device_put(self._embed_table, rep)
+            self.params = jax.device_put(params, rep)
 
         # params/embed_table ride as call-time args — closure arrays would
         # be baked into the HLO as constants (see training/train_step.py)
@@ -156,27 +193,27 @@ class DecodeEngine:
         kv1 = precompute_context_kv_cat(params["decoder"], self.dcfg,
                                         contexts)
 
+        w = _mask_write if self.mesh is not None else _row_write
+
         def put(full, new):
             if full.shape == new.shape:   # shared leaves (segment ids)
                 return full
-            return _scatter_rows(full, new, b)
+            return w(full, new[0], b)
 
         kv = jax.tree.map(put, state["kv"], kv1)
-        conv = [_scatter_rows(buf, jnp.zeros((K,) + buf.shape[1:],
-                                             buf.dtype), b * K)
+        conv = [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
+                  ).reshape(buf.shape)
                 for buf in state["conv"]]
-        row = lambda a, v: a.at[b].set(v)  # noqa: E731
         scores0 = jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32)
         paths0 = jnp.full((K, L + 1), dcfg.pad_id,
                           jnp.int32).at[:, 0].set(dcfg.bos_id)
         return {**state, "kv": kv, "conv": conv,
-                "t": row(state["t"], 0),
-                "tokens": row(state["tokens"],
-                              jnp.full((K,), dcfg.bos_id, jnp.int32)),
-                "scores": row(state["scores"], scores0),
-                "finished": row(state["finished"], jnp.zeros((K,), bool)),
-                "lengths": row(state["lengths"], jnp.zeros((K,), jnp.int32)),
-                "paths": row(state["paths"], paths0)}
+                "t": w(state["t"], 0, b),
+                "tokens": w(state["tokens"], dcfg.bos_id, b),
+                "scores": w(state["scores"], scores0, b),
+                "finished": w(state["finished"], False, b),
+                "lengths": w(state["lengths"], 0, b),
+                "paths": w(state["paths"], paths0, b)}
 
     def _step(self, params: dict, embed_table: jax.Array,
               state: dict) -> dict:
@@ -221,8 +258,14 @@ class DecodeEngine:
         write = jnp.arange(L + 1)[None, None, :] == (t + 1)[:, None, None]
         new_paths = jnp.where(write, tok[:, :, None], g(state["paths"]))
 
-        flat_parent = (parent + jnp.arange(B)[:, None] * K).reshape(B * K)
-        conv = [jnp.take(buf, flat_parent, axis=0) for buf in dstate["conv"]]
+        # reorder conv ring buffers by parent beam WITHIN each slot — a
+        # [B, K] take_along_axis (shard-local on a slot-sharded mesh),
+        # never a flat gather across the whole B*K axis
+        conv = [jnp.take_along_axis(
+                    buf.reshape((B, K) + buf.shape[1:]),
+                    parent.reshape((B, K) + (1,) * (buf.ndim - 1)),
+                    axis=1).reshape(buf.shape)
+                for buf in dstate["conv"]]
         return {**state, "conv": conv,
                 "t": jnp.minimum(t + 1, L),
                 "tokens": tok, "scores": top_scores,

@@ -134,16 +134,17 @@ class CaptionService:
                 raise ValueError(
                     "continuous batching serves the flagship captioner "
                     f"only (got adapter {adapter.name!r})")
-            if mesh is not None:
-                raise ValueError("continuous batching is single-chip for "
-                                 "now; drop --mesh-data or --engine-slots")
             if need_attention:
                 raise ValueError("continuous batching does not return "
                                  "attention maps; drop --attention or "
                                  "--engine-slots")
+            # with --mesh-data the resident slot state shards over the
+            # "data" axis (slots divide across chips; admissions/chunks
+            # are collective-free row-local programs)
             from .engine import DecodeEngine
             self.engine = DecodeEngine(self._params, cap_cfg,
-                                       slots=engine_slots, beam=engine_beam)
+                                       slots=engine_slots, beam=engine_beam,
+                                       mesh=mesh)
             self._encode1 = jax.jit(
                 lambda fr, b: encode_contexts(fr, cap_cfg, b))
             self._eng_stop = threading.Event()

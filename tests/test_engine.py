@@ -95,3 +95,25 @@ def test_engine_idle_tick():
     eng = DecodeEngine(params, cfg, slots=2, beam=2)
     assert eng.tick() is False
     assert eng.stats["chunks"] == 0
+
+
+def test_engine_mesh_sharded_slots_match_one_shot():
+    """mesh=: the resident slot state shards over the "data" axis (8
+    virtual CPU devices); staggered admissions must still reproduce every
+    one-shot beam_search bit-for-bit."""
+    from tell_tpu.parallel.mesh import make_mesh
+
+    cfg, params = _setup()
+    reqs = [_request(cfg, s) for s in (8, 9, 10)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+
+    mesh = make_mesh(8, 1)
+    eng = DecodeEngine(params, cfg, slots=8, beam=2, chunk_steps=2,
+                       mesh=mesh)
+    futs = [eng.submit(reqs[0]), eng.submit(reqs[1])]
+    eng.tick()
+    futs.append(eng.submit(reqs[2]))  # joins mid-flight on another shard
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+    assert sorted(eng.free) == list(range(8))
