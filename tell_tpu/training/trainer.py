@@ -53,6 +53,9 @@ class TrainerConfig:
     # reference's model_path + LoadStateDictWithPrefix, used by the pointer
     # models to start from 8_transformer_faces best.th)
     warm_start: str = ""
+    # log_to_tensorboard callback analogue (config.yaml:163-166): scalar
+    # events under <serialization_dir>/tb at this step interval (0 = off)
+    summary_interval: int = 512
     # capture a jax.profiler device trace for steps [profile_at,
     # profile_at + profile_steps) into <serialization_dir>/profile
     # (the reference had no tracing at all, SURVEY.md §5)
@@ -126,8 +129,18 @@ class Trainer:
                             loss=adapter.loss, loss_e2e=loss_e2e),
             donate_argnums=(0, 1))
         self._eval_fn = None
+        self._tb = None
         self.state: dict = {}
         self.metrics_history: list[dict] = []
+
+    @property
+    def tb(self):
+        """Lazy TensorBoard writer (one events file per trainer)."""
+        if self._tb is None and self.tcfg.summary_interval:
+            from .tensorboard import TensorBoardWriter
+            self._tb = TensorBoardWriter(
+                os.path.join(self.tcfg.serialization_dir, "tb"))
+        return self._tb
 
     # -- state ------------------------------------------------------------
     def initialize(self, rng: jax.Array | None = None) -> None:
@@ -196,6 +209,10 @@ class Trainer:
             em["epoch"] = epoch
             self.metrics_history.append(em)
             self._write_metrics(em)
+            if self.tb is not None:
+                self.tb.add_scalars(
+                    {f"epoch/{k}": v for k, v in em.items() if k != "epoch"},
+                    self.state["step"])
 
             metric = val.get("val_loss", em.get("loss", float("inf")))
             if metric < self.state["best_metric"]:
@@ -270,6 +287,12 @@ class Trainer:
                     if n_batches % self.tcfg.log_every == 0:
                         log.info("epoch %d step %d loss %.4f", epoch,
                                  self.state["step"], float(m["loss"]))
+                    si = self.tcfg.summary_interval
+                    if si and self.state["step"] % si == 0:
+                        # float() syncs once per interval — same cost class
+                        # as the log line above
+                        self.tb.add_scalar("train/loss", float(m["loss"]),
+                                           self.state["step"])
         finally:
             if profiling:  # flush the trace even if the epoch aborts early
                 jax.profiler.stop_trace()

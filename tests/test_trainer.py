@@ -62,7 +62,7 @@ def test_train_loop_decreases_loss_and_checkpoints(shard_dir, tmp_path):
 
     tcfg = TrainerConfig(serialization_dir=str(tmp_path / "run"),
                          num_epochs=6, patience=10, lr=3e-3,
-                         t_total=200, log_every=1000,
+                         t_total=200, log_every=1000, summary_interval=2,
                          n_data=2, n_model=2)  # batches of 4 split 2-way DP
     trainer = Trainer(CFG, tcfg, train_batches, val_batches, frozen=frozen)
     result = trainer.train()
@@ -72,6 +72,14 @@ def test_train_loop_decreases_loss_and_checkpoints(shard_dir, tmp_path):
     assert hist[-1]["loss"] < hist[0]["loss"] - 0.3
     assert "val_loss" in hist[-1]
     assert result["best_metric"] < float("inf")
+
+    # tensorboard events: per-step train/loss + per-epoch scalars
+    from tests.test_tensorboard import read_events
+    (ev_path,) = glob.glob(str(tmp_path / "run" / "tb" / "events.*"))
+    evs = read_events(ev_path)
+    step_losses = [e for e in evs if "train/loss" in e["scalars"]]
+    epoch_evs = [e for e in evs if "epoch/val_loss" in e["scalars"]]
+    assert len(step_losses) >= 3 and len(epoch_evs) == 6
 
     # checkpoints exist: best + per-epoch
     assert (tmp_path / "run" / "checkpoints" / "best").exists()
