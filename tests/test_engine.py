@@ -97,6 +97,40 @@ def test_engine_idle_tick():
     assert eng.stats["chunks"] == 0
 
 
+def test_engine_fuzz_random_schedules():
+    """Property check of slot isolation: random engine geometry and a
+    random interleaving of submissions and ticks must still reproduce
+    every one-shot beam_search bit-for-bit (seeded, 3 rounds)."""
+    rng = np.random.RandomState(1234)
+    for round_i in range(3):
+        gen_len = int(rng.randint(4, 9))
+        cfg, params = _setup(gen_len=gen_len)
+        slots = int(rng.randint(2, 5))
+        beam = int(rng.randint(2, 4))
+        chunk = int(rng.randint(1, 4))
+        n_req = int(rng.randint(3, 7))
+        reqs = [_request(cfg, 100 * round_i + i) for i in range(n_req)]
+        refs = [_ref(params, cfg, r, beam=beam) for r in reqs]
+
+        eng = DecodeEngine(params, cfg, slots=slots, beam=beam,
+                           chunk_steps=chunk,
+                           max_lag=int(rng.randint(1, 4)))
+        futs = []
+        i, live = 0, True
+        while i < n_req or live:
+            # interleave 0-2 submissions between ticks
+            for _ in range(int(rng.randint(0, 3))):
+                if i < n_req:
+                    futs.append(eng.submit(reqs[i]))
+                    i += 1
+            live = eng.tick()
+        eng.run_until_drained()
+        for fut, ref in zip(futs, refs):
+            _check(fut.result(timeout=0), ref)
+        assert sorted(eng.free) == list(range(slots))
+        assert eng.stats["requests"] == len(futs) == n_req
+
+
 def test_engine_mesh_sharded_slots_match_one_shot():
     """mesh=: the resident slot state shards over the "data" axis (8
     virtual CPU devices); staggered admissions must still reproduce every
