@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(t)
     t.add_argument("-r", "--recover", action="store_true",
                    help="resume from the latest checkpoint")
+    t.add_argument("--coordinator", default=None,
+                   help="multi-host training: process 0's host:port for "
+                   "the JAX coordination service (run the same command on "
+                   "every host with its own --process-id)")
+    t.add_argument("--num-processes", type=int, default=1)
+    t.add_argument("--process-id", type=int, default=0)
 
     e = sub.add_parser("evaluate", help="decode a split and score it")
     _add_common(e)
@@ -161,6 +167,18 @@ def cmd_train(args) -> int:
     from ..data.records import RecordDataset
     from ..training.trainer import Trainer
 
+    pi, pc = 0, 1
+    if args.coordinator is not None:
+        # must run before the JAX backend initializes; afterwards
+        # jax.devices() is global and the trainer mesh spans all hosts.
+        # NOTE: use a single-shape bucketing config (one article/caption
+        # length) so every process compiles and runs identical batch
+        # schedules — see docs/parallelism.md.
+        from ..parallel.multihost import init_multihost
+        init_multihost(args.coordinator, args.num_processes,
+                       args.process_id)
+        pi, pc = args.process_id, args.num_processes
+
     exp = _load(args)
     train_ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                           "train-*.npz"), seed=exp.data.seed)
@@ -169,12 +187,14 @@ def cmd_train(args) -> int:
 
     def train_batches(epoch):
         return bucket_batches(
-            train_ds.epoch(limit=exp.data.instances_per_epoch),
+            train_ds.epoch(limit=exp.data.instances_per_epoch,
+                           process_index=pi, process_count=pc),
             exp.bucketing)
 
     def val_batches():
         return bucket_batches(
-            val_ds.epoch(shuffle=False, limit=exp.data.val_limit),
+            val_ds.epoch(shuffle=False, limit=exp.data.val_limit,
+                         process_index=pi, process_count=pc),
             exp.bucketing)
 
     trainer = Trainer(exp.model, exp.trainer, train_batches, val_batches,

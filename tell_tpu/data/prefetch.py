@@ -24,7 +24,12 @@ class DevicePrefetcher:
 
     def __init__(self, batches: Iterator[dict],
                  sharding_fn: Callable[[dict], object] | None = None,
-                 depth: int = 2):
+                 depth: int = 2,
+                 put_fn: Callable[[dict], dict] | None = None):
+        """put_fn, when given, replaces the device_put entirely (used by
+        multi-host training, where each process contributes only its local
+        shard via jax.make_array_from_process_local_data — see
+        parallel/multihost.py)."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
         self._done = False
@@ -35,7 +40,9 @@ class DevicePrefetcher:
                 for batch in batches:
                     if self._stop.is_set():
                         return
-                    if sharding_fn is not None:
+                    if put_fn is not None:
+                        batch = put_fn(batch)
+                    elif sharding_fn is not None:
                         batch = jax.device_put(batch, sharding_fn(batch))
                     else:
                         batch = jax.device_put(batch)

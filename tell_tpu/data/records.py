@@ -98,12 +98,22 @@ class RecordDataset:
         return len(self.index)
 
     def epoch(self, shuffle: bool = True,
-              limit: int | None = None) -> Iterator[dict]:
+              limit: int | None = None,
+              process_index: int = 0,
+              process_count: int = 1) -> Iterator[dict]:
+        """process_index/count stride the (shared, identically seeded)
+        epoch order across multi-host training processes; the order is
+        truncated to a multiple of process_count first so every process
+        yields the SAME number of examples (unequal counts would deadlock
+        the first collective of the step the short process never runs)."""
         order = np.arange(len(self.index))
         if shuffle:
             self.rs.shuffle(order)
         if limit is not None:
             order = order[:limit]
+        if process_count > 1:
+            usable = len(order) - len(order) % process_count
+            order = order[process_index:usable:process_count]
         for o in order:
             s, i = self.index[o]
             if s not in self._open_lru:

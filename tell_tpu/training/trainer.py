@@ -135,8 +135,10 @@ class Trainer:
 
     @property
     def tb(self):
-        """Lazy TensorBoard writer (one events file per trainer)."""
-        if self._tb is None and self.tcfg.summary_interval:
+        """Lazy TensorBoard writer (one events file per trainer; primary
+        process only under multi-host)."""
+        if (self._tb is None and self.tcfg.summary_interval
+                and jax.process_index() == 0):
             from .tensorboard import TensorBoardWriter
             self._tb = TensorBoardWriter(
                 os.path.join(self.tcfg.serialization_dir, "tb"))
@@ -243,7 +245,10 @@ class Trainer:
     def _prefetched(self, batches):
         """Background host->device pipeline over a batch iterator; drops the
         bucketing padding marker. Context-managed so an aborted epoch
-        (error/interrupt) releases the queued device batches."""
+        (error/interrupt) releases the queued device batches. Under
+        multi-host training (jax.distributed initialized) each process
+        feeds only its LOCAL batch shard; every process must iterate the
+        same number of identically-shaped batches per epoch."""
         from ..data.prefetch import DevicePrefetcher
 
         def host_batches():
@@ -251,6 +256,11 @@ class Trainer:
                 b.pop("real", None)
                 yield b
 
+        if jax.process_count() > 1:
+            from ..parallel.multihost import place_global_batch
+            return DevicePrefetcher(
+                host_batches(),
+                put_fn=lambda b: place_global_batch(self.mesh, b))
         return DevicePrefetcher(host_batches(),
                                 lambda b: batch_sharding(self.mesh, b))
 
@@ -288,7 +298,8 @@ class Trainer:
                         log.info("epoch %d step %d loss %.4f", epoch,
                                  self.state["step"], float(m["loss"]))
                     si = self.tcfg.summary_interval
-                    if si and self.state["step"] % si == 0:
+                    if (si and self.state["step"] % si == 0
+                            and self.tb is not None):
                         # float() syncs once per interval — same cost class
                         # as the log line above
                         self.tb.add_scalar("train/loss", float(m["loss"]),
@@ -327,6 +338,8 @@ class Trainer:
         return {"val_loss": float(np.mean(losses))} if losses else {}
 
     def _write_metrics(self, em: dict) -> None:
+        if jax.process_index() != 0:  # primary-only under multi-host
+            return
         os.makedirs(self.tcfg.serialization_dir, exist_ok=True)
         path = os.path.join(self.tcfg.serialization_dir, "metrics.jsonl")
         with open(path, "a") as f:
