@@ -232,3 +232,44 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
         bounds = attn_segment_bounds(dcfg, contexts)
         out["attns"] = [split_attn_segments(bounds, a) for a in attns]
     return out
+
+
+def replay_attention(params: dict, cfg: CaptionerConfig, batch: dict,
+                     token_ids: jax.Array) -> list[dict]:
+    """Attention maps for a KNOWN token sequence, teacher-forced.
+
+    Cross-attention at step t depends only on the token prefix, so
+    replaying a finished caption reproduces exactly the maps the decode
+    loop would have recorded (asserted vs generate(need_weights=True) in
+    tests/test_serving.py). This is how the continuous-batching engine
+    serves the demo's per-word attention payload
+    (transformer_faces_objects.py:142-309) without carrying per-step
+    attention state for every beam of every slot: one B=1 scan per
+    attention-requesting caption, off the engine's hot path.
+
+    token_ids: [B, T+1] including the seed <s> (generate's contract).
+    Returns per-layer per-context dicts of [T, B, 1, S_m] maps.
+    """
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    state = init_decode_state(params["decoder"], dcfg, contexts, B,
+                              dtype=feat0.dtype)
+    kv = state.pop("kv")
+    embed_table = state.pop("embed_table")
+
+    def step(dyn, tok):
+        _, st, attns = decoder_step(
+            params["decoder"], dcfg, tok,
+            {**dyn, "kv": kv, "embed_table": embed_table},
+            need_weights=True)
+        st = {k: v for k, v in st.items()
+              if k not in ("kv", "embed_table")}
+        return st, attns
+
+    _, attns = jax.lax.scan(step, state,
+                            jnp.asarray(token_ids)[:, :-1].T)
+    from .decoder import attn_segment_bounds, split_attn_segments
+    bounds = attn_segment_bounds(dcfg, contexts)
+    return [split_attn_segments(bounds, a) for a in attns]

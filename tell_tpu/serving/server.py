@@ -134,10 +134,6 @@ class CaptionService:
                 raise ValueError(
                     "continuous batching serves the flagship captioner "
                     f"only (got adapter {adapter.name!r})")
-            if need_attention:
-                raise ValueError("continuous batching does not return "
-                                 "attention maps; drop --attention or "
-                                 "--engine-slots")
             # with --mesh-data the resident slot state shards over the
             # "data" axis (slots divide across chips; admissions/chunks
             # are collective-free row-local programs)
@@ -147,6 +143,13 @@ class CaptionService:
                                        mesh=mesh)
             self._encode1 = jax.jit(
                 lambda fr, b: encode_contexts(fr, cap_cfg, b))
+            if need_attention:
+                # attention maps come from a teacher-forced replay of the
+                # winning caption (models/captioner.py:replay_attention),
+                # off the engine's hot path — one B=1 scan per request
+                from ..models.captioner import replay_attention
+                self._replay = jax.jit(
+                    lambda p, b, t: replay_attention(p, cap_cfg, b, t))
             self._eng_stop = threading.Event()
 
             def _tick_loop():
@@ -346,9 +349,16 @@ class CaptionService:
         enc = {k: v for k, v in enc.items() if k != "context_ids"}
         out = self.engine.submit(enc).result(timeout=600)
         token_ids = np.asarray(out["token_ids"][0])  # best beam
-        return {"caption": self.tokenizer.decode(token_ids),
-                "token_ids": token_ids.tolist(),
-                "score": float(out["scores"][0])}
+        result = {"caption": self.tokenizer.decode(token_ids),
+                  "token_ids": token_ids.tolist(),
+                  "score": float(out["scores"][0])}
+        if self.need_attention:
+            attns = self._replay(self._params, enc, token_ids[None])
+            layer0 = attns[0]
+            result["attns"] = {
+                name: np.asarray(a)[:, 0, 0].tolist()
+                for name, a in layer0.items()}
+        return result
 
 
 class _Handler(BaseHTTPRequestHandler):

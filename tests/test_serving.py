@@ -382,7 +382,45 @@ def test_engine_service_matches_beam_search(service):
     assert esvc.engine.stats["requests"] == 3
     assert sorted(esvc.engine.free) == [0, 1]
 
-    with pytest.raises(ValueError):
-        CaptionService(service._params, frozen, service.cfg,
-                       service.tokenizer, engine_slots=2,
-                       need_attention=True)
+def test_replay_attention_matches_generate():
+    """Teacher-forced replay of a generated caption reproduces exactly the
+    attention maps the decode loop recorded (captioner.replay_attention —
+    the engine's attention path)."""
+    from tests.test_engine import _request, _setup
+    from tell_tpu.models.captioner import generate, replay_attention
+
+    cfg, params = _setup(gen_len=6)
+    batch = {k: np.concatenate([np.asarray(_request(cfg, 21)[k]),
+                                np.asarray(_request(cfg, 22)[k])])
+             for k in _request(cfg, 21)}
+    out = generate(params, cfg, batch, need_weights=True)
+    rep = replay_attention(params, cfg, batch, out["token_ids"])
+    assert len(rep) == len(out["attns"])  # per layer
+    for layer_rep, layer_gen in zip(rep, out["attns"]):
+        assert set(layer_rep) == set(layer_gen)
+        for name in layer_gen:
+            np.testing.assert_allclose(np.asarray(layer_rep[name]),
+                                       np.asarray(layer_gen[name]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_engine_service_attention(service):
+    """--engine-slots + --attention: the payload carries per-context
+    per-step attention maps (replayed teacher-forced off the hot path)."""
+    frozen = service.vision.frozen
+    esvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=4, article_len=16,
+                          engine_slots=2, engine_beam=2,
+                          need_attention=True)
+    out = esvc.caption({"context": "the news in the city today"})
+    assert "error" not in out
+    attns = out["attns"]
+    dcfg = service.cfg.decoder
+    assert set(attns) == {c.name for c in dcfg.contexts}
+    for name, maps in attns.items():
+        assert len(maps) == service.cfg.gen_len     # one map per step
+        # each step's map covers that context's keys (+bias/zero columns)
+        assert all(len(m) >= dcfg.context(name).max_len for m in maps)
+        total = np.asarray(maps).sum(axis=-1)
+        np.testing.assert_allclose(total, 1.0, rtol=1e-3)  # softmax rows
+    esvc._eng_stop.set()
