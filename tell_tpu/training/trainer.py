@@ -130,8 +130,16 @@ class Trainer:
             donate_argnums=(0, 1))
         self._eval_fn = None
         self._tb = None
+        self._stop_requested = False
         self.state: dict = {}
         self.metrics_history: list[dict] = []
+
+    def request_stop(self) -> None:
+        """Ask the train loop to stop at the next batch boundary and write
+        a resumable checkpoint (preemption-safe training: TPU VMs get a
+        termination notice; the reference could only lose the epoch).
+        Thread- and signal-safe (sets a flag, does no work itself)."""
+        self._stop_requested = True
 
     @property
     def tb(self):
@@ -202,10 +210,25 @@ class Trainer:
             self.initialize()
         t = self.tcfg
         rng = jax.random.PRNGKey(t.seed + 17)
+        self._install_sigterm()
         stop = False
         while self.state["epoch"] < t.num_epochs and not stop:
             epoch = self.state["epoch"]
             em = self._train_epoch(epoch, rng)
+            if self._stop_requested:
+                # preempted mid-epoch: persist a checkpoint that recover()
+                # resumes from (epoch granularity — the partial epoch is
+                # redone, matching the reference's per-epoch recovery)
+                self.ckpt.save(
+                    epoch, {"params": self.state["params"],
+                            "opt": self.state["opt"]},
+                    {"step": self.state["step"], "epoch": epoch,
+                     "best_metric": self.state["best_metric"],
+                     "bad_epochs": self.state["bad_epochs"]})
+                log.info("stop requested: checkpointed at epoch %d step %d",
+                         epoch, self.state["step"])
+                return {"best_metric": self.state["best_metric"],
+                        "epochs": epoch, "preempted": True}
             val = self._validate()
             em.update(val)
             em["epoch"] = epoch
@@ -242,6 +265,20 @@ class Trainer:
         return {"best_metric": self.state["best_metric"],
                 "epochs": self.state["epoch"]}
 
+    def _install_sigterm(self) -> None:
+        """Route SIGTERM (the preemption notice on cloud TPU VMs) to
+        request_stop. Main-thread only; elsewhere (tests, servers) callers
+        use request_stop directly."""
+        import signal
+        import threading
+        if threading.current_thread() is not threading.main_thread():
+            return
+        try:
+            signal.signal(signal.SIGTERM,
+                          lambda signum, frame: self.request_stop())
+        except ValueError:  # non-main interpreter contexts
+            pass
+
     def _prefetched(self, batches):
         """Background host->device pipeline over a batch iterator; drops the
         bucketing padding marker. Context-managed so an aborted epoch
@@ -272,6 +309,8 @@ class Trainer:
         try:
             with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
                 for batch in pf:
+                    if self._stop_requested:
+                        break
                     step_rng = jax.random.fold_in(rng, self.state["step"])
                     if (self.tcfg.profile_steps and not profiling
                             and self.state["step"] == self.tcfg.profile_at):

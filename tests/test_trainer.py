@@ -94,6 +94,37 @@ def test_train_loop_decreases_loss_and_checkpoints(shard_dir, tmp_path):
     np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p2[0]))
 
 
+def test_preemption_stop_checkpoints_and_recovers(shard_dir, tmp_path):
+    """request_stop (the SIGTERM preemption path) halts at the next batch
+    boundary, writes a resumable checkpoint, and recover() picks the run
+    back up — the reference could only lose in-flight work."""
+    train_ds = RecordDataset(str(shard_dir / "train-*.npz"), seed=0)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(5), RCFG),
+              "roberta_cfg": RCFG}
+
+    def train_batches(epoch):
+        return bucket_batches(train_ds.epoch(), BCFG)
+
+    tcfg = TrainerConfig(serialization_dir=str(tmp_path / "run"),
+                         num_epochs=50, patience=50, t_total=5000,
+                         log_every=1000, summary_interval=0, n_data=1)
+    trainer = Trainer(CFG, tcfg, train_batches, frozen=frozen)
+    # deterministic "preemption": the epoch-end hook fires after epoch 0,
+    # so epoch 1 stops at its first batch boundary
+    trainer.hooks.append(lambda tr, em: tr.request_stop())
+    result = trainer.train()
+    assert result["preempted"] is True
+    assert result["epochs"] == 1          # epoch 1 was cut short
+
+    trainer2 = Trainer(CFG, tcfg, train_batches, frozen=frozen)
+    assert trainer2.recover()
+    assert trainer2.state["epoch"] == 1   # redoes the interrupted epoch
+    assert trainer2.state["step"] == trainer.state["step"]
+    p1, p2 = (jax.tree.leaves(t.state["params"])
+              for t in (trainer, trainer2))
+    np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p2[0]))
+
+
 def test_keep_checkpoints_gc(tmp_path):
     from tell_tpu.training.checkpoint import CheckpointManager
     cm = CheckpointManager(str(tmp_path / "ck"), keep=3)
