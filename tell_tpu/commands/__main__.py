@@ -64,9 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "devices (data-parallel serving; 1 = single chip)")
     sv.add_argument("--engine-slots", type=int, default=0,
                     help="continuous-batching beam decode with this many "
-                    "request slots (0 = micro-batch mode); flagship "
-                    "captioner only; composes with --mesh-data (slots "
-                    "shard over the data axis)")
+                    "request slots (0 = micro-batch mode); captioner and "
+                    "transformer_modern families; composes with "
+                    "--mesh-data (slots shard over the data axis)")
     sv.add_argument("--engine-beam", type=int, default=5,
                     help="beam size for --engine-slots mode")
 

@@ -204,26 +204,42 @@ def _self_attn_step(sp: dict, cfg: LLMConfig, x: jax.Array, cache: dict,
 
     x: [R, E]; cache: {k, v: [R, T_max, H, hd]}. Rows beyond `step` are
     masked (fixed-shape cache, masking instead of dynamic slicing).
+
+    step: scalar (all rows at the same position — generate/beam_search) or
+    [R] per-row positions (the continuous-batching engine, where each slot
+    admitted at a different time). The scalar path keeps the cheaper
+    single-index dynamic_update_slice; the per-row path scatters one row
+    per cache line via a vmapped update.
     """
     R, E = x.shape
     H, hd, KV = cfg.num_heads, cfg.head_dim, cfg.kv_heads
     q = linear(sp["q"], x).reshape(R, 1, H, hd)
     k = linear(sp["k"], x).reshape(R, 1, KV, hd)
     v = linear(sp["v"], x).reshape(R, 1, KV, hd)
-    cos, sin = rope_cos_sin(step[None], hd, cfg.rope_theta)
+    per_row = getattr(step, "ndim", 0) == 1
+    pos = step[:, None] if per_row else step[None]
+    cos, sin = rope_cos_sin(pos, hd, cfg.rope_theta)
     q = apply_rope(q, cos, sin)[:, 0]                       # [R, H, hd]
     k = apply_rope(k, cos, sin)[:, 0]
-    ck = jax.lax.dynamic_update_slice_in_dim(
-        cache["k"], k[:, None].astype(cache["k"].dtype), step, axis=1)
-    cv = jax.lax.dynamic_update_slice_in_dim(
-        cache["v"], v.astype(cache["v"].dtype), step, axis=1)
+    if per_row:
+        upd = jax.vmap(
+            lambda c, row, s: jax.lax.dynamic_update_slice_in_dim(
+                c, row[None], s, axis=0))
+        ck = upd(cache["k"], k.astype(cache["k"].dtype), step)
+        cv = upd(cache["v"], v[:, 0].astype(cache["v"].dtype), step)
+    else:
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"], k[:, None].astype(cache["k"].dtype), step, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"], v.astype(cache["v"].dtype), step, axis=1)
     T = ck.shape[1]
     # grouped queries: [R, KV, H/KV, hd] against the [R, T, KV, hd] cache
     qg = q.reshape(R, KV, H // KV, hd)
     scores = jnp.einsum("rkgd,rtkd->rkgt", qg, ck,
                         preferred_element_type=jnp.float32) * (hd ** -0.5)
-    valid = jnp.arange(T) <= step                           # [T]
-    scores = jnp.where(valid[None, None, None], scores, -jnp.inf)
+    valid = (jnp.arange(T)[None] <= step[:, None])[:, None, None] \
+        if per_row else (jnp.arange(T) <= step)[None, None, None]
+    scores = jnp.where(valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     o = jnp.einsum("rkgt,rtkd->rkgd", probs, cv,
                    preferred_element_type=jnp.float32).astype(x.dtype)

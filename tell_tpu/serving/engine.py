@@ -86,15 +86,19 @@ class DecodeEngine:
     resolving to {"token_ids": [beam, gen_len+1], "scores": [beam],
     "finished": [beam]} comes back (same contract as beam_search, minus
     the batch dim).
+
+    The beam/slot bookkeeping is model-agnostic; the flagship-specific
+    pieces live in the `_model_*`/`_dyn_*` hooks, overridden by
+    LLMDecodeEngine for the transformer_modern family.
     """
 
-    def __init__(self, params: dict, cfg: CaptionerConfig, *,
+    def __init__(self, params: dict, cfg, *,
                  slots: int = 8, beam: int = 5,
                  chunk_steps: int = 8, length_penalty: float = 0.0,
                  max_lag: int = 8, mesh=None, dtype=jnp.float32):
         assert slots >= 2, "a 1-slot engine is just beam_search"
         self.cfg = cfg
-        self.dcfg = dcfg = cfg.decoder
+        self.dcfg = dcfg = self._decode_cfg(cfg)
         self.slots, self.beam = slots, beam
         self.chunk_steps = chunk_steps
         self.length_penalty = length_penalty
@@ -105,15 +109,13 @@ class DecodeEngine:
             raise ValueError(f"engine slots {slots} must divide over the "
                              f"mesh data axis {mesh.shape['data']}")
 
-        # resident state, built from zero contexts (slots start empty)
-        zero_batch = self._zero_batch(dtype)
-        contexts0 = build_contexts(params, cfg, zero_batch)
-        dstate = init_decode_state(params["decoder"], dcfg, contexts0, B,
-                                   beam=K, dtype=dtype)
-        self._embed_table = dstate.pop("embed_table")  # constant
-        dstate.pop("step")  # replaced by the per-slot counter below
+        # resident state, built from zero contexts (slots start empty):
+        # aux = per-engine constants (e.g. the merged embed table), kv =
+        # static context KV, dyn = per-row model state (conv ring buffers /
+        # self-attention caches)
+        self._aux, kv0, dyn0 = self._model_init(params, dtype)
         self.state = {
-            **dstate,                               # conv [B*K,...], kv
+            "kv": kv0, **dyn0,
             "t": jnp.full((B,), L, jnp.int32),      # per-slot step count
             "tokens": jnp.full((B, K), dcfg.bos_id, jnp.int32),
             "scores": jnp.zeros((B, K), jnp.float32),
@@ -138,10 +140,11 @@ class DecodeEngine:
                 return jax.device_put(x, row if sharded else rep)
 
             self.state = jax.tree.map(place, self.state)
-            self._embed_table = jax.device_put(self._embed_table, rep)
+            self._aux = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self._aux)
             self.params = jax.device_put(params, rep)
 
-        # params/embed_table ride as call-time args — closure arrays would
+        # params/aux ride as call-time args — closure arrays would
         # be baked into the HLO as constants (see training/train_step.py)
         self._admit = jax.jit(self._admit_impl, donate_argnums=1)
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=2)
@@ -156,6 +159,65 @@ class DecodeEngine:
         # first: (report_i32, report_f32, gen-at-chunk-time)
         self._gen = np.zeros(slots, np.int64)
         self._reports: collections.deque = collections.deque()
+
+    # ------------------------------------------------------------------
+    # model hooks (flagship captioner; LLMDecodeEngine overrides)
+    # ------------------------------------------------------------------
+
+    def _decode_cfg(self, cfg):
+        """The config object carrying vocab/pad/bos/eos + contexts."""
+        return cfg.decoder
+
+    def _model_init(self, params: dict, dtype
+                    ) -> tuple[dict, object, dict]:
+        """-> (aux constants, zero-context KV, per-row dynamic state)."""
+        contexts0 = build_contexts(params, self.cfg,
+                                   self._zero_batch(dtype))
+        dstate = init_decode_state(params["decoder"], self.dcfg, contexts0,
+                                   self.slots, beam=self.beam, dtype=dtype)
+        aux = {"embed_table": dstate.pop("embed_table")}
+        dstate.pop("step")  # replaced by the per-slot counter
+        return aux, dstate.pop("kv"), dstate
+
+    def _encode_kv(self, params: dict, batch1: dict):
+        """One request's feature batch (leading dim 1) -> context KV."""
+        contexts = build_contexts(params, self.cfg, batch1)
+        return precompute_context_kv_cat(params["decoder"], self.dcfg,
+                                         contexts)
+
+    def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
+        """Zero slot b's rows of the per-row dynamic state."""
+        B, K = self.slots, self.beam
+        conv = [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
+                  ).reshape(buf.shape)
+                for buf in state["conv"]]
+        return {"conv": conv}
+
+    def _model_step(self, params: dict, aux: dict, state: dict,
+                    step_rows: jax.Array
+                    ) -> tuple[jax.Array, jax.Array, dict]:
+        """One decode step over all rows -> (cand log-probs [R, K],
+        cand ids [R, K], new dynamic state)."""
+        feats, dstate, _ = decoder_step(
+            params["decoder"], self.dcfg,
+            state["tokens"].reshape(self.slots * self.beam),
+            {"conv": state["conv"], "kv": state["kv"],
+             "embed_table": aux["embed_table"], "step": step_rows})
+        lp, ids = decoder_top_k(params["decoder"], self.dcfg, feats,
+                                self.beam)
+        return lp, ids, {"conv": dstate["conv"]}
+
+    def _dyn_reorder(self, dyn: dict, parent: jax.Array) -> dict:
+        """Reorder per-row dynamic state by parent beam WITHIN each slot —
+        a [B, K] take_along_axis (shard-local on a slot-sharded mesh),
+        never a flat gather across the whole B*K axis."""
+        B, K = self.slots, self.beam
+        conv = [jnp.take_along_axis(
+                    buf.reshape((B, K) + buf.shape[1:]),
+                    parent.reshape((B, K) + (1,) * (buf.ndim - 1)),
+                    axis=1).reshape(buf.shape)
+                for buf in dyn["conv"]]
+        return {"conv": conv}
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -187,11 +249,9 @@ class DecodeEngine:
                     b: jax.Array) -> dict:
         """Encode one request's feature batch (leading dim 1) into context
         KV and scatter it into slot b — one dispatch per admission."""
-        B, K, L = self.slots, self.beam, self.cfg.gen_len
+        K, L = self.beam, self.cfg.gen_len
         dcfg = self.dcfg
-        contexts = build_contexts(params, self.cfg, batch1)
-        kv1 = precompute_context_kv_cat(params["decoder"], self.dcfg,
-                                        contexts)
+        kv1 = self._encode_kv(params, batch1)
 
         w = _mask_write if self.mesh is not None else _row_write
 
@@ -201,13 +261,10 @@ class DecodeEngine:
             return w(full, new[0], b)
 
         kv = jax.tree.map(put, state["kv"], kv1)
-        conv = [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
-                  ).reshape(buf.shape)
-                for buf in state["conv"]]
         scores0 = jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32)
         paths0 = jnp.full((K, L + 1), dcfg.pad_id,
                           jnp.int32).at[:, 0].set(dcfg.bos_id)
-        return {**state, "kv": kv, "conv": conv,
+        return {**state, "kv": kv, **self._dyn_reset(state, b, w),
                 "t": w(state["t"], 0, b),
                 "tokens": w(state["tokens"], dcfg.bos_id, b),
                 "scores": w(state["scores"], scores0, b),
@@ -215,8 +272,7 @@ class DecodeEngine:
                 "lengths": w(state["lengths"], 0, b),
                 "paths": w(state["paths"], paths0, b)}
 
-    def _step(self, params: dict, embed_table: jax.Array,
-              state: dict) -> dict:
+    def _step(self, params: dict, aux: dict, state: dict) -> dict:
         """One beam step over all slots — beam_search_core's candidate math
         with a per-slot step counter."""
         dcfg = self.dcfg
@@ -225,12 +281,8 @@ class DecodeEngine:
         # a slot at the length cap freezes exactly like a finished beam
         eff_finished = finished | (t >= L)[:, None]
 
-        feats, dstate, _ = decoder_step(
-            params["decoder"], dcfg, state["tokens"].reshape(B * K),
-            {"conv": state["conv"], "kv": state["kv"],
-             "embed_table": embed_table,
-             "step": jnp.repeat(t, K)})
-        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        cand_lp, cand_ids, dstate = self._model_step(
+            params, aux, state, jnp.repeat(t, K))
         cand_lp = cand_lp.reshape(B, K, K)
         cand_ids = cand_ids.reshape(B, K, K)
 
@@ -258,22 +310,13 @@ class DecodeEngine:
         write = jnp.arange(L + 1)[None, None, :] == (t + 1)[:, None, None]
         new_paths = jnp.where(write, tok[:, :, None], g(state["paths"]))
 
-        # reorder conv ring buffers by parent beam WITHIN each slot — a
-        # [B, K] take_along_axis (shard-local on a slot-sharded mesh),
-        # never a flat gather across the whole B*K axis
-        conv = [jnp.take_along_axis(
-                    buf.reshape((B, K) + buf.shape[1:]),
-                    parent.reshape((B, K) + (1,) * (buf.ndim - 1)),
-                    axis=1).reshape(buf.shape)
-                for buf in dstate["conv"]]
-        return {**state, "conv": conv,
+        return {**state, **self._dyn_reorder(dstate, parent),
                 "t": jnp.minimum(t + 1, L),
                 "tokens": tok, "scores": top_scores,
                 "finished": new_finished, "lengths": new_lengths,
                 "paths": new_paths}
 
-    def _chunk_impl(self, params: dict, embed_table: jax.Array,
-                    state: dict):
+    def _chunk_impl(self, params: dict, aux: dict, state: dict):
         B, K, L = self.slots, self.beam, self.cfg.gen_len
 
         def done(s):
@@ -285,7 +328,7 @@ class DecodeEngine:
 
         def body(c):
             i, s = c
-            return i + 1, self._step(params, embed_table, s)
+            return i + 1, self._step(params, aux, s)
 
         _, state = jax.lax.while_loop(cond, body, (0, state))
         # pack everything harvest needs into two arrays so the host fetch
@@ -371,7 +414,7 @@ class DecodeEngine:
             self._admit_queued()
             if self.pending:
                 self.state, report_i, report_f = self._chunk(
-                    self.params, self._embed_table, self.state)
+                    self.params, self._aux, self.state)
                 report_i.copy_to_host_async()
                 report_f.copy_to_host_async()
                 self._reports.append((report_i, report_f, self._gen.copy()))
@@ -391,3 +434,79 @@ class DecodeEngine:
                 # finished slots free up instead of spinning chunks
                 with self._lock:
                     self._drain_reports(block_first=True)
+
+
+class LLMDecodeEngine(DecodeEngine):
+    """Continuous-batching engine for the transformer_modern family
+    (models/llm_decoder.py): same slot/beam bookkeeping, with the dynamic
+    per-row state being the causal self-attention KV caches instead of
+    conv ring buffers, and per-slot step counters feeding RoPE positions
+    and per-row cache writes (_self_attn_step's per-row path).
+
+    cfg: LLMConfig. Requests are encoded feature batches (image_grid /
+    article / article_mask [+ faces / obj]), leading dim 1.
+    """
+
+    def _decode_cfg(self, cfg):
+        return cfg  # LLMConfig carries vocab ids + contexts directly
+
+    def _zero_batch(self, dtype) -> dict:
+        cfg, B = self.cfg, self.slots
+        z = lambda *s: jnp.zeros(s, dtype)  # noqa: E731
+        batch = {}
+        for spec in cfg.contexts:
+            if spec.name == "image":
+                batch["image_grid"] = z(B, spec.max_len, spec.kv_dim)
+            elif spec.name == "article":
+                batch["article"] = z(B, spec.max_len, spec.kv_dim)
+                batch["article_mask"] = jnp.ones((B, spec.max_len), bool)
+            elif spec.name == "faces":
+                batch["face_embeds"] = z(B, spec.max_len, spec.kv_dim)
+            elif spec.name == "obj":
+                batch["obj_embeds"] = z(B, spec.max_len, spec.kv_dim)
+        return batch
+
+    def _model_init(self, params: dict, dtype):
+        from ..models.llm_decoder import (_build_contexts,
+                                          init_llm_decode_state)
+        contexts0 = _build_contexts(params, self.cfg,
+                                    self._zero_batch(dtype))
+        dstate = init_llm_decode_state(params, self.cfg, contexts0,
+                                       self.slots, beam=self.beam,
+                                       dtype=dtype)
+        dstate.pop("step")  # per-slot counter instead
+        return {}, dstate.pop("kv"), dstate
+
+    def _encode_kv(self, params: dict, batch1: dict):
+        from ..models.llm_decoder import _build_contexts
+        contexts = _build_contexts(params, self.cfg, batch1)
+        return precompute_context_kv_cat(params, self.cfg, contexts)
+
+    def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
+        B, K = self.slots, self.beam
+        self_kv = [
+            {n: w(c[n].reshape((B, K) + c[n].shape[1:]), 0.0, b
+                  ).reshape(c[n].shape) for n in ("k", "v")}
+            for c in state["self_kv"]]
+        return {"self_kv": self_kv}
+
+    def _model_step(self, params: dict, aux: dict, state: dict,
+                    step_rows: jax.Array):
+        from ..models.llm_decoder import llm_decoder_step, tied_top_k
+        feats, st, _ = llm_decoder_step(
+            params, self.cfg,
+            state["tokens"].reshape(self.slots * self.beam),
+            {"self_kv": state["self_kv"], "kv": state["kv"],
+             "step": step_rows})
+        lp, ids = tied_top_k(params, self.cfg, feats, self.beam)
+        return lp, ids, {"self_kv": st["self_kv"]}
+
+    def _dyn_reorder(self, dyn: dict, parent: jax.Array) -> dict:
+        B, K = self.slots, self.beam
+        self_kv = [
+            {n: jnp.take_along_axis(
+                    c[n].reshape((B, K) + c[n].shape[1:]),
+                    parent.reshape((B, K) + (1,) * (c[n].ndim - 1)),
+                    axis=1).reshape(c[n].shape) for n in ("k", "v")}
+            for c in dyn["self_kv"]]
+        return {"self_kv": self_kv}

@@ -130,19 +130,24 @@ class CaptionService:
 
         self.engine = None
         if engine_slots:
-            if adapter is not None and adapter.name != "captioner":
+            if adapter is not None and adapter.name not in ("captioner",
+                                                            "modern"):
                 raise ValueError(
-                    "continuous batching serves the flagship captioner "
-                    f"only (got adapter {adapter.name!r})")
+                    "continuous batching serves the captioner and modern "
+                    f"families only (got adapter {adapter.name!r})")
+            modern = adapter is not None and adapter.name == "modern"
+            if modern and need_attention:
+                raise ValueError("attention replay is captioner-only; "
+                                 "drop --attention for the modern engine")
             # with --mesh-data the resident slot state shards over the
             # "data" axis (slots divide across chips; admissions/chunks
             # are collective-free row-local programs)
-            from .engine import DecodeEngine
-            self.engine = DecodeEngine(self._params, cap_cfg,
-                                       slots=engine_slots, beam=engine_beam,
-                                       mesh=mesh)
-            self._encode1 = jax.jit(
-                lambda fr, b: encode_contexts(fr, cap_cfg, b))
+            from .engine import DecodeEngine, LLMDecodeEngine
+            eng_cls = LLMDecodeEngine if modern else DecodeEngine
+            self.engine = eng_cls(self._params, cap_cfg,
+                                  slots=engine_slots, beam=engine_beam,
+                                  mesh=mesh)
+            self._encode1 = jax.jit(encode)
             if need_attention:
                 # attention maps come from a teacher-forced replay of the
                 # winning caption (models/captioner.py:replay_attention),

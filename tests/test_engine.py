@@ -151,3 +151,57 @@ def test_engine_mesh_sharded_slots_match_one_shot():
     for fut, ref in zip(futs, refs):
         _check(fut.result(timeout=0), ref)
     assert sorted(eng.free) == list(range(8))
+
+
+def _llm_setup(gen_len=6):
+    import dataclasses
+    from tell_tpu.config import ContextSpec
+    from tell_tpu.models.llm_decoder import LLMConfig, init_llm_decoder
+    cfg = LLMConfig(
+        vocab_size=211, dim=32, num_layers=2, num_heads=4, num_kv_heads=2,
+        ffn_dim=48, dropout=0.0, attention_dropout=0.0,
+        max_target_positions=32, gen_len=gen_len, loss_vocab_chunk=64,
+        contexts=(ContextSpec("image", 16, 5),
+                  ContextSpec("article", 12, 9)))
+    params = init_llm_decoder(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _llm_request(cfg, seed: int) -> dict:
+    import jax.random as jr
+    ks = jr.split(jr.PRNGKey(seed), 3)
+    s_art = cfg.context("article").max_len
+    n_pad = int(jr.randint(ks[2], (), 0, s_art // 2))
+    mask = jnp.zeros((1, s_art), bool).at[0, s_art - n_pad:].set(True)
+    return {
+        "image_grid": jr.normal(ks[0], (1, cfg.context("image").max_len,
+                                        cfg.context("image").kv_dim)),
+        "article": jr.normal(ks[1], (1, s_art,
+                                     cfg.context("article").kv_dim)),
+        "article_mask": mask,
+    }
+
+
+def test_llm_engine_matches_one_shot_beam_search():
+    """transformer_modern continuous batching (LLMDecodeEngine): staggered
+    admissions with per-slot RoPE positions and per-row self-KV cache
+    writes must reproduce one-shot llm_beam_search exactly."""
+    from tell_tpu.models.llm_decoder import llm_beam_search
+    from tell_tpu.serving.engine import LLMDecodeEngine
+
+    cfg, params = _llm_setup()
+    reqs = [_llm_request(cfg, s) for s in (31, 32, 33, 34)]
+    refs = []
+    for r in reqs:
+        out = llm_beam_search(params, cfg, r, beam_size=2, early_stop=True)
+        refs.append({k: np.asarray(v[0]) for k, v in out.items()})
+
+    eng = LLMDecodeEngine(params, cfg, slots=2, beam=2, chunk_steps=2)
+    futs = [eng.submit(reqs[0]), eng.submit(reqs[1])]
+    eng.tick()                         # r0/r1 mid-decode
+    futs += [eng.submit(reqs[2]), eng.submit(reqs[3])]  # queue for reuse
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+    assert sorted(eng.free) == [0, 1]
+    assert eng.stats["requests"] == 4

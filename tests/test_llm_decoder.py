@@ -175,3 +175,27 @@ def test_kv8_decode_close_to_fp(setup, monkeypatch):
     err = float(jnp.max(jnp.abs(q8 - fp)))
     scale = float(jnp.max(jnp.abs(fp)))
     assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_decoder_step_per_row_positions_match_scalar(setup):
+    """_self_attn_step's per-row path ([R] step array — the continuous
+    engine's per-slot counters) must equal the scalar path when every row
+    sits at the same position: same features, same cache contents."""
+    params, batch = setup
+    contexts = _build_contexts(params, CFG, batch)
+    B = batch["image_grid"].shape[0]
+    state = init_llm_decode_state(params, CFG, contexts, B)
+    toks = jnp.array([7, 44, 3] * (-(-B // 3)))[:B]
+
+    s_scalar = state
+    s_rows = {**state, "step": jnp.zeros((B,), jnp.int32)}
+    for t in range(3):
+        f1, s_scalar, _ = llm_decoder_step(params, CFG, toks, s_scalar)
+        f2, s_rows, _ = llm_decoder_step(params, CFG, toks, s_rows)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                                   rtol=1e-6, atol=1e-6)
+        for c1, c2 in zip(s_scalar["self_kv"], s_rows["self_kv"]):
+            np.testing.assert_allclose(np.asarray(c1["k"]),
+                                       np.asarray(c2["k"]), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(c1["v"]),
+                                       np.asarray(c2["v"]), atol=1e-6)

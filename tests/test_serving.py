@@ -236,6 +236,26 @@ def test_modern_adapter_serving():
     out = svc.caption({"context": "the news of the era"})
     assert "caption" in out and isinstance(out["caption"], str)
 
+    # continuous batching for the modern family (LLMDecodeEngine): the
+    # engine-served caption must equal one-shot llm_beam_search on the
+    # same encoded request
+    from tell_tpu.models.llm_decoder import llm_beam_search
+    esvc = CaptionService(svc._params, frozen, cfg, tok, max_batch=2,
+                          article_len=16, adapter=adapter,
+                          engine_slots=2, engine_beam=2)
+    req = {"context": "the news of the era"}
+    out = esvc.caption(req)
+    assert "error" not in out
+    batch, errs = esvc._pack([req], width=16)
+    assert errs[0] is None
+    batch.pop("proper_masks", None)
+    enc = esvc._encode1(esvc._frozen, batch)
+    enc = {k: v for k, v in enc.items() if k != "context_ids"}
+    ref = llm_beam_search(svc._params, cfg, enc, beam_size=2,
+                          early_stop=True)
+    assert out["token_ids"] == np.asarray(ref["token_ids"][0, 0]).tolist()
+    esvc._eng_stop.set()
+
 
 def test_article_width_bucketing_exact(service):
     """Short micro-batches decode at a smaller article bucket with captions
