@@ -205,3 +205,30 @@ def test_llm_engine_matches_one_shot_beam_search():
         _check(fut.result(timeout=0), ref)
     assert sorted(eng.free) == [0, 1]
     assert eng.stats["requests"] == 4
+
+
+def test_llm_engine_mesh_sharded_slots_match_one_shot():
+    """LLMDecodeEngine over a ("data",) mesh: per-slot self-KV caches and
+    RoPE positions shard row-locally; results must equal one-shot
+    llm_beam_search."""
+    from tell_tpu.models.llm_decoder import llm_beam_search
+    from tell_tpu.parallel.mesh import make_mesh
+    from tell_tpu.serving.engine import LLMDecodeEngine
+
+    cfg, params = _llm_setup()
+    reqs = [_llm_request(cfg, s) for s in (41, 42)]
+    refs = []
+    for r in reqs:
+        out = llm_beam_search(params, cfg, r, beam_size=2, early_stop=True)
+        refs.append({k: np.asarray(v[0]) for k, v in out.items()})
+
+    mesh = make_mesh(8, 1)
+    eng = LLMDecodeEngine(params, cfg, slots=8, beam=2, chunk_steps=2,
+                          mesh=mesh)
+    futs = [eng.submit(reqs[0])]
+    eng.tick()
+    futs.append(eng.submit(reqs[1]))   # joins mid-flight on another shard
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+    assert sorted(eng.free) == list(range(8))
