@@ -153,7 +153,7 @@ class DecodeEngine:
         self.free: list[int] = list(range(slots))
         self.pending: dict[int, Future] = {}
         self.queue: "_queue.Queue[tuple[dict, Future]]" = _queue.Queue()
-        self.stats = {"requests": 0, "chunks": 0, "steps": 0}
+        self.stats = {"requests": 0, "chunks": 0}
         self._lock = threading.Lock()
         # per-slot admission generation + in-flight packed reports, oldest
         # first: (report_i32, report_f32, gen-at-chunk-time)
