@@ -227,3 +227,29 @@ def test_device_prefetcher_exhaustion_and_close():
     assert not pf2._thread.is_alive()
     with pf2:  # context manager is idempotent
         pass
+
+
+def test_dataset_process_striding_disjoint_equal(tmp_path):
+    """Multi-host loader striding (RecordDataset.epoch process_index/count):
+    same seed -> processes see disjoint example sets of EQUAL size whose
+    union is the truncated shared epoch order."""
+    examples = [
+        {"context_ids": np.array([i], dtype=np.int32),
+         "caption_ids": np.arange(3, dtype=np.int32)}
+        for i in range(11)
+    ]
+    write_shard(str(tmp_path / "s-0.npz"), examples)
+
+    def ids(pi, pc):
+        ds = RecordDataset(str(tmp_path / "s-*.npz"), seed=7)
+        return [int(e["context_ids"][0])
+                for e in ds.epoch(process_index=pi, process_count=pc)]
+
+    a, b = ids(0, 2), ids(1, 2)
+    assert len(a) == len(b) == 5          # 11 truncated to 10, split 5/5
+    assert not set(a) & set(b)
+    full = RecordDataset(str(tmp_path / "s-*.npz"), seed=7)
+    order = [int(e["context_ids"][0]) for e in full.epoch()][:10]
+    assert sorted(a + b) == sorted(order)
+    # interleaving matches the shared order exactly
+    assert [x for pair in zip(a, b) for x in pair] == order
