@@ -227,6 +227,7 @@ class Trainer:
                      "bad_epochs": self.state["bad_epochs"]})
                 log.info("stop requested: checkpointed at epoch %d step %d",
                          epoch, self.state["step"])
+                self.ckpt.flush()   # async save barrier before exiting
                 return {"best_metric": self.state["best_metric"],
                         "epochs": epoch, "preempted": True}
             val = self._validate()
@@ -262,6 +263,7 @@ class Trainer:
                  "bad_epochs": self.state["bad_epochs"]})
             for hook in self.hooks:
                 hook(self, em)
+        self.ckpt.flush()   # async save barrier before returning
         return {"best_metric": self.state["best_metric"],
                 "epochs": self.state["epoch"]}
 

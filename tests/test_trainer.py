@@ -174,3 +174,27 @@ def test_bf16_compute_keeps_fp32_master_params():
     # params actually moved
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), params, p2)
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_async_checkpoint_overlap_and_flush(tmp_path):
+    """Async saves: save() returns before commit, flush() is the barrier,
+    deferred meta.json + keep-N GC land after commit, and restore sees a
+    consistent latest state."""
+    import time
+    from tell_tpu.training.checkpoint import CheckpointManager
+
+    big = {"x": np.random.rand(512, 512).astype(np.float32)}
+    cm = CheckpointManager(str(tmp_path / "ck"), keep=2, use_async=True)
+    for i in range(4):
+        big["x"][0, 0] = i
+        cm.save(i, {"x": big["x"].copy()}, {"step": i})
+    cm.flush()
+    assert cm.list() == [2, 3]            # keep-2 GC applied post-commit
+    state, meta = cm.restore()
+    assert meta["step"] == 3
+    assert state["x"][0, 0] == 3.0
+
+    # save_best rides the same machinery
+    cm.save_best({"x": big["x"]}, {"metric": 0.5})
+    state, meta = cm.restore("best")
+    assert meta["metric"] == 0.5
