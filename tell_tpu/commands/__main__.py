@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "--mesh-data (slots shard over the data axis)")
     sv.add_argument("--engine-beam", type=int, default=5,
                     help="beam size for --engine-slots mode")
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile every decode shape before accepting "
+                    "traffic (first-request latency -> startup time)")
 
     bn = sub.add_parser("bench", help="decode-throughput benchmark "
                         "(one JSON line; see bench.py)")
@@ -255,6 +258,10 @@ def cmd_serve(args) -> int:
                              need_attention=args.attention,
                              engine_slots=args.engine_slots,
                              engine_beam=args.engine_beam)
+    if args.warmup:
+        w = service.warmup()
+        print(f"warmed decode shapes {w['compiled']} "
+              f"in {w['seconds']:.1f}s")
     print(f"serving on {args.host}:{args.port}"
           + (f" (data-parallel x{args.mesh_data})" if mesh else "")
           + (f" (continuous batching: {args.engine_slots} slots, "

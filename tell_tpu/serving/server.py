@@ -294,6 +294,37 @@ class CaptionService:
             batch[key] = em
         return batch, errors
 
+    def warmup(self) -> dict:
+        """Compile-ahead: run one dummy request through every decode shape
+        the service can hit (each article bucket width in micro-batch mode;
+        the engine's encode+admit+chunk — and attention replay — in engine
+        mode), so the first real request never pays a jit compile. On a
+        tunneled TPU a cold compile is tens of seconds to minutes; `tnt
+        serve --warmup` moves that to startup."""
+        import time
+        t0 = time.time()
+        compiled = []
+        if self.engine is not None:
+            self._caption_continuous({"context": "warmup request"})
+            compiled.append("engine")
+        else:
+            for w in self._article_buckets:
+                padded = ([{"context": "warmup request"}]
+                          + [{"context": ""}] * (self.max_batch - 1))
+                batch, _ = self._pack(padded, width=w)
+                batch["row_live"] = np.arange(self.max_batch) < 1
+                if self.mesh is not None:
+                    from ..parallel import batch_sharding
+                    batch = jax.device_put(batch,
+                                           batch_sharding(self.mesh, batch))
+                    with self.mesh:
+                        out = self._decode(self._params, self._frozen, batch)
+                else:
+                    out = self._decode(self._params, self._frozen, batch)
+                np.asarray(out["token_ids"])   # force execution
+                compiled.append(w)
+        return {"compiled": compiled, "seconds": time.time() - t0}
+
     def _run(self, requests: list[dict]) -> list[dict]:
         # pad the micro-batch to max_batch for a single compiled shape
         n = len(requests)

@@ -444,3 +444,15 @@ def test_engine_service_attention(service):
         total = np.asarray(maps).sum(axis=-1)
         np.testing.assert_allclose(total, 1.0, rtol=1e-3)  # softmax rows
     esvc._eng_stop.set()
+
+
+def test_warmup_compiles_every_bucket(service):
+    """warmup() pushes a dummy request through every article-bucket decode
+    shape; subsequent requests reuse the compiled programs and the batcher
+    stats are untouched (warmup bypasses the public path)."""
+    before = dict(service.batcher.stats)
+    info = service.warmup()
+    assert info["compiled"] == list(service._article_buckets)
+    assert service.batcher.stats == before
+    out = service.caption({"context": "the news in the city today"})
+    assert "caption" in out
