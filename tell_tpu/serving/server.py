@@ -434,10 +434,48 @@ class _Handler(BaseHTTPRequestHandler):
                                      "beam": eng.beam,
                                      "free_slots": len(eng.free)}
             self._send(200, payload)
+        elif self.path == "/metrics":
+            self._send_metrics()
         elif self.path in ("/", "/index.html"):
             self._send_demo_page()
         else:
             self._send(404, {"error": "not found"})
+
+    def _send_metrics(self):
+        """Prometheus text exposition of the counters /status reports as
+        JSON (the reference exposed ServerStatistic only over an internal
+        ZeroMQ command; here any scraper can poll it)."""
+        lines = []
+
+        def counter(name, value, help_text):
+            lines.append(f"# HELP {name} {help_text}")
+            lines.append(f"# TYPE {name} counter")
+            lines.append(f"{name} {value}")
+
+        st = self.service.batcher.stats
+        counter("tnt_requests_total", st.get("requests", 0),
+                "Caption requests received by the micro-batcher")
+        counter("tnt_batches_total", st.get("batches", 0),
+                "Decode micro-batches executed")
+        counter("tnt_errors_total", st.get("errors", 0),
+                "Requests that failed")
+        if self.service.engine is not None:
+            eng = self.service.engine
+            counter("tnt_engine_requests_total", eng.stats["requests"],
+                    "Requests admitted to the continuous-batching engine")
+            counter("tnt_engine_chunks_total", eng.stats["chunks"],
+                    "Decode chunks executed by the engine")
+            lines.append("# HELP tnt_engine_free_slots Currently free "
+                         "engine slots")
+            lines.append("# TYPE tnt_engine_free_slots gauge")
+            lines.append(f"tnt_engine_free_slots {len(eng.free)}")
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
     def _send_demo_page(self):
         import os

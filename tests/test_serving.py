@@ -456,3 +456,22 @@ def test_warmup_compiles_every_bucket(service):
     assert service.batcher.stats == before
     out = service.caption({"context": "the news in the city today"})
     assert "caption" in out
+
+
+def test_metrics_endpoint_prometheus(service):
+    """GET /metrics: Prometheus text exposition of the request counters."""
+    httpd = serve(service, port=15663, block=False)
+    try:
+        service.caption({"context": "the news"})
+        conn = http.client.HTTPConnection("127.0.0.1", 15663, timeout=30)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        body = resp.read().decode()
+        assert "# TYPE tnt_requests_total counter" in body
+        reqs = [l for l in body.splitlines()
+                if l.startswith("tnt_requests_total ")]
+        assert reqs and int(reqs[0].split()[-1]) >= 1
+    finally:
+        httpd.shutdown()
