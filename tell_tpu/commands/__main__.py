@@ -183,6 +183,17 @@ def cmd_train(args) -> int:
         pi, pc = args.process_id, args.num_processes
 
     exp = _load(args)
+    if pc > 1:
+        bk = exp.bucketing
+        if len(bk.article_lengths) > 1 or len(bk.caption_lengths) > 1:
+            # divergent per-process batch-shape schedules deadlock at the
+            # first collective with no diagnostic — refuse up front
+            raise SystemExit(
+                "multi-host training requires a single-shape bucketing "
+                "config (one article length, one caption length) so every "
+                f"process runs an identical batch schedule; got "
+                f"article_lengths={bk.article_lengths} "
+                f"caption_lengths={bk.caption_lengths}")
     train_ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                           "train-*.npz"), seed=exp.data.seed)
     val_ds = RecordDataset(os.path.join(exp.data.shards_dir, "valid-*.npz"),

@@ -58,6 +58,30 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def global_any(flag: bool) -> bool:
+    """Cross-process OR of a host-local bool (single-process: identity).
+
+    The trainer uses this to agree on preemption stops: a SIGTERM lands on
+    ONE host, and if only that host broke out of the batch loop the others
+    would hang in their next collective while it hangs in the checkpoint
+    barrier. Every process must call this at the same point in its batch
+    schedule.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(np.asarray(bool(flag)))
+    return bool(np.asarray(flags).any())
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def place_global_batch(mesh: Mesh, batch: dict):
     """Assemble per-process local batch leaves into global arrays sharded
     over the mesh "data" axis.

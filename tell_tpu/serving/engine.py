@@ -125,21 +125,36 @@ class DecodeEngine:
         }
 
         if mesh is not None:
-            # slot-major leaves (leading dim B or B*K) shard over "data";
-            # everything else (params, embed table, shared segment ids)
-            # replicates. All chunk math is row-local, so XLA compiles the
-            # sharded chunk without collectives (parallel/mesh.py is the
-            # training-side analogue of this rule table).
+            # slot-major leaves shard over "data"; everything else (params,
+            # aux constants, shared segment-id leaves) replicates. All
+            # per-slot chunk math is row-local, so the compiled programs'
+            # only cross-chip traffic is the loop's all-done reduction
+            # (parallel/mesh.py is the training-side analogue).
             from jax.sharding import NamedSharding, PartitionSpec as P
             row = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
 
-            def place(x):
+            # KV leaves are classified STRUCTURALLY, not by dim-0 value: a
+            # leaf whose shape is identical for B slots and for a single
+            # request carries no slot dim (segment ids etc.) and must
+            # replicate — a [S] leaf whose length happens to equal B or
+            # B*K would otherwise silently shard and drag a gather into
+            # every chunk.
+            zb1 = jax.tree.map(lambda x: x[:1], self._zero_batch(dtype))
+            kv1_s = jax.eval_shape(self._encode_kv, params, zb1)
+            kv = jax.tree.map(
+                lambda l, s: jax.device_put(
+                    l, rep if l.shape == s.shape else row),
+                self.state["kv"], kv1_s)
+
+            def place(x):  # non-kv leaves: built with leading B or B*K
                 sharded = getattr(x, "ndim", 0) >= 1 \
                     and x.shape[0] in (B, B * K)
                 return jax.device_put(x, row if sharded else rep)
 
-            self.state = jax.tree.map(place, self.state)
+            self.state = {**jax.tree.map(
+                place, {k: v for k, v in self.state.items() if k != "kv"}),
+                "kv": kv}
             self._aux = jax.tree.map(
                 lambda x: jax.device_put(x, rep), self._aux)
             self.params = jax.device_put(params, rep)

@@ -313,17 +313,21 @@ class CaptionService:
                           + [{"context": ""}] * (self.max_batch - 1))
                 batch, _ = self._pack(padded, width=w)
                 batch["row_live"] = np.arange(self.max_batch) < 1
-                if self.mesh is not None:
-                    from ..parallel import batch_sharding
-                    batch = jax.device_put(batch,
-                                           batch_sharding(self.mesh, batch))
-                    with self.mesh:
-                        out = self._decode(self._params, self._frozen, batch)
-                else:
-                    out = self._decode(self._params, self._frozen, batch)
-                np.asarray(out["token_ids"])   # force execution
+                out = self._decode_batch(batch)   # the exact _run dispatch
+                np.asarray(out["token_ids"])      # force execution
                 compiled.append(w)
         return {"compiled": compiled, "seconds": time.time() - t0}
+
+    def _decode_batch(self, batch: dict):
+        """The one decode dispatch (mesh placement + jitted program) both
+        _run and warmup() go through — sharing it guarantees warmup
+        compiles exactly the programs live traffic hits."""
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+            batch = jax.device_put(batch, batch_sharding(self.mesh, batch))
+            with self.mesh:
+                return self._decode(self._params, self._frozen, batch)
+        return self._decode(self._params, self._frozen, batch)
 
     def _run(self, requests: list[dict]) -> list[dict]:
         # pad the micro-batch to max_batch for a single compiled shape
@@ -333,14 +337,7 @@ class CaptionService:
         # filler rows start pre-finished so early-exit decode tracks only
         # the real requests
         batch["row_live"] = np.arange(self.max_batch) < n
-        if self.mesh is not None:
-            from ..parallel import batch_sharding
-            batch = jax.device_put(batch,
-                                   batch_sharding(self.mesh, batch))
-            with self.mesh:
-                out = self._decode(self._params, self._frozen, batch)
-        else:
-            out = self._decode(self._params, self._frozen, batch)
+        out = self._decode_batch(batch)
         token_ids = np.asarray(out["token_ids"])[:n]
         results = []
         for i in range(n):

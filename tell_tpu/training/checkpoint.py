@@ -21,7 +21,12 @@ import json
 import os
 import shutil
 
+import jax
 import orbax.checkpoint as ocp
+
+
+def _primary() -> bool:
+    return jax.process_index() == 0
 
 
 class CheckpointManager:
@@ -41,22 +46,30 @@ class CheckpointManager:
 
     def flush(self) -> None:
         """Wait for the in-flight save (if any), then apply its deferred
-        metadata write and keep-N GC. Idempotent."""
+        metadata write and keep-N GC. Idempotent. Under multi-host training
+        (shared run dir) the filesystem mutations happen on process 0 only
+        — every process still waits, so nobody reads a half-committed
+        checkpoint."""
         if self._async:
             self._ckptr.wait_until_finished()
         if self._pending_meta is not None:
             path, metadata = self._pending_meta
             self._pending_meta = None
-            if metadata is not None and os.path.exists(path):
-                with open(os.path.join(path, "meta.json"), "w") as f:
-                    json.dump(metadata, f)
-            self._gc()
+            if _primary():
+                if metadata is not None and os.path.exists(path):
+                    with open(os.path.join(path, "meta.json"), "w") as f:
+                        json.dump(metadata, f)
+                self._gc()
 
     def _save(self, path: str, state: dict,
               metadata: dict | None) -> None:
         self.flush()                    # one save in flight at a time
-        if os.path.exists(path):
+        if _primary() and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            # the rmtree must land before any process starts writing
+            from ..parallel.multihost import barrier
+            barrier(f"tnt_ckpt_pre_save:{os.path.basename(path)}")
         self._ckptr.save(path, state)
         self._pending_meta = (path, metadata)
         if not self._async:

@@ -54,6 +54,11 @@ def _masked_crc(data: bytes) -> int:
 # -- protobuf wire encoding --------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto wire rule: negatives are 10-byte two's-complement varints;
+        # nothing we encode (steps, lengths, field keys) is ever negative,
+        # and Python's arithmetic >> would loop forever on -1
+        raise ValueError(f"negative varint: {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -116,8 +121,11 @@ class TensorBoardWriter:
     def add_scalars(self, scalars: dict[str, float], step: int,
                     wall_time: float | None = None) -> None:
         """One Event carrying every tag (one record per logging call)."""
+        import numbers
         clean = {t: float(v) for t, v in scalars.items()
-                 if isinstance(v, (int, float)) and v == v}  # drop NaN/str
+                 if isinstance(v, numbers.Real) and v == v}  # drop NaN/str
+        # numbers.Real admits numpy float32/bfloat16 scalars, which a plain
+        # (int, float) isinstance silently dropped
         if not clean:
             return
         self._write_record(_encode_event(

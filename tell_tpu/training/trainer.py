@@ -141,6 +141,19 @@ class Trainer:
         Thread- and signal-safe (sets a flag, does no work itself)."""
         self._stop_requested = True
 
+    def _check_stop(self) -> bool:
+        """Stop decision at a batch boundary. Under multi-host training the
+        host-local flag is OR-reduced across processes (parallel/multihost
+        global_any): a SIGTERM lands on one host, and a unilateral break
+        would deadlock the others' next collective against this host's
+        checkpoint barrier. Every process calls this at the same point in
+        its (identical) batch schedule, so all agree on the same batch."""
+        from ..parallel.multihost import global_any
+        agreed = global_any(self._stop_requested)
+        if agreed:
+            self._stop_requested = True   # keep post-loop branches in sync
+        return agreed
+
     @property
     def tb(self):
         """Lazy TensorBoard writer (one events file per trainer; primary
@@ -215,7 +228,9 @@ class Trainer:
         while self.state["epoch"] < t.num_epochs and not stop:
             epoch = self.state["epoch"]
             em = self._train_epoch(epoch, rng)
-            if self._stop_requested:
+            # agreed globally: a flag raised between epochs must stop every
+            # process, not just the signalled one
+            if self._check_stop():
                 # preempted mid-epoch: persist a checkpoint that recover()
                 # resumes from (epoch granularity — the partial epoch is
                 # redone, matching the reference's per-epoch recovery)
@@ -311,7 +326,7 @@ class Trainer:
         try:
             with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
                 for batch in pf:
-                    if self._stop_requested:
+                    if self._check_stop():
                         break
                     step_rng = jax.random.fold_in(rng, self.state["step"])
                     if (self.tcfg.profile_steps and not profiling

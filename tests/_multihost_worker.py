@@ -21,7 +21,8 @@ def main():
                                    int(sys.argv[3]))
     import jax
     import jax.numpy as jnp
-    from tell_tpu.parallel import (init_multihost, is_primary, make_mesh,
+    from tell_tpu.parallel import (barrier, global_any, init_multihost,
+                                   is_primary, make_mesh,
                                    place_global_batch, shard_params)
 
     init_multihost(coordinator, num_procs, pid)
@@ -57,6 +58,12 @@ def main():
     ref_pred = x @ (np.ones((D, 1), np.float32) * 0.1)
     ref_loss = float(np.mean((ref_pred - y) ** 2))
     out["ref_loss"] = ref_loss
+
+    # preemption-stop primitives: a flag raised on ONE process must be
+    # seen by all (trainer._check_stop), and barrier() must not hang
+    assert global_any(False) is False
+    out["global_any"] = global_any(pid == 1)
+    barrier("worker-done")
     print(json.dumps(out), flush=True)
 
 

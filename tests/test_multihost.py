@@ -53,6 +53,8 @@ def test_two_process_mesh_agrees_with_reference():
     # every process's rows, not only the local shard)
     np.testing.assert_allclose(outs[0]["loss"], outs[0]["ref_loss"],
                                rtol=1e-6)
+    # preemption flag raised on process 1 reached both (trainer stop path)
+    assert all(o["global_any"] is True for o in outs)
 
 
 def test_place_global_batch_single_process():
