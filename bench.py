@@ -49,8 +49,35 @@ def _t(fn, *args):
     return time.perf_counter() - t0
 
 
+def _device_watchdog(timeout_s: float) -> None:
+    """Fail loud instead of hanging forever if the TPU tunnel is wedged.
+
+    The axon PJRT client-create blocks indefinitely when the pool grant is
+    stuck (observed after killed-mid-claim clients); a bench that never
+    prints is worse than one that reports the outage. A daemon thread
+    os._exit(1)s with a diagnostic on stderr once `timeout_s` passes
+    without the backend coming up; disarmed as soon as jax.devices()
+    returns."""
+    import threading
+    armed = threading.Event()
+
+    def bail():
+        if not armed.wait(timeout_s):
+            print(f"bench: no TPU backend within {timeout_s:.0f}s "
+                  "(tunnel wedged?) — aborting", file=sys.stderr,
+                  flush=True)
+            os._exit(1)
+
+    threading.Thread(target=bail, daemon=True).start()
+    return armed
+
+
 def main():
     import dataclasses
+    armed = _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
+                                                  "900")))
+    jax.devices()      # blocks here if the tunnel is wedged
+    armed.set()
     cfg = CaptionerConfig()
     cfg = dataclasses.replace(cfg, gen_len=GEN_LEN)
     dtype = jnp.bfloat16
