@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "--mesh-data (slots shard over the data axis)")
     sv.add_argument("--engine-beam", type=int, default=5,
                     help="beam size for --engine-slots mode")
+    sv.add_argument("--engine-length-penalty", type=float, default=0.0,
+                    help="GNMT length penalty for --engine-slots ranking "
+                    "(0 = raw log-prob, as in the reference)")
     sv.add_argument("--warmup", action="store_true",
                     help="compile every decode shape before accepting "
                     "traffic (first-request latency -> startup time)")
@@ -268,7 +271,8 @@ def cmd_serve(args) -> int:
                              max_batch=args.max_batch, mesh=mesh,
                              need_attention=args.attention,
                              engine_slots=args.engine_slots,
-                             engine_beam=args.engine_beam)
+                             engine_beam=args.engine_beam,
+                             engine_length_penalty=args.engine_length_penalty)
     if args.warmup:
         w = service.warmup()
         print(f"warmed decode shapes {w['compiled']} "

@@ -39,7 +39,8 @@ class CaptionService:
                  article_len: int | None = None,
                  need_attention: bool = False,
                  adapter=None, mesh=None,
-                 engine_slots: int = 0, engine_beam: int = 5):
+                 engine_slots: int = 0, engine_beam: int = 5,
+                 engine_length_penalty: float = 0.0):
         """engine_slots > 0 switches decode to the continuous-batching beam
         engine (serving/engine.py): requests join and leave a resident
         slot-based beam search at chunk boundaries instead of decoding in
@@ -146,6 +147,7 @@ class CaptionService:
             eng_cls = LLMDecodeEngine if modern else DecodeEngine
             self.engine = eng_cls(self._params, cap_cfg,
                                   slots=engine_slots, beam=engine_beam,
+                                  length_penalty=engine_length_penalty,
                                   mesh=mesh)
             self._encode1 = jax.jit(encode)
             if need_attention:

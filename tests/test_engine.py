@@ -232,3 +232,19 @@ def test_llm_engine_mesh_sharded_slots_match_one_shot():
     for fut, ref in zip(futs, refs):
         _check(fut.result(timeout=0), ref)
     assert sorted(eng.free) == list(range(8))
+
+
+def test_engine_length_penalty_matches_one_shot():
+    """length_penalty reranks harvested beams exactly like one-shot
+    beam_search's GNMT normalization (tnt serve --engine-length-penalty)."""
+    cfg, params = _setup()
+    req = _request(cfg, 55)
+    ref = beam_search(params, cfg, req, beam_size=3, length_penalty=0.7,
+                      early_stop=True)
+    ref = {k: np.asarray(v[0]) for k, v in ref.items()}
+
+    eng = DecodeEngine(params, cfg, slots=2, beam=3, chunk_steps=2,
+                       length_penalty=0.7)
+    out = eng.submit(req)
+    eng.run_until_drained()
+    _check(out.result(timeout=0), ref)
