@@ -296,6 +296,21 @@ class CaptionService:
             batch[key] = em
         return batch, errors
 
+    def close(self, drain_s: float = 60.0) -> None:
+        """Stop the engine tick loop and the micro-batcher (idempotent).
+        In-flight engine requests drain first (bounded by drain_s) — the
+        tick thread keeps advancing them until the queue and slots empty,
+        so no accepted request's future is abandoned."""
+        if self.engine is not None:
+            deadline = time.time() + drain_s
+            while ((self.engine.pending or not self.engine.queue.empty())
+                   and time.time() < deadline):
+                time.sleep(0.05)
+            self._eng_stop.set()
+            if hasattr(self, "_eng_thread"):
+                self._eng_thread.join(timeout=30)
+        self.batcher.shutdown()
+
     def warmup(self) -> dict:
         """Compile-ahead: run one dummy request through every decode shape
         the service can hit (each article bucket width in micro-batch mode;
@@ -508,8 +523,12 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/shutdown":
             # TERMINATE control command analogue (tell/server/utils.py:8-17)
             self._send(200, {"status": "shutting down"})
-            threading.Thread(target=self.server.shutdown,
-                             daemon=True).start()
+
+            def stop():
+                self.server.shutdown()
+                self.service.close()   # drain engine futures, stop batcher
+
+            threading.Thread(target=stop, daemon=True).start()
         elif self.path == "/scrape":
             from .extractor import ExtractError, get_urls
             try:

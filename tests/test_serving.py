@@ -254,7 +254,7 @@ def test_modern_adapter_serving():
     ref = llm_beam_search(svc._params, cfg, enc, beam_size=2,
                           early_stop=True)
     assert out["token_ids"] == np.asarray(ref["token_ids"][0, 0]).tolist()
-    esvc._eng_stop.set()
+    esvc.close()
 
 
 def test_article_width_bucketing_exact(service):
@@ -443,7 +443,7 @@ def test_engine_service_attention(service):
         assert all(len(m) >= dcfg.context(name).max_len for m in maps)
         total = np.asarray(maps).sum(axis=-1)
         np.testing.assert_allclose(total, 1.0, rtol=1e-3)  # softmax rows
-    esvc._eng_stop.set()
+    esvc.close()
 
 
 def test_warmup_compiles_every_bucket(service):
