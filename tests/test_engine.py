@@ -248,3 +248,19 @@ def test_engine_length_penalty_matches_one_shot():
     out = eng.submit(req)
     eng.run_until_drained()
     _check(out.result(timeout=0), ref)
+
+
+def test_engine_int8_kv_matches_one_shot(monkeypatch):
+    """TELL_TPU_KV8=1 composes with the engine: the int8 context-KV cache
+    (quantized inside precompute_context_kv_cat, which both paths share)
+    must give the engine the exact one-shot beam_search captions."""
+    monkeypatch.setenv("TELL_TPU_KV8", "1")
+    cfg, params = _setup()
+    reqs = [_request(cfg, s) for s in (71, 72)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+
+    eng = DecodeEngine(params, cfg, slots=2, beam=2, chunk_steps=2)
+    futs = [eng.submit(r) for r in reqs]
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
