@@ -663,11 +663,15 @@ def llm_decoder_step(params: dict, cfg: LLMConfig, tokens: jax.Array,
 
 def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
                  rng: jax.Array | None = None,
-                 early_stop: bool = True) -> dict:
+                 early_stop: bool = True,
+                 need_weights: bool = False) -> dict:
     """Greedy generation. Returns {token_ids [B, gen_len+1], log_probs,
-    finished} — the same payload shape as captioner.generate.
+    finished} — the same payload shape as captioner.generate, plus `attns`
+    (per-layer per-context head-averaged maps) when need_weights, so the
+    modern family serves the demo's attention payload too.
     early_stop: exit the decode loop once every row emitted EOS (exact —
-    see captioner.generate)."""
+    see captioner.generate); ignored when need_weights (the scan carries
+    the maps)."""
     contexts = _build_contexts(params, cfg, batch)
     feat0 = next(iter(contexts.values()))[0]
     B = feat0.shape[0]
@@ -680,17 +684,18 @@ def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
 
     def step(carry, _):
         tokens, finished, dyn = carry
-        feats, st, _ = llm_decoder_step(params, cfg, tokens,
-                                        {**dyn, "kv": kv})
+        feats, st, attns = llm_decoder_step(params, cfg, tokens,
+                                            {**dyn, "kv": kv},
+                                            need_weights=need_weights)
         st = {k: v for k, v in st.items() if k != "kv"}
         lp, ids = tied_top_k(params, cfg, feats, 1)
         sampled = ids[:, 0]
         next_tok = jnp.where(finished, cfg.pad_id, sampled)
         sel_lp = jnp.where(finished, 0.0, lp[:, 0])
         return (next_tok, finished | (sampled == cfg.eos_id), st), (
-            next_tok, sel_lp)
+            next_tok, sel_lp, attns if need_weights else ())
 
-    if early_stop:
+    if early_stop and not need_weights:
         toks0 = jnp.full((cfg.gen_len, B), cfg.pad_id, jnp.int32)
         lps0 = jnp.zeros((cfg.gen_len, B), jnp.float32)
 
@@ -700,18 +705,26 @@ def llm_generate(params: dict, cfg: LLMConfig, batch: dict,
 
         def w_body(c):
             t, tokens, finished, dyn, toks, lps = c
-            (tokens, finished, dyn), (tok, lp) = step(
+            (tokens, finished, dyn), (tok, lp, _) = step(
                 (tokens, finished, dyn), None)
             return (t + 1, tokens, finished, dyn,
                     toks.at[t].set(tok), lps.at[t].set(lp))
 
         _, _, finished, _, toks, lps = jax.lax.while_loop(
             w_cond, w_body, (0, seed, finished0, state, toks0, lps0))
+        attns = ()
     else:
-        (_, finished, _), (toks, lps) = jax.lax.scan(
+        (_, finished, _), (toks, lps, attns) = jax.lax.scan(
             step, (seed, finished0, state), None, length=cfg.gen_len)
     token_ids = jnp.concatenate([seed[:, None], toks.T], axis=1)
-    return {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
+    out = {"token_ids": token_ids, "log_probs": lps.T, "finished": finished}
+    if need_weights:
+        # same stacked-group format as the flagship (shared KV layout) —
+        # split into per-context dicts [gen_len, B, 1, S_m]
+        from .decoder import attn_segment_bounds, split_attn_segments
+        bounds = attn_segment_bounds(cfg, contexts)
+        out["attns"] = [split_attn_segments(bounds, a) for a in attns]
+    return out
 
 
 def llm_beam_search(params: dict, cfg: LLMConfig, batch: dict,

@@ -199,3 +199,23 @@ def test_decoder_step_per_row_positions_match_scalar(setup):
                                        np.asarray(c2["k"]), atol=1e-6)
             np.testing.assert_allclose(np.asarray(c1["v"]),
                                        np.asarray(c2["v"]), atol=1e-6)
+
+
+def test_llm_generate_attention_maps(setup):
+    """need_weights: per-layer per-context head-averaged maps in the same
+    payload format as captioner.generate (each modality is its own softmax,
+    so every step's map sums to 1 over that context's keys+bias/zero)."""
+    params, batch = setup
+    out = llm_generate(params, CFG, batch, need_weights=True)
+    attns = out["attns"]
+    assert len(attns) == CFG.num_layers
+    B = batch["image_grid"].shape[0]
+    for layer in attns:
+        assert set(layer) == {c.name for c in CFG.contexts}
+        for name, a in layer.items():
+            a = np.asarray(a)
+            S_m = CFG.context(name).max_len + 2  # bias + zero columns
+            assert a.shape == (CFG.gen_len, B, 1, S_m)
+            np.testing.assert_allclose(a.sum(-1), 1.0, rtol=1e-3)
+    # the no-weights fast path still returns no attns key
+    assert "attns" not in llm_generate(params, CFG, batch)

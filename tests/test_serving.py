@@ -236,6 +236,15 @@ def test_modern_adapter_serving():
     out = svc.caption({"context": "the news of the era"})
     assert "caption" in out and isinstance(out["caption"], str)
 
+    # modern micro-batch serving with attention maps (llm_generate
+    # need_weights rides the same payload normalization as the flagship)
+    asvc = CaptionService(svc._params, frozen, cfg, tok, max_batch=2,
+                          article_len=16, adapter=adapter,
+                          need_attention=True)
+    out_a = asvc.caption({"context": "the news of the era"})
+    assert "attns" in out_a and "article" in out_a["attns"]
+    assert len(out_a["attns"]["article"]) == cfg.gen_len
+
     # continuous batching for the modern family (LLMDecodeEngine): the
     # engine-served caption must equal one-shot llm_beam_search on the
     # same encoded request
