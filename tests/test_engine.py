@@ -264,3 +264,43 @@ def test_engine_int8_kv_matches_one_shot(monkeypatch):
     eng.run_until_drained()
     for fut, ref in zip(futs, refs):
         _check(fut.result(timeout=0), ref)
+
+
+def test_llm_engine_fuzz_random_schedules():
+    """Slot-isolation property for the modern family: random geometry and
+    submit/tick interleavings reproduce one-shot llm_beam_search (seeded,
+    2 rounds)."""
+    from tell_tpu.models.llm_decoder import llm_beam_search
+    from tell_tpu.serving.engine import LLMDecodeEngine
+
+    rng = np.random.RandomState(77)
+    for round_i in range(2):
+        gen_len = int(rng.randint(4, 8))
+        cfg, params = _llm_setup(gen_len=gen_len)
+        slots = int(rng.randint(2, 4))
+        beam = int(rng.randint(2, 4))
+        chunk = int(rng.randint(1, 4))
+        n_req = int(rng.randint(3, 6))
+        reqs = [_llm_request(cfg, 500 + 10 * round_i + i)
+                for i in range(n_req)]
+        refs = []
+        for r in reqs:
+            out = llm_beam_search(params, cfg, r, beam_size=beam,
+                                  early_stop=True)
+            refs.append({k: np.asarray(v[0]) for k, v in out.items()})
+
+        eng = LLMDecodeEngine(params, cfg, slots=slots, beam=beam,
+                              chunk_steps=chunk,
+                              max_lag=int(rng.randint(1, 4)))
+        futs = []
+        i, live = 0, True
+        while i < n_req or live:
+            for _ in range(int(rng.randint(0, 3))):
+                if i < n_req:
+                    futs.append(eng.submit(reqs[i]))
+                    i += 1
+            live = eng.tick()
+        eng.run_until_drained()
+        for fut, ref in zip(futs, refs):
+            _check(fut.result(timeout=0), ref)
+        assert sorted(eng.free) == list(range(slots))
