@@ -49,7 +49,7 @@ def _t(fn, *args):
     return time.perf_counter() - t0
 
 
-def _device_watchdog(timeout_s: float) -> None:
+def _device_watchdog(timeout_s: float) -> "threading.Event":
     """Fail loud instead of hanging forever if the TPU tunnel is wedged.
 
     The axon PJRT client-create blocks indefinitely when the pool grant is
@@ -60,6 +60,8 @@ def _device_watchdog(timeout_s: float) -> None:
     returns."""
     import threading
     armed = threading.Event()
+    if timeout_s <= 0:       # conventional "disable the watchdog"
+        return armed
 
     def bail():
         if not armed.wait(timeout_s):

@@ -281,7 +281,14 @@ def cmd_serve(args) -> int:
           + (f" (data-parallel x{args.mesh_data})" if mesh else "")
           + (f" (continuous batching: {args.engine_slots} slots, "
              f"beam {args.engine_beam})" if args.engine_slots else ""))
-    serve(service, port=args.port, host=args.host)
+    try:
+        serve(service, port=args.port, host=args.host)
+    finally:
+        # /shutdown (or Ctrl-C) unblocked serve_forever; drain in-flight
+        # requests before the interpreter exits and kills the daemon
+        # threads mid-decode. close() blocks until any concurrent close
+        # (the /shutdown stop thread) has finished.
+        service.close()
     return 0
 
 

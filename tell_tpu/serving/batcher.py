@@ -69,5 +69,14 @@ class MicroBatcher:
                     fut.set_exception(e)
 
     def shutdown(self):
+        """Stop the loop thread, then FAIL any still-queued futures — a
+        future silently abandoned here would block its caller's .result()
+        (no timeout in __call__) forever."""
         self._stop.set()
         self._thread.join(timeout=2)
+        try:
+            while True:
+                _, fut = self.queue.get_nowait()
+                fut.set_exception(RuntimeError("service closed"))
+        except queue.Empty:
+            pass

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import logging
+import queue as _queue_mod
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -128,6 +129,8 @@ class CaptionService:
                     "faces": self._spec["faces"][0],
                     "obj": self._spec["obj"][0]})
         self.batcher = MicroBatcher(self._run, max_batch=max_batch)
+        self._close_lock = threading.Lock()
+        self._closed = False
 
         self.engine = None
         if engine_slots:
@@ -299,17 +302,45 @@ class CaptionService:
     def close(self, drain_s: float = 60.0) -> None:
         """Stop the engine tick loop and the micro-batcher (idempotent).
         In-flight engine requests drain first (bounded by drain_s) — the
-        tick thread keeps advancing them until the queue and slots empty,
-        so no accepted request's future is abandoned."""
-        if self.engine is not None:
-            deadline = time.time() + drain_s
-            while ((self.engine.pending or not self.engine.queue.empty())
-                   and time.time() < deadline):
-                time.sleep(0.05)
-            self._eng_stop.set()
-            if hasattr(self, "_eng_thread"):
+        tick thread keeps advancing them until the queue and slots empty —
+        and anything still unresolved afterwards (a submit that raced the
+        drain, or a drain timeout) gets its future FAILED rather than
+        abandoned, so no caller blocks on .result() forever."""
+        # the WHOLE body runs under the lock: a concurrent second close()
+        # (the /shutdown stop thread vs cmd_serve's main thread) must WAIT
+        # for the first to finish draining, not return early and let the
+        # process exit mid-drain
+        with self._close_lock:
+            if self._closed:
+                return
+            if self.engine is not None:
+                deadline = time.time() + drain_s
+                while time.time() < deadline:
+                    # the drain predicate holds the engine lock: admissions
+                    # (queue pop -> pending insert) happen atomically under
+                    # it inside tick(), so an unlocked read could see a
+                    # request in neither collection and stop too early
+                    with self.engine._lock:
+                        busy = bool(self.engine.pending) \
+                            or not self.engine.queue.empty()
+                    if not busy:
+                        break
+                    time.sleep(0.05)
+                self._eng_stop.set()
                 self._eng_thread.join(timeout=30)
-        self.batcher.shutdown()
+                with self.engine._lock:
+                    leftovers = list(self.engine.pending.values())
+                    self.engine.pending.clear()
+                    try:
+                        while True:
+                            leftovers.append(
+                                self.engine.queue.get_nowait()[1])
+                    except _queue_mod.Empty:
+                        pass
+                for fut in leftovers:
+                    fut.set_exception(RuntimeError("service closed"))
+            self.batcher.shutdown()
+            self._closed = True
 
     def warmup(self) -> dict:
         """Compile-ahead: run one dummy request through every decode shape
