@@ -484,3 +484,28 @@ def test_metrics_endpoint_prometheus(service):
         assert reqs and int(reqs[0].split()[-1]) >= 1
     finally:
         httpd.shutdown()
+
+
+def test_warmup_engine_mode(service):
+    """warmup() in engine mode pushes one request through the full
+    encode+admit+chunk pipeline."""
+    frozen = service.vision.frozen
+    esvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=4, article_len=16,
+                          engine_slots=2, engine_beam=2)
+    info = esvc.warmup()
+    assert info["compiled"] == ["engine"]
+    assert esvc.engine.stats["requests"] == 1
+    out = esvc.caption({"context": "the news in the city"})
+    assert "caption" in out and "error" not in out
+    esvc.close()
+    # post-close: no future may hang — the batcher fails queued work
+    import concurrent.futures
+    fut = esvc.batcher.submit({"context": "late"})
+    esvc.batcher.shutdown()
+    try:
+        fut.result(timeout=5)
+        raised = False
+    except (RuntimeError, concurrent.futures.CancelledError):
+        raised = True
+    assert raised
