@@ -63,22 +63,17 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     entries = []
     t0 = time.time()
     n = 0
+    from ..evalm.readability import (get_narrative_productivity,
+                                     get_readability_scores)
     with open(gen_path, "w", encoding="utf-8") as f:
-        for batch in bucket_batches(ds.epoch(shuffle=False, limit=limit),
-                                    exp.bucketing, include_meta=True):
-            real = batch.pop("real", np.ones(len(batch["caption_ids"]), bool))
-            captions = batch.pop("caption", None)
-            hashes = batch.pop("image_hash", None)
-            urls = batch.pop("web_url", None)
-            gen_ids = np.asarray(decode(params, batch))
+        def emit(gen_ids, real, captions, hashes, urls, caption_ids):
+            nonlocal n
             for i in range(len(gen_ids)):
                 if not real[i]:
                     continue
                 gen_text = tokenizer.decode(gen_ids[i])
                 ref_text = (str(captions[i]) if captions is not None else
-                            tokenizer.decode(batch["caption_ids"][i]))
-                from ..evalm.readability import (
-                    get_narrative_productivity, get_readability_scores)
+                            tokenizer.decode(caption_ids[i]))
                 entry = {
                     "caption": ref_text,
                     "generation": gen_text,
@@ -109,6 +104,26 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
                 cands.append(gen_text)
                 refs.append([ref_text])
                 n += 1
+
+        # one-deep pipeline: dispatch batch k+1's decode (async under jax),
+        # then do batch k's host work (BPE decode, readability, spaCy)
+        # while the device runs — the reference serialized the two
+        # (evaluate.py:131-162: model(**batch) then write_to_json per batch)
+        pending = None
+        for batch in bucket_batches(ds.epoch(shuffle=False, limit=limit),
+                                    exp.bucketing, include_meta=True):
+            real = batch.pop("real", np.ones(len(batch["caption_ids"]),
+                                             bool))
+            captions = batch.pop("caption", None)
+            hashes = batch.pop("image_hash", None)
+            urls = batch.pop("web_url", None)
+            gen_dev = decode(params, batch)   # async dispatch
+            if pending is not None:
+                emit(np.asarray(pending[0]), *pending[1:])
+            pending = (gen_dev, real, captions, hashes, urls,
+                       batch["caption_ids"])
+        if pending is not None:
+            emit(np.asarray(pending[0]), *pending[1:])
     dt = time.time() - t0
 
     metrics = score_generations(cands, refs)
