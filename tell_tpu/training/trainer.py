@@ -322,6 +322,7 @@ class Trainer:
         t0 = time.time()
         losses, skips = [], []  # device arrays; converted once at epoch end
         n_batches = 0
+        n_examples = 0
         profiling = False
         try:
             with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
@@ -346,6 +347,8 @@ class Trainer:
                         jax.profiler.stop_trace()
                         profiling = False
                     n_batches += 1
+                    # static shape metadata — no device sync
+                    n_examples += int(batch["caption_ids"].shape[0])
                     losses.append(m["loss"])
                     # int(skipped) here would sync the host every step and
                     # serialize dispatch; accumulate device-side instead
@@ -370,8 +373,11 @@ class Trainer:
         # force a spurious early stop; reference :225-227 drops them too)
         ok = np.isfinite(losses)
         mean = float(losses[ok].mean()) if ok.any() else float("nan")
+        dt = time.time() - t0
         return {"loss": mean, "batches": n_batches, "skipped": skipped,
-                "epoch_seconds": time.time() - t0}
+                "examples": n_examples,
+                "examples_per_sec": n_examples / dt if dt > 0 else 0.0,
+                "epoch_seconds": dt}
 
     def _validate(self) -> dict:
         if self.val_batches is None:

@@ -14,6 +14,7 @@ hands whole jobs to worker processes (tell/server/base.py:30-191).
 
 Usage: env -u XLA_FLAGS python tools/engine_bench.py
        SLOTS=16 BEAM=5 GEN_LEN=32 N=64 ARRIVAL_MS=15 python tools/engine_bench.py
+       MODEL=modern ... python tools/engine_bench.py   # transformer_modern
 """
 import os
 import sys
@@ -26,6 +27,7 @@ import jax.numpy as jnp
 import jax.random as jr
 import numpy as np
 
+MODEL = os.environ.get("MODEL", "captioner")
 SLOTS = int(os.environ.get("SLOTS", "16"))
 BEAM = int(os.environ.get("BEAM", "5"))
 GEN_LEN = int(os.environ.get("GEN_LEN", "32"))
@@ -50,14 +52,34 @@ def make_requests(n, dtype):
     return reqs
 
 
+def make_requests_modern(cfg, n, dtype):
+    """Modern-family request features straight from cfg.contexts (the
+    article is the tower's FINAL hidden state, not stacked layers)."""
+    ks = jr.split(jr.PRNGKey(1), 4)
+    reqs = []
+    for i in range(n):
+        req = {}
+        for j, spec in enumerate(cfg.contexts):
+            key = {"image": "image_grid", "article": "article",
+                   "faces": "face_embeds", "obj": "obj_embeds"}[spec.name]
+            req[key] = jr.normal(ks[j % 4], (1, spec.max_len, spec.kv_dim),
+                                 dtype)
+            if spec.name == "article":
+                req[key] = req[key] + i * 1e-4   # defeat constant folding
+                req["article_mask"] = jnp.zeros((1, spec.max_len), bool)
+        reqs.append(req)
+    return reqs
+
+
 def pct(xs, q):
     return float(np.percentile(np.asarray(xs), q))
 
 
 def run_engine(params, cfg, reqs):
-    from tell_tpu.serving.engine import DecodeEngine
-    eng = DecodeEngine(params, cfg, slots=SLOTS, beam=BEAM,
-                       chunk_steps=CHUNK, dtype=jnp.bfloat16)
+    from tell_tpu.serving.engine import DecodeEngine, LLMDecodeEngine
+    eng_cls = LLMDecodeEngine if MODEL == "modern" else DecodeEngine
+    eng = eng_cls(params, cfg, slots=SLOTS, beam=BEAM,
+                  chunk_steps=CHUNK, dtype=jnp.bfloat16)
     # warm every compiled program (encode/admit/chunk) before timing
     f = eng.submit(reqs[0])
     eng.run_until_drained()
@@ -88,7 +110,10 @@ def run_microbatch(params, cfg, reqs):
     """Micro-batch baseline: decode queued arrivals to completion in groups
     of up to SLOTS (the batcher's behavior with max_batch=SLOTS), padding
     to the fixed compiled shape with dead rows."""
-    from tell_tpu.models.beam import beam_search
+    if MODEL == "modern":
+        from tell_tpu.models.llm_decoder import llm_beam_search as beam_search
+    else:
+        from tell_tpu.models.beam import beam_search
 
     def pack(group):
         batch = {}
@@ -136,15 +161,36 @@ def run_microbatch(params, cfg, reqs):
 
 def main():
     import dataclasses
-    from tell_tpu.config import CaptionerConfig
-    from tell_tpu.models import init_captioner
-
-    cfg = dataclasses.replace(CaptionerConfig(), gen_len=GEN_LEN)
     dtype = jnp.bfloat16
-    params = init_captioner(jr.PRNGKey(0), cfg)
+    if MODEL == "modern":
+        # expt 10_vit_modern shapes (ViT-L tokens + 8-layer modern LM)
+        from tell_tpu.config import ContextSpec
+        from tell_tpu.models.llm_decoder import LLMConfig, init_llm_decoder
+        tiny = os.environ.get("TINY") == "1"   # CPU smoke-run shapes
+        cfg = LLMConfig(
+            vocab_size=512 if tiny else 50265,
+            dim=64 if tiny else 1024,
+            num_layers=2 if tiny else 8,
+            num_heads=4 if tiny else 16,
+            ffn_dim=128 if tiny else 2816,
+            dropout=0.0, attention_dropout=0.0,
+            max_target_positions=512, gen_len=GEN_LEN,
+            contexts=(ContextSpec("image", 64 if tiny else 1024,
+                                  9 if tiny else 197),
+                      ContextSpec("article", 64 if tiny else 1024, S),
+                      ContextSpec("faces", 32 if tiny else 512, 4),
+                      ContextSpec("obj", 64 if tiny else 2048,
+                                  8 if tiny else 64)))
+        params = init_llm_decoder(jr.PRNGKey(0), cfg)
+    else:
+        from tell_tpu.config import CaptionerConfig
+        from tell_tpu.models import init_captioner
+        cfg = dataclasses.replace(CaptionerConfig(), gen_len=GEN_LEN)
+        params = init_captioner(jr.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
-    reqs = make_requests(N, dtype)
+    reqs = (make_requests_modern(cfg, N, dtype) if MODEL == "modern"
+            else make_requests(N, dtype))
     print(f"slots={SLOTS} beam={BEAM} gen_len={GEN_LEN} S={S} "
           f"N={N} arrival={ARRIVAL_MS}ms chunk={CHUNK}")
 
