@@ -55,3 +55,22 @@ def test_score_command(tmp_path, capsys):
     assert main(["score", str(gen)]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["bleu-1"] > 99
+
+
+def test_all_expt_yamls_parse():
+    """Every shipped experiment YAML must load against the dataclass
+    schema (unknown keys fail loudly — config_io._build), so schema drift
+    in any of the expt/ grid breaks here, not at train time."""
+    import glob
+    import os
+    from tell_tpu.config_io import load_experiment
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    yamls = sorted(glob.glob(os.path.join(root, "expt", "*", "*.yaml")))
+    assert len(yamls) >= 26   # 11 goodnews + 15 nytimes
+    for path in yamls:
+        exp = load_experiment(path)
+        assert exp.model_type, path
+        dcfg = getattr(exp.model, "decoder", exp.model)
+        assert dcfg.contexts or exp.model_type.startswith(("baseline",
+                                                           "lstm")), path
