@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "--mesh-data (slots shard over the data axis)")
     sv.add_argument("--engine-beam", type=int, default=5,
                     help="beam size for --engine-slots mode")
+    sv.add_argument("--engine-buckets", action="store_true",
+                    help="one resident engine per article bucket: short "
+                    "articles decode with proportionally smaller K/V "
+                    "streams (identical captions; requests route to the "
+                    "smallest bucket that fits)")
     sv.add_argument("--engine-length-penalty", type=float, default=0.0,
                     help="GNMT length penalty for --engine-slots ranking "
                     "(0 = raw log-prob, as in the reference)")
@@ -272,7 +277,8 @@ def cmd_serve(args) -> int:
                              need_attention=args.attention,
                              engine_slots=args.engine_slots,
                              engine_beam=args.engine_beam,
-                             engine_length_penalty=args.engine_length_penalty)
+                             engine_length_penalty=args.engine_length_penalty,
+                             engine_buckets=args.engine_buckets)
     if args.warmup:
         w = service.warmup()
         print(f"warmed decode shapes {w['compiled']} "

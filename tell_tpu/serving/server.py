@@ -41,7 +41,8 @@ class CaptionService:
                  need_attention: bool = False,
                  adapter=None, mesh=None,
                  engine_slots: int = 0, engine_beam: int = 5,
-                 engine_length_penalty: float = 0.0):
+                 engine_length_penalty: float = 0.0,
+                 engine_buckets: bool = False):
         """engine_slots > 0 switches decode to the continuous-batching beam
         engine (serving/engine.py): requests join and leave a resident
         slot-based beam search at chunk boundaries instead of decoding in
@@ -148,10 +149,36 @@ class CaptionService:
             # are collective-free row-local programs)
             from .engine import DecodeEngine, LLMDecodeEngine
             eng_cls = LLMDecodeEngine if modern else DecodeEngine
-            self.engine = eng_cls(self._params, cap_cfg,
-                                  slots=engine_slots, beam=engine_beam,
-                                  length_penalty=engine_length_penalty,
-                                  mesh=mesh)
+
+            import dataclasses
+
+            def cfg_at(w: int):
+                """cap_cfg with the article context capped at width w."""
+                tgt = getattr(cap_cfg, "decoder", cap_cfg)
+                new_ctx = tuple(dataclasses.replace(c, max_len=w)
+                                if c.name == "article" else c
+                                for c in tgt.contexts)
+                if tgt is not cap_cfg:
+                    return dataclasses.replace(
+                        cap_cfg, decoder=dataclasses.replace(
+                            tgt, contexts=new_ctx))
+                return dataclasses.replace(cap_cfg, contexts=new_ctx)
+
+            # --engine-buckets: one resident engine per article bucket —
+            # the per-step K/V stream is proportional to the article width,
+            # so a 128-token article decoding in a 512-wide slot pays ~4x
+            # the HBM traffic it needs. Requests route to the smallest
+            # bucket that fits (identical captions: pad columns are exactly
+            # masked, same argument as micro-batch bucketing).
+            widths = (self._article_buckets if engine_buckets
+                      else (self.article_len,))
+            self.engines = {
+                w: eng_cls(self._params, cfg_at(w),
+                           slots=engine_slots, beam=engine_beam,
+                           length_penalty=engine_length_penalty,
+                           mesh=mesh)
+                for w in widths}
+            self.engine = self.engines[max(widths)]
             self._encode1 = jax.jit(encode)
             if need_attention:
                 # attention maps come from a teacher-forced replay of the
@@ -163,8 +190,10 @@ class CaptionService:
             self._eng_stop = threading.Event()
 
             def _tick_loop():
+                engines = list(self.engines.values())
                 while not self._eng_stop.is_set():
-                    if not self.engine.tick():
+                    live = [e.tick() for e in engines]
+                    if not any(live):
                         time.sleep(0.005)
 
             self._eng_thread = threading.Thread(target=_tick_loop,
@@ -314,29 +343,33 @@ class CaptionService:
             if self._closed:
                 return
             if self.engine is not None:
+                engines = list(self.engines.values())
                 deadline = time.time() + drain_s
                 while time.time() < deadline:
-                    # the drain predicate holds the engine lock: admissions
+                    # the drain predicate holds each engine lock: admissions
                     # (queue pop -> pending insert) happen atomically under
                     # it inside tick(), so an unlocked read could see a
                     # request in neither collection and stop too early
-                    with self.engine._lock:
-                        busy = bool(self.engine.pending) \
-                            or not self.engine.queue.empty()
+                    busy = False
+                    for eng in engines:
+                        with eng._lock:
+                            busy |= bool(eng.pending) \
+                                or not eng.queue.empty()
                     if not busy:
                         break
                     time.sleep(0.05)
                 self._eng_stop.set()
                 self._eng_thread.join(timeout=30)
-                with self.engine._lock:
-                    leftovers = list(self.engine.pending.values())
-                    self.engine.pending.clear()
-                    try:
-                        while True:
-                            leftovers.append(
-                                self.engine.queue.get_nowait()[1])
-                    except _queue_mod.Empty:
-                        pass
+                leftovers = []
+                for eng in engines:
+                    with eng._lock:
+                        leftovers += list(eng.pending.values())
+                        eng.pending.clear()
+                        try:
+                            while True:
+                                leftovers.append(eng.queue.get_nowait()[1])
+                        except _queue_mod.Empty:
+                            pass
                 for fut in leftovers:
                     fut.set_exception(RuntimeError("service closed"))
             self.batcher.shutdown()
@@ -353,8 +386,16 @@ class CaptionService:
         t0 = time.time()
         compiled = []
         if self.engine is not None:
-            self._caption_continuous({"context": "warmup request"})
-            compiled.append("engine")
+            for w, eng in sorted(self.engines.items()):
+                batch, _ = self._pack([{"context": "warmup request"}],
+                                      width=w)
+                batch.pop("proper_masks", None)
+                enc = self._encode1(self._frozen, batch)
+                enc = {k: v for k, v in enc.items() if k != "context_ids"}
+                eng.submit(enc).result(timeout=600)
+                compiled.append(f"engine@{w}")
+            if self.need_attention:   # replay compiles per width on demand
+                self._caption_continuous({"context": "warmup request"})
         else:
             for w in self._article_buckets:
                 padded = ([{"context": "warmup request"}]
@@ -420,15 +461,21 @@ class CaptionService:
         """Continuous-batching path: encode this request's contexts (one
         compiled B=1 tower pass), submit to the resident engine, decode the
         best beam. The request starts decoding at the next chunk boundary
-        regardless of what else is in flight."""
-        batch, errors = self._pack([request], width=self.article_len)
+        regardless of what else is in flight. With --engine-buckets the
+        request routes to the smallest-width engine whose article bucket
+        fits it."""
+        bucketed = len(self.engines) > 1
+        batch, errors = self._pack(
+            [request], width=None if bucketed else self.article_len)
         if errors[0]:  # don't spend a decode slot on zeroed features
             return {"caption": "", "token_ids": [], "score": 0.0,
                     "error": errors[0]}
+        width = batch["context_ids"].shape[1]
+        eng = self.engines.get(width, self.engine)
         batch.pop("proper_masks", None)
         enc = self._encode1(self._frozen, batch)
         enc = {k: v for k, v in enc.items() if k != "context_ids"}
-        out = self.engine.submit(enc).result(timeout=600)
+        out = eng.submit(enc).result(timeout=600)
         token_ids = np.asarray(out["token_ids"][0])  # best beam
         result = {"caption": self.tokenizer.decode(token_ids),
                   "token_ids": token_ids.tolist(),
@@ -478,6 +525,10 @@ class _Handler(BaseHTTPRequestHandler):
                 payload["engine"] = {**eng.stats, "slots": eng.slots,
                                      "beam": eng.beam,
                                      "free_slots": len(eng.free)}
+                if len(self.service.engines) > 1:
+                    payload["engine_buckets"] = {
+                        str(w): {**e.stats, "free_slots": len(e.free)}
+                        for w, e in sorted(self.service.engines.items())}
             self._send(200, payload)
         elif self.path == "/metrics":
             self._send_metrics()

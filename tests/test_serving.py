@@ -494,7 +494,7 @@ def test_warmup_engine_mode(service):
                           service.tokenizer, max_batch=4, article_len=16,
                           engine_slots=2, engine_beam=2)
     info = esvc.warmup()
-    assert info["compiled"] == ["engine"]
+    assert info["compiled"] == ["engine@16"]
     assert esvc.engine.stats["requests"] == 1
     out = esvc.caption({"context": "the news in the city"})
     assert "caption" in out and "error" not in out
@@ -509,3 +509,41 @@ def test_warmup_engine_mode(service):
     except (RuntimeError, concurrent.futures.CancelledError):
         raised = True
     assert raised
+
+
+def test_engine_buckets_route_and_match_one_shot(service):
+    """--engine-buckets: one resident engine per article width; a short
+    request routes to the narrow engine, a long one to the wide engine,
+    and each caption equals one-shot beam_search on its own encode."""
+    from tell_tpu.models.beam import beam_search
+
+    frozen = service.vision.frozen
+    esvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=4, article_len=32,
+                          engine_slots=2, engine_beam=2,
+                          engine_buckets=True)
+    assert sorted(esvc.engines) == [16, 32]
+
+    short = {"context": "the news"}
+    long = {"context": "the news in the city today goes on and on "
+                       "with many words about the new era of the day"}
+    outs = {}
+    for name, req in (("short", short), ("long", long)):
+        out = esvc.caption(dict(req))
+        assert "error" not in out
+        outs[name] = out
+    # routing: the short request hit the 16-wide engine, the long the 32
+    assert esvc.engines[16].stats["requests"] == 1
+    assert esvc.engines[32].stats["requests"] == 1
+
+    for req, out in ((short, outs["short"]), (long, outs["long"])):
+        batch, errs = esvc._pack([req])        # width picked by content
+        assert errs[0] is None
+        batch.pop("proper_masks", None)
+        enc = esvc._encode1(esvc._frozen, batch)
+        enc = {k: v for k, v in enc.items() if k != "context_ids"}
+        ref = beam_search(service._params, service.cfg, enc,
+                          beam_size=2, early_stop=True)
+        assert out["token_ids"] == np.asarray(
+            ref["token_ids"][0, 0]).tolist()
+    esvc.close()
