@@ -265,6 +265,18 @@ def test_modern_adapter_serving():
     assert out["token_ids"] == np.asarray(ref["token_ids"][0, 0]).tolist()
     esvc.close()
 
+    # bucketed engines for the modern family (cfg_at's top-level-contexts
+    # branch): engines exist per width and a short request routes narrow
+    bsvc = CaptionService(svc._params, frozen, cfg, tok, max_batch=2,
+                          article_len=32, adapter=adapter,
+                          engine_slots=2, engine_beam=2,
+                          engine_buckets=True)
+    assert sorted(bsvc.engines) == [16, 32]
+    out_b = bsvc.caption({"context": "the news"})
+    assert "error" not in out_b
+    assert bsvc.engines[16].stats["requests"] == 1
+    bsvc.close()
+
 
 def test_article_width_bucketing_exact(service):
     """Short micro-batches decode at a smaller article bucket with captions
