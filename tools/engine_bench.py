@@ -52,6 +52,78 @@ def make_requests(n, dtype):
     return reqs
 
 
+def make_requests_mixed(n, dtype):
+    """ENGINE_BUCKETS A/B traffic: article widths cycle S/4, S/2, S (a
+    production-ish mix). Each request carries BOTH its natural-width
+    features (for the bucketed arm) and a full-width padded copy (for the
+    single-engine arm) — identical information, masked identically."""
+    widths = sorted({max(16, S // 4), max(16, S // 2), S})
+    ks = jr.split(jr.PRNGKey(1), 4)
+    reqs = []
+    for i in range(n):
+        w = widths[i % len(widths)]
+        art = jr.normal(ks[1], (1, w, 1024), dtype) + i * 1e-4
+        base = {
+            "image_grid": jr.normal(ks[0], (1, 49, 2048), dtype) + i * 1e-4,
+            "face_embeds": jr.normal(ks[2], (1, 4, 512), dtype),
+            "obj_embeds": jr.normal(ks[3], (1, 64, 2048), dtype),
+        }
+        narrow = {**base, "article": art,
+                  "article_mask": jnp.zeros((1, w), bool)}
+        full = {**base,
+                "article": jnp.pad(art, ((0, 0), (0, S - w), (0, 0))),
+                "article_mask": jnp.arange(S)[None] >= w}
+        reqs.append({"width": w, "narrow": narrow, "full": full})
+    return reqs
+
+
+def run_engine_bucketed(params, cfg, reqs):
+    """One resident engine per article width (serve --engine-buckets);
+    requests route to their natural width."""
+    import dataclasses
+    from tell_tpu.serving.engine import DecodeEngine
+    widths = sorted({r["width"] for r in reqs})
+
+    def cfg_at(w):
+        dec = cfg.decoder
+        ctx = tuple(dataclasses.replace(c, max_len=w)
+                    if c.name == "article" else c for c in dec.contexts)
+        return dataclasses.replace(cfg,
+                                   decoder=dataclasses.replace(
+                                       dec, contexts=ctx))
+
+    engines = {w: DecodeEngine(params, cfg_at(w), slots=SLOTS, beam=BEAM,
+                               chunk_steps=CHUNK, dtype=jnp.bfloat16)
+               for w in widths}
+    for w, eng in engines.items():  # warm every engine
+        r0 = next(r for r in reqs if r["width"] == w)
+        f = eng.submit(r0["narrow"])
+        eng.run_until_drained()
+        f.result(timeout=600)
+
+    lat, t_sub = [], {}
+    t0 = time.perf_counter()
+    futs = []
+    next_arrival = t0
+    i = 0
+    engs = list(engines.values())
+    while i < len(reqs) or any(not f.done() for f in futs):
+        now = time.perf_counter()
+        while i < len(reqs) and now >= next_arrival:
+            fut = engines[reqs[i]["width"]].submit(reqs[i]["narrow"])
+            t_sub[id(fut)] = time.perf_counter()
+            fut.add_done_callback(
+                lambda f, ts=t_sub: lat.append(
+                    time.perf_counter() - ts[id(f)]))
+            futs.append(fut)
+            next_arrival += ARRIVAL_MS / 1e3
+            i += 1
+        if not any([e.tick() for e in engs]) and i < len(reqs):
+            time.sleep(max(0.0, next_arrival - time.perf_counter()))
+    wall = time.perf_counter() - t0
+    return wall, lat
+
+
 def make_requests_modern(cfg, n, dtype):
     """Modern-family request features straight from cfg.contexts (the
     article is the tower's FINAL hidden state, not stacked layers)."""
@@ -186,9 +258,31 @@ def main():
         from tell_tpu.config import CaptionerConfig
         from tell_tpu.models import init_captioner
         cfg = dataclasses.replace(CaptionerConfig(), gen_len=GEN_LEN)
+        # align the article context with the S env (requests are built at
+        # width S; params are width-independent)
+        dec = cfg.decoder
+        ctx = tuple(dataclasses.replace(c, max_len=S)
+                    if c.name == "article" else c for c in dec.contexts)
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(dec, contexts=ctx))
         params = init_captioner(jr.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+    if os.environ.get("ENGINE_BUCKETS") == "1":
+        assert MODEL != "modern", "bucket A/B is flagship-only for now"
+        mixed = make_requests_mixed(N, dtype)
+        print(f"slots={SLOTS} beam={BEAM} gen_len={GEN_LEN} S={S} N={N} "
+              f"arrival={ARRIVAL_MS}ms chunk={CHUNK} (bucketed A/B)")
+        for name, fn, rs in (
+                ("single", run_engine, [r["full"] for r in mixed]),
+                ("buckets", run_engine_bucketed, mixed)):
+            wall, lat = fn(params, cfg, rs)
+            print(f"{name:>10}: {N / wall:6.1f} captions/s sustained | "
+                  f"latency mean {1e3 * float(np.mean(lat)):6.1f} ms  "
+                  f"p50 {1e3 * pct(lat, 50):6.1f}  "
+                  f"p95 {1e3 * pct(lat, 95):6.1f}")
+        return
+
     reqs = (make_requests_modern(cfg, N, dtype) if MODEL == "modern"
             else make_requests(N, dtype))
     print(f"slots={SLOTS} beam={BEAM} gen_len={GEN_LEN} S={S} "
