@@ -559,3 +559,32 @@ def test_engine_buckets_route_and_match_one_shot(service):
         assert out["token_ids"] == np.asarray(
             ref["token_ids"][0, 0]).tolist()
     esvc.close()
+
+
+def test_engine_buckets_compose_with_mesh(service):
+    """--engine-buckets x --mesh-data: per-width engines each shard their
+    slots over the data axis; routed captions still match one-shot
+    beam_search."""
+    from tell_tpu.models.beam import beam_search
+    from tell_tpu.parallel.mesh import make_mesh
+
+    frozen = service.vision.frozen
+    mesh = make_mesh(8, 1)
+    esvc = CaptionService(service._params, frozen, service.cfg,
+                          service.tokenizer, max_batch=8, article_len=32,
+                          mesh=mesh, engine_slots=8, engine_beam=2,
+                          engine_buckets=True)
+    req = {"context": "the news"}          # routes to the 16-wide engine
+    out = esvc.caption(dict(req))
+    assert "error" not in out
+    assert esvc.engines[16].stats["requests"] == 1
+
+    batch, errs = esvc._pack([req])
+    assert errs[0] is None
+    batch.pop("proper_masks", None)
+    enc = esvc._encode1(esvc._frozen, batch)
+    enc = {k: v for k, v in enc.items() if k != "context_ids"}
+    ref = beam_search(service._params, service.cfg, enc,
+                      beam_size=2, early_stop=True)
+    assert out["token_ids"] == np.asarray(ref["token_ids"][0, 0]).tolist()
+    esvc.close()
