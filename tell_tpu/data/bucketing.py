@@ -54,13 +54,6 @@ def _pad_masks(masks: np.ndarray, length: int) -> np.ndarray:
     return out
 
 
-def _pad_ids(ids: np.ndarray, length: int) -> np.ndarray:
-    ids = np.asarray(ids, np.int32)[:length]
-    out = np.full((length,), PAD_ID, np.int32)
-    out[: len(ids)] = ids
-    return out
-
-
 def pack_batch(examples: list[dict], article_len: int, caption_len: int,
                cfg: BucketingConfig, include_meta: bool = False) -> dict:
     """Stack ragged examples into one fixed-shape numpy batch.
@@ -68,14 +61,21 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
     include_meta: also carry string metadata ("caption", "image_hash") as
     plain lists — evaluation pops these for generations.jsonl; the trainer
     must NOT set it (strings cannot ride device_put/jit)."""
-    from .readers import pad_embeds
-
     B = len(examples)
+
+    def _fill_ids(field: str, length: int) -> np.ndarray:
+        # fill a preallocated [B, L] buffer row-by-row — one allocation per
+        # batch instead of per-example pad + stack copy (this packing loop
+        # is the host hot path once the native shard reader is in play)
+        out = np.full((B, length), PAD_ID, np.int32)
+        for i, e in enumerate(examples):
+            ids = e[field][:length]
+            out[i, : len(ids)] = ids
+        return out
+
     batch: dict = {
-        "context_ids": np.stack([_pad_ids(e["context_ids"], article_len)
-                                 for e in examples]),
-        "caption_ids": np.stack([_pad_ids(e["caption_ids"], caption_len)
-                                 for e in examples]),
+        "context_ids": _fill_ids("context_ids", article_len),
+        "caption_ids": _fill_ids("caption_ids", caption_len),
     }
     batch["article_mask"] = batch["context_ids"] == PAD_ID
     if "article" in examples[0]:
@@ -98,16 +98,32 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
             [_pad_masks(e["caption_copy_masks"], caption_len)
              for e in examples])
     if "image_grid" in examples[0]:
-        batch["image_grid"] = np.stack(
-            [np.asarray(e["image_grid"], np.float32) for e in examples])
+        g0 = np.asarray(examples[0]["image_grid"])
+        grids = np.empty((B,) + g0.shape, np.float32)
+        for i, e in enumerate(examples):
+            grids[i] = e["image_grid"]  # fp16 shard storage upcasts in place
+        batch["image_grid"] = grids
+
+    def _fill_embeds(field: str, n: int, dim: int) -> np.ndarray:
+        # np.empty + per-row tail fill: a full-batch NaN prefill is a
+        # 32 MB write for the object bucket alone (B=64 x 64 x 2048 fp32)
+        # when most of it is immediately overwritten by real rows
+        out = np.empty((B, n, dim), np.float32)
+        for i, e in enumerate(examples):
+            emb = e.get(field)
+            k = 0
+            if emb is not None and emb.size:
+                k = min(n, emb.shape[0])
+                out[i, :k] = emb[:k]
+            out[i, k:] = np.nan
+        return out
+
     if "face_embeds" in examples[0]:
-        batch["face_embeds"] = np.stack(
-            [pad_embeds(e.get("face_embeds"), cfg.max_faces, cfg.face_dim)
-             for e in examples])
+        batch["face_embeds"] = _fill_embeds("face_embeds", cfg.max_faces,
+                                            cfg.face_dim)
     if "obj_embeds" in examples[0]:
-        batch["obj_embeds"] = np.stack(
-            [pad_embeds(e.get("obj_embeds"), cfg.max_objects, cfg.object_dim)
-             for e in examples])
+        batch["obj_embeds"] = _fill_embeds("obj_embeds", cfg.max_objects,
+                                           cfg.object_dim)
     if include_meta:
         # string metadata rides as plain lists (evaluate.py pops these for
         # generations.jsonl: untruncated references + image linkage)

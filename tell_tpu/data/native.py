@@ -57,6 +57,25 @@ def load_library():
     lib.tnt_bpe_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.tnt_npz_open.restype = ctypes.c_void_p
+    lib.tnt_npz_open.argtypes = [ctypes.c_char_p]
+    lib.tnt_npz_close.argtypes = [ctypes.c_void_p]
+    lib.tnt_npz_count.restype = ctypes.c_int
+    lib.tnt_npz_count.argtypes = [ctypes.c_void_p]
+    lib.tnt_npz_name.restype = ctypes.c_int
+    lib.tnt_npz_name.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_char_p, ctypes.c_int]
+    lib.tnt_npz_info.restype = ctypes.c_int
+    lib.tnt_npz_info.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.tnt_npz_read.restype = ctypes.c_int64
+    lib.tnt_npz_read.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p]
+    lib.tnt_npz_read_multi.restype = ctypes.c_int64
+    lib.tnt_npz_read_multi.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
     _lib = lib
     return lib
 
@@ -117,6 +136,126 @@ class NativeBPE:
 
     def _bpe(self, token: str) -> list[str]:
         return self._py._bpe(token)
+
+
+class NativeShardReader:
+    """Drop-in for records.ShardReader backed by native/npz.cpp.
+
+    The shard is mmapped once; the zip central directory and every
+    member's .npy header are parsed at open in C++, and each field read
+    is a single memcpy — no Python zipfile, no CRC pass, no per-read
+    header parsing. Reads are copied out of the mapping (not aliased), so
+    examples stay valid after the LRU evicts/closes the shard handle.
+    """
+
+    def __init__(self, path: str, lib=None):
+        self._lib = lib or load_library()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.path = path
+        self._h = None
+        self.open()
+        try:
+            n = self._lib.tnt_npz_count(self._h)
+            namebuf = ctypes.create_string_buffer(512)
+            dbuf = ctypes.create_string_buffer(64)
+            shape = (ctypes.c_int64 * 8)()
+            # member index + dtype/shape per (example, field), parsed once
+            self._members: dict[tuple[int, str], tuple[int, np.dtype,
+                                                       tuple]] = {}
+            self._fields: dict[int, list[str]] = {}
+            self._len = 0
+            for i in range(n):
+                if self._lib.tnt_npz_name(self._h, i, namebuf, 512) < 0:
+                    raise RuntimeError("member name overflow")
+                name = namebuf.value.decode("utf-8")
+                ndim = self._lib.tnt_npz_info(self._h, i, dbuf, 64, shape, 8)
+                if ndim < 0:
+                    raise RuntimeError(f"bad member {name}")
+                dt = np.dtype(dbuf.value.decode("ascii"))
+                shp = tuple(shape[d] for d in range(ndim))
+                if name == "__len__":
+                    buf = np.empty(shp, dt)
+                    self._read_into(i, buf)
+                    self._len = int(buf)
+                    continue
+                idx_s, field = name.split("/", 1)
+                idx = int(idx_s)
+                self._members[(idx, field)] = (i, dt, shp)
+                self._fields.setdefault(idx, []).append(field)
+        except Exception:
+            self.close()
+            raise
+
+    def _read_into(self, i: int, arr: np.ndarray) -> None:
+        got = self._lib.tnt_npz_read(
+            self._h, i, arr.ctypes.data_as(ctypes.c_void_p))
+        if got != arr.nbytes:
+            raise RuntimeError(
+                f"short read on {self.path}[{i}]: {got} != {arr.nbytes}")
+
+    def open(self):
+        if self._h is None:
+            h = self._lib.tnt_npz_open(self.path.encode("utf-8"))
+            if not h:
+                raise RuntimeError(f"native npz open failed: {self.path}")
+            self._h = h
+
+    def close(self):
+        if self._h is not None:
+            self._lib.tnt_npz_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # pragma: no cover
+            pass
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, i: int) -> dict:
+        self.open()
+        fields = self._fields.get(i, [])
+        n = len(fields)
+        arrs = []
+        idx = (ctypes.c_int32 * n)()
+        ptrs = (ctypes.c_void_p * n)()
+        expect = 0
+        for k, field in enumerate(fields):
+            mi, dt, shp = self._members[(i, field)]
+            arr = np.empty(shp, dt)
+            arrs.append(arr)
+            idx[k] = mi
+            ptrs[k] = arr.ctypes.data
+            expect += arr.nbytes
+        # one FFI round-trip for the whole example (per-field calls cost
+        # ~35 us of ctypes overhead each — more than the memcpys)
+        got = self._lib.tnt_npz_read_multi(self._h, idx, ptrs, n)
+        if got != expect:
+            raise RuntimeError(
+                f"short read on {self.path}[{i}]: {got} != {expect}")
+        out = {}
+        for field, arr in zip(fields, arrs):
+            if arr.dtype.kind == "U" and arr.ndim == 0:
+                out[field] = arr.item()  # str(0-d) goes through arrayprint
+            else:
+                out[field] = arr
+        return out
+
+
+def native_shard_reader(path: str):
+    """NativeShardReader when the library is available and the shard
+    parses (stored members, no zip64), else the Python ShardReader."""
+    if os.environ.get("TELL_TPU_NATIVE_IO", "1") != "0":
+        try:
+            return NativeShardReader(path)
+        except Exception as e:
+            log.info("falling back to Python ShardReader for %s: %s",
+                     path, e)
+    from .records import ShardReader
+    return ShardReader(path)
 
 
 def native_bpe(vocab: dict[str, int], merges: list[tuple[str, str]]):

@@ -87,7 +87,11 @@ class RecordDataset:
                  if isinstance(pattern, str) else list(pattern))
         if not paths:
             raise FileNotFoundError(f"no shards match {pattern}")
-        self.readers = [ShardReader(p) for p in paths]
+        # native (C++ mmap) shard reader when available — one memcpy per
+        # field read instead of Python zipfile + CRC; transparent fallback
+        # (TELL_TPU_NATIVE_IO=0 forces the Python reader)
+        from .native import native_shard_reader
+        self.readers = [native_shard_reader(p) for p in paths]
         self.index = [(s, i) for s, r in enumerate(self.readers)
                       for i in range(len(r))]
         self.rs = np.random.RandomState(seed)
