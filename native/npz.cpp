@@ -26,6 +26,10 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 struct Member {
@@ -236,6 +240,111 @@ int64_t tnt_npz_read(void* h, int i, void* dst) {
   const Member& m = z->members[i];
   memcpy(dst, z->map + m.data_off, m.nbytes);
   return (int64_t)m.nbytes;
+}
+
+// Gather n ragged members into one fixed row-major [n, row_elems] batch
+// buffer — the batch-assembly hot loop (pack_batch) without Python in it.
+// Row k copies min(member_elems, row_elems) elements of member idx[k] from
+// shard handles[k] (idx[k] < 0 => all-pad row), then fills the tail with
+// the 4-byte `pad` pattern (low 2 bytes for elem_bytes == 2).
+// src_f16_to_f32 == 1 converts half -> float while copying (elem_bytes
+// must be 4; member byte counts are interpreted as halves).
+// Returns total elements copied (pads excluded) or -1.
+
+namespace {
+
+void f16_to_f32_scalar(const uint16_t* src, float* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    uint16_t h = src[i];
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t expo = (h >> 10) & 0x1F;
+    uint32_t mant = h & 0x3FF;
+    uint32_t bits;
+    if (expo == 0) {
+      if (mant == 0) {
+        bits = sign;  // +/- 0
+      } else {        // subnormal: normalize
+        int shift = 0;
+        while (!(mant & 0x400)) {
+          mant <<= 1;
+          ++shift;
+        }
+        mant &= 0x3FF;
+        bits = sign | ((127 - 15 - shift + 1) << 23) | (mant << 13);
+      }
+    } else if (expo == 0x1F) {
+      bits = sign | 0x7F800000u | (mant << 13);  // inf / nan
+    } else {
+      bits = sign | ((expo - 15 + 127) << 23) | (mant << 13);
+    }
+    memcpy(dst + i, &bits, 4);
+  }
+}
+
+#if defined(__x86_64__)
+__attribute__((target("f16c"))) void f16_to_f32_f16c(const uint16_t* src,
+                                                     float* dst, int64_t n) {
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m128i h = _mm_loadu_si128((const __m128i*)(src + i));
+    _mm256_storeu_ps(dst + i, _mm256_cvtph_ps(h));
+  }
+  f16_to_f32_scalar(src + i, dst + i, n - i);
+}
+#endif
+
+void f16_to_f32(const uint16_t* src, float* dst, int64_t n) {
+#if defined(__x86_64__)
+  static const bool has_f16c = __builtin_cpu_supports("f16c");
+  if (has_f16c) {
+    f16_to_f32_f16c(src, dst, n);
+    return;
+  }
+#endif
+  f16_to_f32_scalar(src, dst, n);
+}
+
+void pattern_fill(void* dst, int64_t n_elems, int elem_bytes, uint32_t pad) {
+  if (elem_bytes == 4) {
+    uint32_t* p = (uint32_t*)dst;
+    for (int64_t i = 0; i < n_elems; ++i) p[i] = pad;
+  } else {
+    uint16_t v = (uint16_t)pad;
+    uint16_t* p = (uint16_t*)dst;
+    for (int64_t i = 0; i < n_elems; ++i) p[i] = v;
+  }
+}
+
+}  // namespace
+
+int64_t tnt_npz_gather_pad(void** handles, const int32_t* idx, int n,
+                           void* dst, int64_t row_elems, int elem_bytes,
+                           uint32_t pad, int src_f16_to_f32) {
+  if (elem_bytes != 2 && elem_bytes != 4) return -1;
+  if (src_f16_to_f32 && elem_bytes != 4) return -1;
+  int src_bytes = src_f16_to_f32 ? 2 : elem_bytes;
+  int64_t total = 0;
+  char* out = (char*)dst;
+  for (int k = 0; k < n; ++k, out += row_elems * elem_bytes) {
+    if (idx[k] < 0) {
+      pattern_fill(out, row_elems, elem_bytes, pad);
+      continue;
+    }
+    Npz* z = (Npz*)handles[k];
+    if (!z || idx[k] >= (int)z->members.size()) return -1;
+    const Member& m = z->members[idx[k]];
+    int64_t elems = (int64_t)m.nbytes / src_bytes;
+    if (elems > row_elems) elems = row_elems;
+    const unsigned char* src = z->map + m.data_off;
+    if (src_f16_to_f32)
+      f16_to_f32((const uint16_t*)src, (float*)out, elems);
+    else
+      memcpy(out, src, elems * elem_bytes);
+    pattern_fill(out + elems * elem_bytes, row_elems - elems, elem_bytes,
+                 pad);
+    total += elems;
+  }
+  return total;
 }
 
 // Copy n members in one call (one FFI round-trip per example instead of

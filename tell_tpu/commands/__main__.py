@@ -209,13 +209,13 @@ def cmd_train(args) -> int:
 
     def train_batches(epoch):
         return bucket_batches(
-            train_ds.epoch(limit=exp.data.instances_per_epoch,
+            train_ds.epoch(lazy=True, limit=exp.data.instances_per_epoch,
                            process_index=pi, process_count=pc),
             exp.bucketing)
 
     def val_batches():
         return bucket_batches(
-            val_ds.epoch(shuffle=False, limit=exp.data.val_limit,
+            val_ds.epoch(lazy=True, shuffle=False, limit=exp.data.val_limit,
                          process_index=pi, process_count=pc),
             exp.bucketing)
 

@@ -110,7 +110,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
         # while the device runs — the reference serialized the two
         # (evaluate.py:131-162: model(**batch) then write_to_json per batch)
         pending = None
-        for batch in bucket_batches(ds.epoch(shuffle=False, limit=limit),
+        for batch in bucket_batches(ds.epoch(lazy=True, shuffle=False, limit=limit),
                                     exp.bucketing, include_meta=True):
             real = batch.pop("real", np.ones(len(batch["caption_ids"]),
                                              bool))

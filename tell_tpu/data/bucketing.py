@@ -54,6 +54,64 @@ def _pad_masks(masks: np.ndarray, length: int) -> np.ndarray:
     return out
 
 
+def _native_pack(examples: list, article_len: int, caption_len: int,
+                 cfg: BucketingConfig) -> dict | None:
+    """Batch assembly fully in C++ (native.gather_pad): each field is one
+    FFI call that copies straight from the shard mmaps into the padded
+    batch buffer. Returns None when the examples are not native-backed
+    LazyExamples — pack_batch then takes the Python path."""
+    e0 = examples[0]
+    if not hasattr(e0, "field_member"):
+        return None
+    from .native import F32_NAN_BITS, gather_pad
+
+    B = len(examples)
+    batch: dict = {}
+    ctx = np.empty((B, article_len), np.int32)
+    if not gather_pad(examples, "context_ids", ctx, PAD_ID):
+        return None  # mixed/non-native readers: fall back wholesale
+    batch["context_ids"] = ctx
+    cap = np.empty((B, caption_len), np.int32)
+    gather_pad(examples, "caption_ids", cap, PAD_ID)
+    batch["caption_ids"] = cap
+    batch["article_mask"] = ctx == PAD_ID
+
+    if "article" in e0:
+        dt = e0.field_dtype("article")
+        dim = e0.field_shape("article")[-1] if hasattr(e0, "field_shape") \
+            else np.asarray(e0["article"]).shape[-1]
+        feats = np.empty((B, article_len, dim), np.float32)
+        gather_pad(examples, "article", feats, 0,
+                   convert_f16=(dt == np.float16))
+        batch["article"] = feats
+        lens = np.asarray([min(e.field_len("article"), article_len)
+                           for e in examples])
+        batch["article_mask"] = np.arange(article_len)[None, :] >= lens[:, None]
+    if "proper_masks" in e0:
+        pm = np.empty((B, article_len), np.int32)
+        gather_pad(examples, "proper_masks", pm, -1)
+        batch["proper_masks"] = pm
+    if "caption_copy_masks" in e0:
+        cm = np.empty((B, caption_len), np.int32)
+        gather_pad(examples, "caption_copy_masks", cm, -1)
+        batch["caption_copy_masks"] = cm
+    if "image_grid" in e0:
+        gshape = e0.field_shape("image_grid")
+        grids = np.empty((B,) + tuple(gshape), np.float32)
+        gather_pad(examples, "image_grid", grids, 0,
+                   convert_f16=(e0.field_dtype("image_grid") == np.float16))
+        batch["image_grid"] = grids
+    if "face_embeds" in e0:
+        fe = np.empty((B, cfg.max_faces, cfg.face_dim), np.float32)
+        gather_pad(examples, "face_embeds", fe, F32_NAN_BITS)
+        batch["face_embeds"] = fe
+    if "obj_embeds" in e0:
+        oe = np.empty((B, cfg.max_objects, cfg.object_dim), np.float32)
+        gather_pad(examples, "obj_embeds", oe, F32_NAN_BITS)
+        batch["obj_embeds"] = oe
+    return batch
+
+
 def pack_batch(examples: list[dict], article_len: int, caption_len: int,
                cfg: BucketingConfig, include_meta: bool = False) -> dict:
     """Stack ragged examples into one fixed-shape numpy batch.
@@ -61,6 +119,15 @@ def pack_batch(examples: list[dict], article_len: int, caption_len: int,
     include_meta: also carry string metadata ("caption", "image_hash") as
     plain lists — evaluation pops these for generations.jsonl; the trainer
     must NOT set it (strings cannot ride device_put/jit)."""
+    native = _native_pack(examples, article_len, caption_len, cfg)
+    if native is not None:
+        if include_meta:
+            for meta in ("caption", "image_hash", "web_url"):
+                if meta in examples[0]:
+                    native[meta] = [str(e.get(meta, "")) for e in examples]
+        return native
+    if hasattr(examples[0], "materialize"):
+        examples = [e.materialize() for e in examples]
     B = len(examples)
 
     def _fill_ids(field: str, length: int) -> np.ndarray:
@@ -145,8 +212,12 @@ def bucket_batches(examples: Iterator[dict], cfg: BucketingConfig,
     """
     buckets: dict[tuple[int, int], list[dict]] = {}
     for ex in examples:
-        al = _bucket_len(len(ex["context_ids"]), cfg.article_lengths)
-        cl = _bucket_len(len(ex["caption_ids"]), cfg.caption_lengths)
+        if hasattr(ex, "field_len"):  # lazy: lengths from the .npy headers
+            nc, nk = ex.field_len("context_ids"), ex.field_len("caption_ids")
+        else:
+            nc, nk = len(ex["context_ids"]), len(ex["caption_ids"])
+        al = _bucket_len(nc, cfg.article_lengths)
+        cl = _bucket_len(nk, cfg.caption_lengths)
         key = (al, cl)
         buckets.setdefault(key, []).append(ex)
         b = _batch_size(al, cl, cfg)

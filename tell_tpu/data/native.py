@@ -76,6 +76,11 @@ def load_library():
     lib.tnt_npz_read_multi.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+    lib.tnt_npz_gather_pad.restype = ctypes.c_int64
+    lib.tnt_npz_gather_pad.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_uint32, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -243,6 +248,77 @@ class NativeShardReader:
             else:
                 out[field] = arr
         return out
+
+    # --- lazy-example surface (zero-read metadata + per-field access) ---
+
+    def fields_of(self, i: int) -> list[str]:
+        return self._fields.get(i, [])
+
+    def field_shape(self, i: int, field: str) -> tuple | None:
+        m = self._members.get((i, field))
+        return m[2] if m is not None else None
+
+    def field_dtype(self, i: int, field: str):
+        m = self._members.get((i, field))
+        return m[1] if m is not None else None
+
+    def field_member(self, i: int, field: str):
+        """(open mmap handle, member index) for the C++ gather — opens the
+        shard if the LRU evicted it."""
+        m = self._members.get((i, field))
+        if m is None:
+            return None
+        self.open()
+        return self._h, m[0]
+
+    def read_field(self, i: int, field: str):
+        m = self._members.get((i, field))
+        if m is None:
+            raise KeyError(field)
+        self.open()
+        mi, dt, shp = m
+        arr = np.empty(shp, dt)
+        self._read_into(mi, arr)
+        if dt.kind == "U" and arr.ndim == 0:
+            return arr.item()
+        return arr
+
+
+def gather_pad(examples: list, field: str, out: np.ndarray,
+               pad: int, convert_f16: bool = False) -> bool:
+    """Fill the row-major batch buffer `out` ([B, ...]) with each example's
+    `field`, truncating/padding rows to the buffer shape, entirely in C++
+    (one FFI call per field per batch). `pad` is the raw 4-byte pattern
+    (e.g. PAD_ID, -1, float32 NaN bits). Returns False when any example
+    is not native-backed (caller falls back to the Python packing path).
+    Examples missing the field get all-pad rows."""
+    lib = load_library()
+    if lib is None:
+        return False
+    n = len(examples)
+    handles = (ctypes.c_void_p * n)()
+    idx = (ctypes.c_int32 * n)()
+    for k, ex in enumerate(examples):
+        if not hasattr(ex, "field_member"):
+            return False                    # plain dict: Python packing path
+        if field not in ex:
+            handles[k], idx[k] = None, -1   # missing field: all-pad row
+            continue
+        fm = ex.field_member(field)
+        if fm is None:
+            return False                    # non-native reader backing
+        handles[k], idx[k] = fm
+    row_elems = int(np.prod(out.shape[1:], dtype=np.int64))
+    got = lib.tnt_npz_gather_pad(
+        handles, idx, n, out.ctypes.data_as(ctypes.c_void_p),
+        row_elems, out.dtype.itemsize, ctypes.c_uint32(pad & 0xFFFFFFFF),
+        1 if convert_f16 else 0)
+    if got < 0:
+        raise RuntimeError(f"native gather failed for field {field}")
+    return True
+
+
+F32_NAN_BITS = 0x7FC00000
 
 
 def native_shard_reader(path: str):

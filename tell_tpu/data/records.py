@@ -75,6 +75,73 @@ class ShardReader:
         return out
 
 
+class LazyExample:
+    """Dict-like view of one example that defers field reads to access time.
+
+    Carries (reader, index) instead of materialized arrays so the batch
+    packer can gather fields straight from the shard mmap in C++
+    (native.gather_pad) — lengths for bucket routing come from the parsed
+    .npy headers without touching the data. Materializes transparently on
+    item access for any consumer that wants real arrays."""
+
+    __slots__ = ("reader", "i")
+
+    def __init__(self, reader, i: int):
+        self.reader = reader
+        self.i = i
+
+    def _fields(self) -> list[str]:
+        r = self.reader
+        if hasattr(r, "fields_of"):
+            return r.fields_of(self.i)
+        return r._fields.get(self.i, [])
+
+    def keys(self):
+        return self._fields()
+
+    def __contains__(self, field: str) -> bool:
+        return field in self._fields()
+
+    def __getitem__(self, field: str):
+        r = self.reader
+        if hasattr(r, "read_field"):
+            return r.read_field(self.i, field)
+        return r[self.i][field]
+
+    def get(self, field: str, default=None):
+        return self[field] if field in self else default
+
+    def field_len(self, field: str) -> int:
+        """Leading dimension without reading the data (native readers)."""
+        r = self.reader
+        if hasattr(r, "field_shape"):
+            shp = r.field_shape(self.i, field)
+            if shp is not None:
+                return shp[0] if shp else 0
+        return len(self[field])
+
+    def field_dtype(self, field: str):
+        r = self.reader
+        if hasattr(r, "field_dtype"):
+            return r.field_dtype(self.i, field)
+        return None
+
+    def field_shape(self, field: str) -> tuple | None:
+        r = self.reader
+        if hasattr(r, "field_shape"):
+            return r.field_shape(self.i, field)
+        return None
+
+    def field_member(self, field: str):
+        r = self.reader
+        if hasattr(r, "field_member"):
+            return r.field_member(self.i, field)
+        return None
+
+    def materialize(self) -> dict:
+        return self.reader[self.i]
+
+
 class RecordDataset:
     """A set of shards with seeded epoch shuffling.
 
@@ -104,12 +171,16 @@ class RecordDataset:
     def epoch(self, shuffle: bool = True,
               limit: int | None = None,
               process_index: int = 0,
-              process_count: int = 1) -> Iterator[dict]:
+              process_count: int = 1,
+              lazy: bool = False) -> Iterator[dict]:
         """process_index/count stride the (shared, identically seeded)
         epoch order across multi-host training processes; the order is
         truncated to a multiple of process_count first so every process
         yields the SAME number of examples (unequal counts would deadlock
-        the first collective of the step the short process never runs)."""
+        the first collective of the step the short process never runs).
+
+        lazy=True yields LazyExample views instead of materialized dicts
+        so the bucketing layer can batch-gather fields in C++."""
         order = np.arange(len(self.index))
         if shuffle:
             self.rs.shuffle(order)
@@ -124,4 +195,7 @@ class RecordDataset:
                 self._open_lru.append(s)
                 if len(self._open_lru) > self._max_open:
                     self.readers[self._open_lru.pop(0)].close()
-            yield self.readers[s][i]
+            if lazy:
+                yield LazyExample(self.readers[s], i)
+            else:
+                yield self.readers[s][i]

@@ -39,13 +39,14 @@ def synth(rng, n):
         }
 
 
-def run_epoch(pattern: str, pack: bool) -> tuple[int, float]:
+def run_epoch(pattern: str, pack: bool, lazy: bool = False
+              ) -> tuple[int, float]:
     ds = RecordDataset(pattern, seed=3)
     cfg = BucketingConfig()
     t0 = time.perf_counter()
     n = 0
     if pack:
-        for b in bucket_batches(ds.epoch(), cfg):
+        for b in bucket_batches(ds.epoch(lazy=lazy), cfg):
             n += 1
     else:
         for _ in ds.epoch():
@@ -74,12 +75,16 @@ def main():
         pattern = os.path.join(d, "t-*.npz")
         pack = not args.no_pack
 
-        for mode, env in (("native", "1"), ("python", "0")):
+        modes = [("nat+gather", "1", True), ("native", "1", False),
+                 ("python", "0", False)]
+        for mode, env, lazy in modes:
+            if lazy and not pack:
+                continue
             os.environ["TELL_TPU_NATIVE_IO"] = env
-            run_epoch(pattern, pack)  # warm page cache / import paths
-            n, dt = run_epoch(pattern, pack)
+            run_epoch(pattern, pack, lazy)  # warm page cache / import paths
+            n, dt = run_epoch(pattern, pack, lazy)
             unit = "batches" if pack else "examples"
-            print(f"{mode:7s} {n:6d} {unit} in {dt:7.3f}s  "
+            print(f"{mode:10s} {n:6d} {unit} in {dt:7.3f}s  "
                   f"{n / dt:9.1f} {unit}/s  "
                   f"({args.examples / dt:9.1f} examples/s)")
 
