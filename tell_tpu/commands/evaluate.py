@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 import time
 
 import jax
@@ -23,6 +24,42 @@ from ..data.records import RecordDataset
 from ..data.tokenizer import RobertaTokenizer
 from ..evalm import CiderScorer, bleu_scores, entity_precision_recall, rouge_l
 from ..evalm.entities import reported_entity_metrics, spacy_analyze
+
+
+def persistent_analyze(analyze, cache_path: str):
+    """Disk-persisted memo around a text -> analysis function.
+
+    The reference pickles spaCy docs to data/<ds>/evaluation_cache.pkl and
+    reports ~30 min saved per re-run (evaluate.py:101-110); we persist the
+    extracted (entities, propns) tuples instead — tiny, stable across
+    spaCy versions, and shared by every checkpoint evaluated against the
+    same split. Returns (cached_analyze, flush); flush() writes the cache
+    back atomically iff new texts were parsed."""
+    cache: dict = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path, "rb") as cf:
+                cache = pickle.load(cf)
+        except Exception:
+            cache = {}
+    n_loaded = len(cache)
+
+    def cached(t):
+        r = cache.get(t)
+        if r is None:
+            r = analyze(t)
+            cache[t] = r
+        return r
+
+    def flush():
+        if len(cache) == n_loaded:
+            return
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as cf:
+            pickle.dump(cache, cf, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, cache_path)
+
+    return cached, flush
 
 
 def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
@@ -53,10 +90,11 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     # "saves ~30 min"; loading two models / parsing four times per sample
     # would quadruple the host cost)
     analyze = spacy_analyze()
-    ner = propn = None
+    ner = propn = flush_cache = None
     if analyze is not None:
-        import functools
-        analyze = functools.lru_cache(maxsize=200_000)(analyze)
+        analyze, flush_cache = persistent_analyze(
+            analyze, os.path.join(exp.data.shards_dir,
+                                  "evaluation_cache.pkl"))
         ner = lambda t: analyze(t)[0]      # noqa: E731
         propn = lambda t: analyze(t)[1]    # noqa: E731
     cands, refs = [], []
@@ -125,6 +163,9 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
         if pending is not None:
             emit(np.asarray(pending[0]), *pending[1:])
     dt = time.time() - t0
+
+    if flush_cache is not None:
+        flush_cache()
 
     metrics = score_generations(cands, refs)
     if entries and "caption_entities" in entries[0]:

@@ -1,6 +1,7 @@
 """Caption metric tests: identities, hand-computed goldens, and an NLTK
 cross-check for BLEU."""
 import math
+import os
 
 import pytest
 
@@ -107,3 +108,39 @@ def test_reported_entity_metrics_families_and_rare():
     # rare = tokens not in the train counter: Anna, Smith, Acme (not Milan)
     assert m["Caption rare names - recall"]["total"] == 3
     assert m["Caption rare names - recall"]["count"] == 2
+
+
+def test_persistent_analyze_cache(tmp_path):
+    """Disk-persisted spaCy-parse cache (reference evaluation_cache.pkl
+    analogue): second run hits the pickle, flush is atomic + dirty-gated."""
+    from tell_tpu.commands.evaluate import persistent_analyze
+
+    calls = []
+
+    def fake_analyze(t):
+        calls.append(t)
+        return ((t.upper(), "PERSON"),), (t,)
+
+    path = str(tmp_path / "evaluation_cache.pkl")
+    an, flush = persistent_analyze(fake_analyze, path)
+    assert an("alice") == ((("ALICE", "PERSON"),), ("alice",))
+    assert an("alice")[1] == ("alice",)   # memoized: no second parse
+    assert calls == ["alice"]
+    flush()
+    assert os.path.exists(path)
+
+    # fresh instance: served from disk, analyze never called
+    calls2 = []
+    an2, flush2 = persistent_analyze(
+        lambda t: calls2.append(t) or ((), ()), path)
+    assert an2("alice") == ((("ALICE", "PERSON"),), ("alice",))
+    assert calls2 == []
+    before = os.stat(path).st_mtime_ns
+    flush2()                               # nothing new: no rewrite
+    assert os.stat(path).st_mtime_ns == before
+
+    # corrupt cache file degrades to a cold start, not a crash
+    with open(path, "wb") as f:
+        f.write(b"\x00garbage")
+    an3, _ = persistent_analyze(fake_analyze, path)
+    assert an3("bob")[1] == ("bob",)
