@@ -208,9 +208,13 @@ def cmd_train(args) -> int:
                            seed=exp.data.seed)
 
     def train_batches(epoch):
+        # epoch_index-seeded order: a pure function of (seed, epoch) so a
+        # recovered run reproduces the interrupted epoch's batch schedule
+        # exactly (mid-epoch cursor resume, trainer.py)
         return bucket_batches(
             train_ds.epoch(lazy=True, limit=exp.data.instances_per_epoch,
-                           process_index=pi, process_count=pc),
+                           process_index=pi, process_count=pc,
+                           epoch_index=epoch),
             exp.bucketing)
 
     def val_batches():

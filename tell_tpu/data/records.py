@@ -161,6 +161,7 @@ class RecordDataset:
         self.readers = [native_shard_reader(p) for p in paths]
         self.index = [(s, i) for s, r in enumerate(self.readers)
                       for i in range(len(r))]
+        self.seed = seed
         self.rs = np.random.RandomState(seed)
         self._open_lru: list[int] = []  # bounded set of open shard handles
         self._max_open = 64
@@ -172,7 +173,8 @@ class RecordDataset:
               limit: int | None = None,
               process_index: int = 0,
               process_count: int = 1,
-              lazy: bool = False) -> Iterator[dict]:
+              lazy: bool = False,
+              epoch_index: int | None = None) -> Iterator[dict]:
         """process_index/count stride the (shared, identically seeded)
         epoch order across multi-host training processes; the order is
         truncated to a multiple of process_count first so every process
@@ -180,10 +182,20 @@ class RecordDataset:
         the first collective of the step the short process never runs).
 
         lazy=True yields LazyExample views instead of materialized dicts
-        so the bucketing layer can batch-gather fields in C++."""
+        so the bucketing layer can batch-gather fields in C++.
+
+        epoch_index, when given, makes the order a PURE function of
+        (seed, epoch_index) instead of consuming the dataset's persistent
+        RandomState — required for step-exact mid-epoch resume, where a
+        restarted process must reproduce an epoch's order without having
+        replayed every earlier epoch's shuffle."""
         order = np.arange(len(self.index))
         if shuffle:
-            self.rs.shuffle(order)
+            if epoch_index is not None:
+                np.random.RandomState(
+                    [self.seed & 0xFFFFFFFF, epoch_index]).shuffle(order)
+            else:
+                self.rs.shuffle(order)
         if limit is not None:
             order = order[:limit]
         if process_count > 1:

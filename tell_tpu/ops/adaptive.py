@@ -261,6 +261,9 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # top_k on RAW logits (order-preserving), log-softmax applied only to
     # the k winners via a separate logsumexp — avoids materializing a
     # second full-vocab fp32 array between the matmul and the sort.
+    # (A bf16-logits variant — halving the [N, V] stream the sort reads —
+    # measured SLOWER end-to-end: 258.7 vs 266.9 captions/s; see the
+    # findings log in tools/topk_variants.py.)
     head_logits = _head_logits(sm, emb, x, padding_idx).astype(jnp.float32)
     head_lse = jax.scipy.special.logsumexp(head_logits, axis=-1)
     vals, ids = jax.lax.top_k(head_logits[:, :c0], k)

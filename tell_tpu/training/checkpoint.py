@@ -3,8 +3,11 @@
 Replaces AllenNLP's checkpoint callback (model_state_epoch_N.th + keep 10 +
 best.th by validation metric, config.yaml:156-162 and SURVEY.md §5) with
 Orbax saves of the full train-state pytree (params, optimizer state,
-step/epoch counters; recovery is epoch-granular — the seeded loader
-replays the interrupted epoch, so no finer-grained data cursor is kept).
+step/epoch counters, and — for preemption stops that land mid-epoch — a
+batch_cursor into the epoch's deterministic (epoch_index-seeded) order, so
+recovery is step-exact: the resumed run skips the already-trained prefix
+instead of redoing the epoch the way the reference's per-epoch recovery
+does).
 
 Saves are ASYNC by default (ocp.AsyncCheckpointer): save() returns once the
 device arrays are staged to host and the serialization/commit runs behind

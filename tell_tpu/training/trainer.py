@@ -211,9 +211,11 @@ class Trainer:
                                         v=shard_params(opt.v, self.mesh))
         self.state.update(state)
         self.state.update({k: meta[k] for k in
-                           ("step", "epoch", "best_metric", "bad_epochs")
+                           ("step", "epoch", "best_metric", "bad_epochs",
+                            "batch_cursor")
                            if k in meta})
-        log.info("recovered at epoch %d step %d", self.state["epoch"],
+        log.info("recovered at epoch %d batch %d step %d",
+                 self.state["epoch"], self.state.get("batch_cursor", 0),
                  self.state["step"])
         return True
 
@@ -228,20 +230,27 @@ class Trainer:
         while self.state["epoch"] < t.num_epochs and not stop:
             epoch = self.state["epoch"]
             em = self._train_epoch(epoch, rng)
+            cursor = em.pop("cursor", 0)
+            stopped_mid = em.pop("stopped_mid", False)
             # agreed globally: a flag raised between epochs must stop every
             # process, not just the signalled one
             if self._check_stop():
-                # preempted mid-epoch: persist a checkpoint that recover()
-                # resumes from (epoch granularity — the partial epoch is
-                # redone, matching the reference's per-epoch recovery)
+                # preempted: persist a checkpoint recover() resumes from.
+                # A mid-epoch stop records the batch cursor so the resumed
+                # run continues at the NEXT batch of the same (epoch_index-
+                # seeded, deterministic) order — step-exact, no redone work
+                # (the reference redoes the whole epoch). A stop that
+                # landed after the epoch finished resumes at epoch + 1.
+                at_epoch = epoch if stopped_mid else epoch + 1
                 self.ckpt.save(
                     epoch, {"params": self.state["params"],
                             "opt": self.state["opt"]},
-                    {"step": self.state["step"], "epoch": epoch,
+                    {"step": self.state["step"], "epoch": at_epoch,
+                     "batch_cursor": cursor if stopped_mid else 0,
                      "best_metric": self.state["best_metric"],
                      "bad_epochs": self.state["bad_epochs"]})
-                log.info("stop requested: checkpointed at epoch %d step %d",
-                         epoch, self.state["step"])
+                log.info("stop requested: checkpointed at epoch %d batch %d "
+                         "step %d", epoch, cursor, self.state["step"])
                 self.ckpt.flush()   # async save barrier before exiting
                 return {"best_metric": self.state["best_metric"],
                         "epochs": epoch, "preempted": True}
@@ -324,10 +333,23 @@ class Trainer:
         n_batches = 0
         n_examples = 0
         profiling = False
+        stopped_mid = False
+        # mid-epoch resume: skip the already-trained prefix of this epoch's
+        # (deterministic, epoch_index-seeded) batch order. The skip runs
+        # BEFORE the device prefetcher so skipped batches are never
+        # device_put; with the native gather loader a skipped batch costs
+        # well under a millisecond of host packing.
+        resume_at = int(self.state.pop("batch_cursor", 0) or 0)
+        batches = self.train_batches(epoch)
+        if resume_at:
+            import itertools
+            batches = itertools.islice(batches, resume_at, None)
+            log.info("resuming epoch %d at batch %d", epoch, resume_at)
         try:
-            with self.mesh, self._prefetched(self.train_batches(epoch)) as pf:
+            with self.mesh, self._prefetched(batches) as pf:
                 for batch in pf:
                     if self._check_stop():
+                        stopped_mid = True
                         break
                     step_rng = jax.random.fold_in(rng, self.state["step"])
                     if (self.tcfg.profile_steps and not profiling
@@ -377,7 +399,12 @@ class Trainer:
         return {"loss": mean, "batches": n_batches, "skipped": skipped,
                 "examples": n_examples,
                 "examples_per_sec": n_examples / dt if dt > 0 else 0.0,
-                "epoch_seconds": dt}
+                "epoch_seconds": dt,
+                # absolute position in the epoch's batch order + whether
+                # the loop was actually cut short (for the stop branch's
+                # cursor checkpoint) — popped before metrics are recorded
+                "cursor": resume_at + n_batches,
+                "stopped_mid": stopped_mid}
 
     def _validate(self) -> dict:
         if self.val_batches is None:

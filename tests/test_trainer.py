@@ -198,3 +198,62 @@ def test_async_checkpoint_overlap_and_flush(tmp_path):
     cm.save_best({"x": big["x"]}, {"metric": 0.5})
     state, meta = cm.restore("best")
     assert meta["metric"] == 0.5
+
+
+def test_midepoch_cursor_resume_is_step_exact(shard_dir, tmp_path):
+    """A preemption in the middle of an epoch resumes at the NEXT batch of
+    the same (epoch_index-seeded) order — the recovered run's final params
+    are bit-identical to an uninterrupted run's (the reference redoes the
+    whole epoch; we redo nothing)."""
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(5), RCFG),
+              "roberta_cfg": RCFG}
+
+    def factory(stop_after=None):
+        ds = RecordDataset(str(shard_dir / "train-*.npz"), seed=0)
+        holder = {}
+
+        def train_batches(epoch):
+            def gen():
+                it = bucket_batches(
+                    ds.epoch(lazy=True, epoch_index=epoch), BCFG)
+                for j, b in enumerate(it):
+                    if (stop_after is not None and epoch == 0
+                            and j == stop_after):
+                        holder["trainer"].request_stop()
+                    yield b
+            return gen()
+        return train_batches, holder
+
+    def tcfg(d):
+        return TrainerConfig(serialization_dir=str(tmp_path / d),
+                             num_epochs=2, patience=50, t_total=5000,
+                             log_every=1000, summary_interval=0, n_data=1)
+
+    # run A: uninterrupted
+    tb_a, _ = factory()
+    ta = Trainer(CFG, tcfg("a"), tb_a, frozen=frozen)
+    res_a = ta.train()
+    assert "preempted" not in res_a
+
+    # run B: preempted mid-epoch-0, then recovered and finished
+    tb_b, holder = factory(stop_after=2)
+    tbr = Trainer(CFG, tcfg("b"), tb_b, frozen=frozen)
+    holder["trainer"] = tbr
+    res_b = tbr.train()
+    assert res_b["preempted"] is True
+
+    tb_b2, holder2 = factory()
+    tb2 = Trainer(CFG, tcfg("b"), tb_b2, frozen=frozen)
+    holder2["trainer"] = tb2
+    assert tb2.recover()
+    assert tb2.state["epoch"] == 0            # same epoch, not redone
+    cursor = tb2.state.get("batch_cursor", 0)
+    assert cursor >= 1                        # genuinely mid-epoch
+    res_b2 = tb2.train()
+    assert "preempted" not in res_b2
+
+    # step counts line up and params match run A exactly
+    assert tb2.state["step"] == ta.state["step"]
+    for pa, pb in zip(jax.tree.leaves(ta.state["params"]),
+                      jax.tree.leaves(tb2.state["params"])):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))

@@ -28,6 +28,14 @@ the standalone chain (one live buffer) hides. lax.top_k stays.
               the sort — which is why the fused-logits kernel
               (TELL_TPU_TOPK) is the only lever left, and it measured
               slower for other reasons (ops/adaptive.py).
+
+  bf16-logits — rounding the logits to bf16 in the matmul epilogue so
+              the sort + logsumexp read half the bytes measured SLOWER
+              end-to-end too: 258.7 vs 266.9 captions/s beam-5 B=128
+              (TPU sort of a bf16 key array loses more than the halved
+              stream saves, and the f32 path's matmul+consumer overlap
+              is already hiding part of the read). Tried and reverted —
+              the fp32 raw-logit path stays.
 """
 import os
 import sys
