@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .captioner import build_contexts
-from .decoder import decoder_step, decoder_top_k, init_decode_state
+from .decoder import (decode_vocab_table, decoder_step, decoder_top_k,
+                      init_decode_state)
 
 
 def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
@@ -153,6 +154,7 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
                               beam=K, dtype=feat0.dtype)
     kv = state.pop("kv")  # constant during decode: closed over, not carried
     embed_table = state.pop("embed_table")
+    vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
 
     def step_fn(tokens, dyn):
         feats, new_state, _ = decoder_step(
@@ -160,7 +162,8 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
             {**dyn, "kv": kv, "embed_table": embed_table})
         new_state = {k: v for k, v in new_state.items()
                      if k not in ("kv", "embed_table")}
-        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K)
+        cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K,
+                                          vocab_table=vocab_table)
         return cand_lp, cand_ids, new_state
 
     def reorder_fn(state, flat_parent):

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .decoder import (
-    decoder_loss, decoder_step, decoder_top_k, init_decode_state,
+    decode_vocab_table, decoder_loss, decoder_step, decoder_top_k,
+    init_decode_state,
     init_decoder,
 )
 
@@ -162,6 +163,7 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     # at production shapes — XLA cannot alias unchanged scan carries).
     kv = state.pop("kv")
     embed_table = state.pop("embed_table")
+    vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
     # rows padded into the batch for shape stability (serving packs every
     # micro-batch to max_batch) start out finished, so the early-exit
@@ -182,7 +184,8 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
         state = {k: v for k, v in state.items()
                  if k not in ("kv", "embed_table")}
         topk_lp, topk_idx = decoder_top_k(params["decoder"], dcfg, feats,
-                                          cfg.sampling_topk)
+                                          cfg.sampling_topk,
+                                          vocab_table=vocab_table)
         if cfg.sampling_topk == 1:
             choice = jnp.zeros((B,), jnp.int32)
             sel_lp = topk_lp[:, 0]

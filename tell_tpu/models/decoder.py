@@ -30,6 +30,7 @@ from ..config import DecoderConfig
 from ..ops.adaptive import (
     adaptive_embed, adaptive_log_probs, adaptive_softmax_loss,
     adaptive_top_k, init_adaptive_embedding, init_adaptive_softmax,
+    merged_decode_table,
     merged_embed_table,
 )
 from ..ops.attention import (
@@ -506,12 +507,40 @@ def decoder_log_probs(params: dict, cfg: DecoderConfig,
 
 
 def decoder_top_k(params: dict, cfg: DecoderConfig, feats: jax.Array,
-                  k: int) -> tuple[jax.Array, jax.Array]:
+                  k: int, vocab_table: jax.Array | None = None
+                  ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k next-token log-probs from step features [B, E] — the
-    decode hot path (never materializes the [B, V] distribution)."""
+    decode hot path (never materializes the [B, V] distribution).
+    vocab_table: optional decode_vocab_table() — collapses the per-step
+    head/tail chain into one matmul (see merged_decode_table)."""
     return adaptive_top_k(params["adaptive_softmax"], params["embed"],
                           feats, cfg.full_cutoffs, k,
-                          padding_idx=cfg.embed_padding_idx)
+                          padding_idx=cfg.embed_padding_idx,
+                          vocab_table=vocab_table)
+
+
+def decode_vocab_table(params: dict, cfg: DecoderConfig,
+                       dtype=None) -> jax.Array | None:
+    """Merged [E, ~V] softmax matmul table for the decode loop — computed
+    once per generate/beam call (closed over, like the KV), consumed by
+    decoder_top_k(vocab_table=).
+
+    OPT-IN (TELL_TPU_MERGED_VOCAB=1): collapsing the head/tail chain into
+    one matmul measured SLOWER end-to-end on v5e-1 — 230.4 vs 261.9
+    captions/s beam-5 B=128 — despite ~5 fewer dispatches and identical
+    HBM bytes: the split chain lets XLA overlap each tail's MXU matmul
+    with the previous cluster's VPU sort, and one serial
+    [640, 1024]x[1024, 50267] matmul followed by three sorts leaves the
+    MXU idle through the sort phase (same mechanism that keeps the fused
+    top-k kernel opt-in, see adaptive_top_k). Default None = per-cluster
+    chain."""
+    import os
+    if os.environ.get("TELL_TPU_MERGED_VOCAB", "0") != "1":
+        return None
+    return merged_decode_table(params["adaptive_softmax"], params["embed"],
+                               cfg.full_cutoffs,
+                               padding_idx=cfg.embed_padding_idx,
+                               dtype=dtype)
 
 
 # ---------------------------------------------------------------------------

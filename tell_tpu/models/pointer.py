@@ -44,7 +44,8 @@ from ..ops.self_attention import (
 )
 from .captioner import build_contexts, init_captioner
 from .decoder import (
-    decoder_forward, decoder_step, decoder_top_k, init_decode_state,
+    decode_vocab_table, decoder_forward, decoder_step, decoder_top_k,
+    init_decode_state,
 )
 
 MAX_COPY_ENTITIES = 24  # static bound on distinct entities per caption
@@ -247,6 +248,8 @@ def pointer_generate(params: dict, cfg: PointerConfig, batch: dict,
                               B, dtype=feat0.dtype)
     kv = state.pop("kv")  # constant during decode: closed over, not carried
     embed_table = state.pop("embed_table")
+    vocab_table = decode_vocab_table(params["captioner"]["decoder"], dcfg,
+                                     feat0.dtype)
     article = _copy_article(params, cfg, batch)
     context_ids = batch["context_ids"]
     proper = batch["proper_masks"] >= 1
@@ -299,7 +302,8 @@ def pointer_generate(params: dict, cfg: PointerConfig, batch: dict,
         should_copy = should_copy & ~empty & ~has_copied
 
         topk_lp, topk_idx = decoder_top_k(params["captioner"]["decoder"],
-                                          dcfg, feats, cap.sampling_topk)
+                                          dcfg, feats, cap.sampling_topk,
+                                          vocab_table=vocab_table)
         if cap.sampling_topk == 1:
             gen_id = topk_idx[:, 0]
             sel_lp = topk_lp[:, 0]

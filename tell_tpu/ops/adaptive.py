@@ -238,24 +238,70 @@ def adaptive_softmax_loss(sm: dict, emb: dict, x: jax.Array,
     return loss, sample_size, {"tail_dropped": n_dropped}
 
 
+def merged_decode_table(sm: dict, emb: dict, cutoffs: tuple[int, ...],
+                        padding_idx: int = 0, dtype=None) -> jax.Array:
+    """One [D, c0 + n_tails + sum(tail bands)] matmul table for decode-time
+    top-k. Column layout = _head_logits (band-0 words ++ class logits) ++
+    each tail band's logits.
+
+    The head-word block is band-0's (tied) table, the class block is
+    class_proj, and tail i's projection chain (x @ P_i) @ T_i^T collapses
+    to x @ (P_i @ T_i^T) — exact up to float reassociation (no biases
+    anywhere in the chain). Padding columns are zeroed exactly as
+    _pad_col_mask does per block. Precomputed ONCE per decode call (the
+    collapse costs ~2 decode steps of tail FLOPs) so each step's top-k is
+    a single fused matmul instead of the 5-dispatch head/tail chain — the
+    per-step HBM bytes are identical (same total table + logits traffic)
+    but the op-chain overhead on the 640-row decode problem is not; see
+    adaptive_top_k(vocab_table=)."""
+    ranges = band_ranges(cutoffs)
+    c0 = ranges[0][1]
+    blocks = [emb["bands"][0]["embed"].T.astype(jnp.float32),
+              sm["class_proj"]["w"].astype(jnp.float32)]
+    for i in range(len(ranges) - 1):
+        blocks.append(jnp.dot(sm["tail_projs"][i]["w"],
+                              emb["bands"][i + 1]["embed"].T,
+                              preferred_element_type=jnp.float32))
+    w = jnp.concatenate(blocks, axis=1)
+    cols = []                       # per-block padding columns to zero
+    if 0 <= padding_idx < c0:
+        cols.append(padding_idx)
+    off = c0 + len(ranges) - 1
+    for lo, hi in ranges[1:]:
+        if 0 <= padding_idx < hi - lo:
+            cols.append(off + padding_idx)
+        off += hi - lo
+    if cols:
+        w = w.at[:, jnp.asarray(cols)].set(0.0)
+    return w if dtype is None else w.astype(dtype)
+
+
 def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
                    cutoffs: tuple[int, ...], k: int,
-                   padding_idx: int = 0) -> tuple[jax.Array, jax.Array]:
+                   padding_idx: int = 0,
+                   vocab_table: jax.Array | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k of the full factored distribution WITHOUT materializing
     [N, V] log-probs — the decode-loop hot path.
 
     Per-cluster top-k + prior shift, then top-k over the (n_clusters * k)
     candidates. Exact because adding a cluster's scalar prior preserves
     within-cluster order. Returns (log_probs [N, k], token_ids [N, k]).
+
+    vocab_table: optional precomputed merged_decode_table — all cluster
+    logits then come from ONE [N, D] x [D, V+n_tails] matmul and the
+    head/tail blocks are slices of it (same math, ~5 fewer dispatches per
+    decode step).
     """
     ranges = band_ranges(cutoffs)
     c0 = ranges[0][1]
+    n_tails = len(ranges) - 1
     # The Pallas top-k kernel (ops/kernels/topk_logits.py) avoids the
     # [N, V] logits round-trip but measured ~5% SLOWER end-to-end on v5e
     # (XLA's sort overlaps the matmul better than the in-kernel k-pass
     # extraction), so it is opt-in: TELL_TPU_TOPK=1.
     from .kernels.dispatch import env_flag
-    if (env_flag("TELL_TPU_TOPK") and k <= 8
+    if (vocab_table is None and env_flag("TELL_TPU_TOPK") and k <= 8
             and x.shape[0] * 2048 * 4 < 8 * 2**20):
         return _adaptive_top_k_fused(sm, emb, x, ranges, k, padding_idx)
     # top_k on RAW logits (order-preserving), log-softmax applied only to
@@ -264,13 +310,25 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # (A bf16-logits variant — halving the [N, V] stream the sort reads —
     # measured SLOWER end-to-end: 258.7 vs 266.9 captions/s; see the
     # findings log in tools/topk_variants.py.)
-    head_logits = _head_logits(sm, emb, x, padding_idx).astype(jnp.float32)
+    if vocab_table is not None:
+        logits_all = jnp.dot(x, vocab_table.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+        head_logits = logits_all[:, :c0 + n_tails]
+        tail_off = c0 + n_tails
+    else:
+        head_logits = _head_logits(sm, emb, x, padding_idx
+                                   ).astype(jnp.float32)
     head_lse = jax.scipy.special.logsumexp(head_logits, axis=-1)
     vals, ids = jax.lax.top_k(head_logits[:, :c0], k)
     all_vals = [vals - head_lse[:, None]]
     all_ids = [ids]
     for i, (lo, hi) in enumerate(ranges[1:]):
-        tl = _tail_logits(sm, emb, x, i, padding_idx).astype(jnp.float32)
+        if vocab_table is not None:
+            tl = logits_all[:, tail_off:tail_off + (hi - lo)]
+            tail_off += hi - lo
+        else:
+            tl = _tail_logits(sm, emb, x, i, padding_idx
+                              ).astype(jnp.float32)
         lse = jax.scipy.special.logsumexp(tl, axis=-1)
         tv, ti = jax.lax.top_k(tl, min(k, hi - lo))
         prior = head_logits[:, c0 + i] - head_lse

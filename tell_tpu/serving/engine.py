@@ -51,8 +51,8 @@ import numpy as np
 
 from ..config import CaptionerConfig
 from ..models.captioner import build_contexts
-from ..models.decoder import (decoder_step, decoder_top_k,
-                              init_decode_state,
+from ..models.decoder import (decode_vocab_table, decoder_step,
+                              decoder_top_k, init_decode_state,
                               precompute_context_kv_cat)
 
 
@@ -190,7 +190,9 @@ class DecodeEngine:
                                    self._zero_batch(dtype))
         dstate = init_decode_state(params["decoder"], self.dcfg, contexts0,
                                    self.slots, beam=self.beam, dtype=dtype)
-        aux = {"embed_table": dstate.pop("embed_table")}
+        aux = {"embed_table": dstate.pop("embed_table"),
+               "vocab_table": decode_vocab_table(params["decoder"],
+                                                 self.dcfg, dtype)}
         dstate.pop("step")  # replaced by the per-slot counter
         return aux, dstate.pop("kv"), dstate
 
@@ -219,7 +221,7 @@ class DecodeEngine:
             {"conv": state["conv"], "kv": state["kv"],
              "embed_table": aux["embed_table"], "step": step_rows})
         lp, ids = decoder_top_k(params["decoder"], self.dcfg, feats,
-                                self.beam)
+                                self.beam, vocab_table=aux["vocab_table"])
         return lp, ids, {"conv": dstate["conv"]}
 
     def _dyn_reorder(self, dyn: dict, parent: jax.Array) -> dict:

@@ -75,6 +75,51 @@ def test_top_k_matches_full_log_probs():
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
 
 
+def test_top_k_merged_vocab_table_matches_plain():
+    """Decode fast path: the collapsed one-matmul table reproduces the
+    per-cluster head/tail chain (values to float-reassociation tolerance,
+    ids exactly) — for factor 1 AND projected tails (factor 2)."""
+    from tell_tpu.ops.adaptive import adaptive_top_k, merged_decode_table
+    for factor in (1.0, 2.0):
+        emb, sm = make_params(factor=factor)
+        x = jax.random.normal(jax.random.PRNGKey(8), (9, D))
+        table = merged_decode_table(sm, emb, CUTOFFS)
+        n_tails = len(CUTOFFS) - 1
+        assert table.shape == (D, CUTOFFS[-1] + n_tails)
+        for k in (1, 5):
+            vals, ids = adaptive_top_k(sm, emb, x, CUTOFFS, k)
+            mv, mi = adaptive_top_k(sm, emb, x, CUTOFFS, k,
+                                    vocab_table=table)
+            np.testing.assert_array_equal(np.asarray(mi), np.asarray(ids))
+            np.testing.assert_allclose(np.asarray(mv), np.asarray(vals),
+                                       atol=1e-5)
+
+
+def test_merged_vocab_table_padding_columns_zeroed():
+    """padding_idx column of the head-word block and of each tail band
+    yields logit exactly 0 (the _pad_col_mask contract), so the merged
+    path keeps the tied pad row inert."""
+    from tell_tpu.ops.adaptive import (adaptive_log_probs,
+                                       adaptive_top_k, merged_decode_table)
+    emb, sm = make_params()
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, D))
+    table = merged_decode_table(sm, emb, CUTOFFS, padding_idx=0)
+    logits = np.asarray(jnp.dot(x, table))
+    c0 = CUTOFFS[0]
+    n_tails = len(CUTOFFS) - 1
+    np.testing.assert_array_equal(logits[:, 0], 0.0)          # head pad col
+    off = c0 + n_tails
+    for lo, hi in zip(CUTOFFS[:-1], CUTOFFS[1:]):
+        np.testing.assert_array_equal(logits[:, off], 0.0)    # tail pad col
+        off += hi - lo
+    # and the end-to-end log-probs still agree with the dense reference
+    lp = adaptive_log_probs(sm, emb, x, CUTOFFS)
+    mv, mi = adaptive_top_k(sm, emb, x, CUTOFFS, 3, vocab_table=table)
+    rv, ri = jax.lax.top_k(lp, 3)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(ri))
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(rv), atol=1e-5)
+
+
 def test_embedding_bands_and_pinned_rows():
     emb, _ = make_params()
     ids = jnp.array([[0, 1, 49, 50, 199, 200, 499]])

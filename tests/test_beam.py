@@ -24,6 +24,27 @@ def test_beam1_equals_greedy():
                                   np.asarray(beam["token_ids"][:, 0]))
 
 
+def test_merged_vocab_table_optin_matches_default(monkeypatch):
+    """TELL_TPU_MERGED_VOCAB=1 routes generate + beam through the one-matmul
+    decode softmax (decode_vocab_table); outputs must match the default
+    per-cluster chain (fp32 CPU: reassociation-level drift only)."""
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    ref_g = generate(params, CFG, batch)
+    ref_b = beam_search(params, CFG, batch, beam_size=3)
+    monkeypatch.setenv("TELL_TPU_MERGED_VOCAB", "1")
+    got_g = generate(params, CFG, batch)
+    got_b = beam_search(params, CFG, batch, beam_size=3)
+    np.testing.assert_array_equal(np.asarray(ref_g["token_ids"]),
+                                  np.asarray(got_g["token_ids"]))
+    np.testing.assert_allclose(np.asarray(ref_g["log_probs"]),
+                               np.asarray(got_g["log_probs"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref_b["token_ids"]),
+                                  np.asarray(got_b["token_ids"]))
+    np.testing.assert_allclose(np.asarray(ref_b["scores"]),
+                               np.asarray(got_b["scores"]), atol=1e-4)
+
+
 def brute_force_beam(params, cfg, batch, beam_size, gen_len):
     """Score prefixes with decoder_forward (teacher forcing) — O(V*beam)
     hypotheses rescanned from scratch each step. Single batch element."""

@@ -48,9 +48,24 @@ def _ensure_reference():
         ov = types.ModuleType("overrides")
         ov.overrides = lambda f: f
         sys.modules["overrides"] = ov
+    if "allennlp.common.registrable" not in sys.modules:
+        com = types.ModuleType("allennlp.common")
+        reg = types.ModuleType("allennlp.common.registrable")
+
+        class Registrable:
+            @classmethod
+            def register(cls, name):
+                return lambda c: c
+
+        reg.Registrable = Registrable
+        com.registrable = reg
+        sys.modules["allennlp"].common = com
+        sys.modules["allennlp.common"] = com
+        sys.modules["allennlp.common.registrable"] = reg
     # namespace packages that bypass the AllenNLP-importing __init__ files
     for name in ("tell", "tell.modules", "tell.modules.convolutions",
-                 "tell.modules.attention", "tell.modules.token_embedders"):
+                 "tell.modules.attention", "tell.modules.token_embedders",
+                 "tell.modules.criteria"):
         path = REF + "/" + name.replace(".", "/")
         m = types.ModuleType(name)
         m.__path__ = [path]
@@ -225,6 +240,40 @@ def test_adaptive_softmax_log_probs_match_reference():
     out = adaptive_log_probs(jsm, jemb, jnp.asarray(_np(x)),
                              cutoffs + (vocab,), padding_idx=0)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_adaptive_loss_matches_reference():
+    """Training-loss semantics against the EXECUTED reference AdaptiveLoss
+    (criteria/adaptive_loss.py:27-72): per-cluster CE summed, sample_size =
+    non-pad token count.
+
+    Deliberate divergence NOT exercised here: the reference applies
+    ignore_index=padding_idx to every cluster's cross_entropy, so a tail
+    token whose within-cluster index equals padding_idx (global ids
+    cutoff_i + 1, i.e. exactly 2 of 50265 BPE types in the shipped config)
+    silently drops out of its loss — an artifact of reusing the pad id per
+    cluster, which we do not reproduce (adaptive_softmax_loss masks pads on
+    the GLOBAL ids). Targets below avoid those two ids."""
+    from tell_tpu.ops.adaptive import adaptive_softmax_loss
+    crit_mod = _import("tell.modules.criteria.adaptive_loss")
+    vocab, cutoffs, dim = 120, (40, 80), 16
+    emb, soft = _ref_adaptive(vocab, cutoffs, dim)
+    torch.manual_seed(5)
+    x = torch.randn(4, 7, dim)
+    target = torch.randint(0, vocab, (4, 7))
+    target[target == cutoffs[0] + 1] = cutoffs[0] + 2   # quirk ids out
+    target[target == cutoffs[1] + 1] = cutoffs[1] + 2
+    target[0, :3] = 1                                   # real pads
+    crit = crit_mod.AdaptiveLoss(padding_idx=1)
+    with torch.no_grad():
+        ref_loss, ref_n = crit(soft, (x,), target)
+    jemb, jsm = _convert_adaptive(emb, soft, cutoffs, vocab, dim)
+    loss, n, _ = adaptive_softmax_loss(
+        jsm, jemb, jnp.asarray(_np(x)).reshape(-1, dim),
+        jnp.asarray(_np(target)).reshape(-1), cutoffs + (vocab,),
+        pad_id=1, padding_idx=0)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    assert int(n) == int(ref_n)
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,18 @@ the standalone chain (one live buffer) hides. lax.top_k stays.
               (TELL_TPU_TOPK) is the only lever left, and it measured
               slower for other reasons (ops/adaptive.py).
 
+  merged-vocab-table — collapsing the whole decode softmax (head words +
+              class logits + both projected tails, pad columns folded in)
+              into ONE [N, 1024] x [1024, 50267] matmul via a precomputed
+              table (ops/adaptive.py merged_decode_table): 230.4 vs 261.9
+              captions/s beam-5 B=128 on an idle host. Same HBM bytes,
+              ~5 fewer dispatches, 12% SLOWER — the split chain pipelines
+              each tail's MXU matmul under the previous cluster's VPU
+              sort; the monolith serializes matmul -> 3 sorts with the
+              MXU idle. Kept opt-in: TELL_TPU_MERGED_VOCAB=1
+              (models/decoder.py decode_vocab_table; parity tests in
+              tests/test_adaptive.py).
+
   bf16-logits — rounding the logits to bf16 in the matmul epilogue so
               the sort + logsumexp read half the bytes measured SLOWER
               end-to-end too: 258.7 vs 266.9 captions/s beam-5 B=128
