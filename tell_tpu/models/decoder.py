@@ -533,14 +533,20 @@ def decode_vocab_table(params: dict, cfg: DecoderConfig,
     [640, 1024]x[1024, 50267] matmul followed by three sorts leaves the
     MXU idle through the sort phase (same mechanism that keeps the fused
     top-k kernel opt-in, see adaptive_top_k). Default None = per-cluster
-    chain."""
-    import os
-    if os.environ.get("TELL_TPU_MERGED_VOCAB", "0") != "1":
+    chain.
+
+    The table is kept fp32 regardless of the requested compute dtype: the
+    default chain matmuls against param-dtype tables with fp32
+    accumulation, and rounding the fp32-composed table (incl. the
+    collapsed tail product P@T^T) to bf16 can flip near-tie top-k ids."""
+    from ..ops.kernels.dispatch import env_flag
+    del dtype  # always fp32; see docstring
+    if not env_flag("TELL_TPU_MERGED_VOCAB"):
         return None
     return merged_decode_table(params["adaptive_softmax"], params["embed"],
                                cfg.full_cutoffs,
                                padding_idx=cfg.embed_padding_idx,
-                               dtype=dtype)
+                               dtype=None)
 
 
 # ---------------------------------------------------------------------------

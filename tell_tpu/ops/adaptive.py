@@ -291,7 +291,13 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     vocab_table: optional precomputed merged_decode_table — all cluster
     logits then come from ONE [N, D] x [D, V+n_tails] matmul and the
     head/tail blocks are slices of it (same math, ~5 fewer dispatches per
-    decode step).
+    decode step). The table bakes in its build-time padding_idx (zeroed
+    columns); when it is supplied this function's padding_idx argument is
+    unused, so the table MUST have been built with the same padding_idx
+    the caller would otherwise pass — they diverge silently otherwise.
+    The table is consumed at its own (fp32) precision rather than being
+    downcast to x.dtype, matching the default chain's param-dtype matmul
+    with fp32 accumulation.
     """
     ranges = band_ranges(cutoffs)
     c0 = ranges[0][1]
@@ -311,7 +317,7 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # measured SLOWER end-to-end: 258.7 vs 266.9 captions/s; see the
     # findings log in tools/topk_variants.py.)
     if vocab_table is not None:
-        logits_all = jnp.dot(x, vocab_table.astype(x.dtype),
+        logits_all = jnp.dot(x, vocab_table,
                              preferred_element_type=jnp.float32)
         head_logits = logits_all[:, :c0 + n_tails]
         tail_off = c0 + n_tails

@@ -330,6 +330,7 @@ class Trainer:
     def _train_epoch(self, epoch: int, rng: jax.Array) -> dict:
         t0 = time.time()
         losses, skips = [], []  # device arrays; converted once at epoch end
+        tails, sizes = [], []  # tail-capacity overflow guard accumulators
         n_batches = 0
         n_examples = 0
         profiling = False
@@ -375,6 +376,8 @@ class Trainer:
                     # int(skipped) here would sync the host every step and
                     # serialize dispatch; accumulate device-side instead
                     skips.append(m["skipped"])
+                    tails.append(m.get("tail_dropped", 0))
+                    sizes.append(m.get("sample_size", 0))
                     if n_batches % self.tcfg.log_every == 0:
                         log.info("epoch %d step %d loss %.4f", epoch,
                                  self.state["step"], float(m["loss"]))
@@ -395,8 +398,23 @@ class Trainer:
         # force a spurious early stop; reference :225-227 drops them too)
         ok = np.isfinite(losses)
         mean = float(losses[ok].mean()) if ok.any() else float("nan")
+        # Tail-capacity overflow guard: adaptive_softmax_loss silently
+        # degrades overflowed rows to head-only loss (ops/adaptive.py
+        # tail_capacity path); a misconfigured tail_capacity_frac would
+        # quietly bias training, so surface it when the dropped fraction
+        # exceeds 0.1% of non-pad tokens this epoch.
+        tail_dropped = int(sum(float(x) for x in tails))
+        n_tokens = int(sum(float(x) for x in sizes))
+        tail_frac = tail_dropped / n_tokens if n_tokens else 0.0
+        if tail_frac > 1e-3:
+            log.warning(
+                "epoch %d: adaptive-softmax tail capacity dropped %d/%d "
+                "tokens (%.3f%%) to head-only loss — raise "
+                "tail_capacity_frac", epoch, tail_dropped, n_tokens,
+                100.0 * tail_frac)
         dt = time.time() - t0
         return {"loss": mean, "batches": n_batches, "skipped": skipped,
+                "tail_dropped": tail_dropped, "tail_dropped_frac": tail_frac,
                 "examples": n_examples,
                 "examples_per_sec": n_examples / dt if dt > 0 else 0.0,
                 "epoch_seconds": dt,

@@ -257,3 +257,31 @@ def test_midepoch_cursor_resume_is_step_exact(shard_dir, tmp_path):
     for pa, pb in zip(jax.tree.leaves(ta.state["params"]),
                       jax.tree.leaves(tb2.state["params"])):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_tail_capacity_overflow_warns(shard_dir, tmp_path, caplog):
+    """A too-small tail_capacity_frac silently degrades overflowed rows to
+    head-only loss (ops/adaptive.py tail_capacity path); the trainer must
+    count the drops per epoch and warn when the fraction exceeds 0.1%."""
+    import logging
+
+    from tell_tpu.config import small_test_config
+
+    cfg = small_test_config(tail_capacity_frac=(0.01, 0.01))
+    train_ds = RecordDataset(str(shard_dir / "train-*.npz"), seed=0)
+    frozen = {"roberta": init_roberta(jax.random.PRNGKey(5), RCFG),
+              "roberta_cfg": RCFG}
+
+    def train_batches(epoch):
+        return bucket_batches(train_ds.epoch(), BCFG)
+
+    tcfg = TrainerConfig(serialization_dir=str(tmp_path / "run"),
+                         num_epochs=1, patience=10, t_total=100,
+                         log_every=1000, summary_interval=0, n_data=1)
+    trainer = Trainer(cfg, tcfg, train_batches, frozen=frozen)
+    with caplog.at_level(logging.WARNING):
+        trainer.train()
+    em = trainer.metrics_history[0]
+    assert em["tail_dropped"] > 0
+    assert em["tail_dropped_frac"] > 1e-3
+    assert any("tail capacity" in r.message for r in caplog.records)
