@@ -63,6 +63,9 @@ class DecoderConfig:
     adaptive_factor: float = 1.0
     adaptive_softmax_dropout: float = 0.0
     scale_embeds: bool = True
+    # "sinusoidal" (static table) or "learned" (trainable table, reference's
+    # learned_positional embedder, positional.py:12-81)
+    positional: str = "sinusoidal"
     embed_padding_idx: int = 0  # pins <s> rows; see ops/adaptive.py
     pad_id: int = 1
     bos_id: int = 0

@@ -42,12 +42,20 @@ from ..ops.dynamic_conv import (
     init_lightweight_conv, lightweight_conv, lightweight_conv_step,
 )
 from ..ops.linear import gehring_linear, init_gehring_linear
-from ..ops.positional import sinusoidal_embed, sinusoidal_table
+from ..ops.positional import (init_learned_positional, sinusoidal_embed,
+                              sinusoidal_table)
 
 
 @functools.lru_cache(maxsize=8)
 def _pos_table(n: int, dim: int, pad: int):
     return sinusoidal_table(n, dim, padding_idx=pad)
+
+
+def _positional_table(params: dict, cfg: DecoderConfig):
+    if cfg.positional == "learned":
+        return params["pos_embed"]["table"]
+    return _pos_table(cfg.max_target_positions + cfg.pad_id + 2,
+                      cfg.embed_dim, cfg.pad_id)
 
 
 def init_decoder(rng: jax.Array, cfg: DecoderConfig) -> dict:
@@ -66,6 +74,11 @@ def init_decoder(rng: jax.Array, cfg: DecoderConfig) -> dict:
                                             cfg, k))
     if cfg.normalize_before and cfg.final_norm:
         params["final_ln"] = init_layer_norm(cfg.embed_dim)
+    if cfg.positional == "learned":
+        params["pos_embed"] = init_learned_positional(
+            jax.random.fold_in(r_embed, 7919),
+            cfg.max_target_positions + cfg.pad_id + 2, cfg.embed_dim,
+            padding_idx=cfg.pad_id)
     return params
 
 
@@ -102,12 +115,15 @@ def embed_tokens(params: dict, cfg: DecoderConfig, ids: jax.Array,
                  start_pos: jax.Array | int = 0,
                  rng: jax.Array | None = None,
                  deterministic: bool = True) -> jax.Array:
-    """Adaptive + sinusoidal sum (SumTextFieldEmbedder semantics), dropout."""
+    """Adaptive + positional sum (SumTextFieldEmbedder semantics), dropout.
+
+    The positional term is the static sinusoidal table or, with
+    cfg.positional == "learned", the trainable table in params["pos_embed"]
+    (same pad-aware position semantics either way)."""
     x = adaptive_embed(params["embed"], ids, cfg.full_cutoffs, cfg.embed_dim,
                        padding_idx=cfg.embed_padding_idx,
                        scale_embeds=cfg.scale_embeds)
-    table = _pos_table(cfg.max_target_positions + cfg.pad_id + 2,
-                       cfg.embed_dim, cfg.pad_id)
+    table = _positional_table(params, cfg)
     x = x + sinusoidal_embed(table, ids, cfg.pad_id, start_pos).astype(x.dtype)
     return dropout(x, cfg.dropout, rng, deterministic)
 
@@ -589,8 +605,7 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     B = state["kv"][0][0]["k"].shape[0]
     K = R // B
     tok_embed = jnp.take(state["embed_table"], tokens, axis=0)
-    table = _pos_table(cfg.max_target_positions + cfg.pad_id + 2,
-                       cfg.embed_dim, cfg.pad_id)
+    table = _positional_table(params, cfg)
     pos = sinusoidal_embed(table, tokens[:, None], cfg.pad_id,
                            state["step"])[:, 0]
     x = tok_embed + pos.astype(tok_embed.dtype)       # [R, E]

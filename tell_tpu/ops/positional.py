@@ -37,6 +37,21 @@ def sinusoidal_table(n_positions: int, dim: int,
     return np.asarray(signal, np.float32)
 
 
+def init_learned_positional(rng: jax.Array, n_positions: int, dim: int,
+                            padding_idx: int | None = None) -> dict:
+    """Trainable position-embedding table, normal(0, 0.1) init with the
+    padding row zeroed — LearnedPositionalEmbedding semantics
+    (/root/reference/tell/modules/token_embedders/positional.py:12-81,
+    reset_parameters at :29-33). Lookup shares positional_embed(): pad-aware
+    positions from make_positions plus a carried start_pos during decode,
+    exactly like the sinusoidal path (the reference's incremental branch
+    :51-57 carries the last position in incremental_state)."""
+    table = 0.1 * jax.random.normal(rng, (n_positions, dim), jnp.float32)
+    if padding_idx is not None:
+        table = table.at[padding_idx].set(0.0)
+    return {"table": table}
+
+
 def make_positions(ids: jax.Array, padding_idx: int) -> jax.Array:
     """Pad-aware positions: non-pad tokens count up from padding_idx + 1.
 
@@ -66,3 +81,8 @@ def sinusoidal_embed(table: jax.Array, ids: jax.Array, padding_idx: int,
         start = start[:, None]            # per-row: [B] -> [B, 1]
     positions = jnp.where(mask, positions + start, padding_idx)
     return jnp.take(table, positions, axis=0)
+
+
+# The lookup is table-agnostic: a learned table (init_learned_positional)
+# and the static sinusoidal table use identical position semantics.
+positional_embed = sinusoidal_embed

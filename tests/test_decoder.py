@@ -242,3 +242,36 @@ def test_greedy_generation_deterministic():
     # greedy (sampling_topk=1): the rng must not influence the output
     np.testing.assert_array_equal(np.asarray(a["token_ids"]),
                                   np.asarray(b["token_ids"]))
+
+
+def test_step_decode_matches_full_forward_learned_positional():
+    """cfg.positional == "learned" swaps the static sinusoidal table for a
+    trainable one (params["pos_embed"]); the step≡full invariant and loss
+    differentiability must hold unchanged."""
+    cfg = small_test_config(positional="learned")
+    dcfg = cfg.decoder
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    assert "pos_embed" in params["decoder"]
+    batch = make_batch(jax.random.PRNGKey(1))
+    contexts = build_contexts(params, cfg, batch)
+    ids = batch["caption_ids"][:, :-1]
+    full, _ = decoder_forward(params["decoder"], dcfg, ids, contexts)
+    state = init_decode_state(params["decoder"], dcfg, contexts,
+                              batch=ids.shape[0])
+
+    def step(state, toks):
+        feats, state, _ = decoder_step(params["decoder"], dcfg, toks, state)
+        return state, feats
+
+    _, stepped = jax.lax.scan(step, state, ids.T)
+    np.testing.assert_allclose(np.asarray(full),
+                               np.asarray(jnp.swapaxes(stepped, 0, 1)),
+                               atol=2e-4)
+
+    # the table trains: its gradient under the caption loss is nonzero
+    def loss_fn(p):
+        return captioner_loss(p, cfg, batch)[0]
+
+    g = jax.grad(loss_fn)(params)
+    gt = np.asarray(g["decoder"]["pos_embed"]["table"])
+    assert np.isfinite(gt).all() and np.abs(gt).max() > 0

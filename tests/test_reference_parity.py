@@ -533,3 +533,35 @@ def test_full_decoder_matches_reference(seed):
     lp = decoder_log_probs(params, cfg, feats)
     np.testing.assert_allclose(np.asarray(lp),
                                _np(lprobs_t), rtol=3e-5, atol=3e-5)
+
+
+def test_learned_positional_matches_reference():
+    """learned_positional (positional.py:12-81): trainable table, pad-aware
+    positions, carried position during incremental decode."""
+    pos = _import("tell.modules.token_embedders.positional")
+    from tell_tpu.ops.positional import positional_embed
+    torch.manual_seed(11)
+    dim, pad, n_pos = 16, 1, 32
+    m = pos.LearnedPositionalEmbedding(None, n_pos, dim, padding_idx=pad,
+                                       left_pad=False)
+    table = jnp.asarray(_np(m.weight))
+    ids = torch.tensor([[0, 5, 9, 2, pad, pad],
+                        [0, 7, 7, 4, 8, 2]])
+    with torch.no_grad():
+        ref = _np(m(ids))
+    out = positional_embed(table, jnp.asarray(_np(ids)), pad, 0)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
+
+    # incremental decode: reference carries the last position in
+    # incremental_state; ours passes the carried step count as start_pos
+    inc = {}
+    steps_ref, steps_jax = [], []
+    for t in range(4):
+        tok = ids[:, t:t + 1]
+        with torch.no_grad():
+            steps_ref.append(_np(m(tok, incremental_state=inc)))
+        steps_jax.append(np.asarray(
+            positional_embed(table, jnp.asarray(_np(tok)), pad, t)))
+    np.testing.assert_allclose(np.concatenate(steps_jax, 1),
+                               np.concatenate(steps_ref, 1),
+                               rtol=1e-6, atol=1e-6)
