@@ -151,36 +151,6 @@ class RobertaTokenizer:
         ids = self.bpe.encode(text)[: max_len - 2]
         return [self.BOS] + ids + [self.EOS]
 
-    def _piece_spans(self, text: str):
-        """Yield (bpe_piece, char_start, char_end) over the whole text.
-
-        Char spans come from CUMULATIVE byte decoding per chunk: a piece
-        holding only part of a multi-byte UTF-8 character gets a zero-width
-        span at its position (the per-piece decode used previously shifted
-        every later span left, losing the leading pieces of accented
-        names), and the piece that completes the character owns it."""
-        pos = 0
-        for chunk in _PRETOKENIZE.findall(text):
-            start = text.index(chunk, pos)
-            mapped = "".join(self.bpe.byte_encoder[b]
-                             for b in chunk.encode("utf-8"))
-            raw = bytearray()
-            prev = 0
-            for tok in self.bpe._bpe(mapped):
-                raw.extend(self.bpe.byte_decoder[c] for c in tok)
-                cur = len(raw.decode("utf-8", errors="ignore"))
-                yield tok, start + prev, start + cur
-                prev = cur
-            pos = start + len(chunk)
-
-    @staticmethod
-    def _piece_inside(s: int, e: int, a: int, b: int) -> bool:
-        """Does piece span [s, e) belong to entity span [a, b)? Zero-width
-        pieces (partial multi-byte chars) belong to the char at s."""
-        if s == e:
-            return a <= s < b
-        return not (e <= a or s >= b)
-
     def encode_with_spans(self, text: str,
                           entity_spans: list[tuple[int, int]],
                           max_len: int | None = None
@@ -195,25 +165,43 @@ class RobertaTokenizer:
                                   entity_spans: list[tuple[int, int, int]],
                                   max_len: int | None = None
                                   ) -> tuple[list[int], list[int]]:
-        """ids plus a per-entity int mask per token: token inside a span
-        (start, end, idx) gets mask idx (1-based entity index; an entity may
-        occur at several spans), others 0 (specials 0).
+        """ids plus a per-entity int mask per token, with the REFERENCE's
+        word-level containment semantics (roberta_indexer.py:149-178 and
+        roberta_indexer_names_matched.py:170-202):
 
-        This is the `roberta_names_matched` indexer's proper/copy mask
-        (/root/reference/tell/data/token_indexers/
-        roberta_indexer_names_matched.py:170-202): later spans overwrite
-        earlier ones on overlap, and the index identifies WHICH entity a
-        token belongs to, for the pointer models' per-entity copy loss."""
+        - masks are decided per pre-tokenizer word (regex chunk), then
+          inherited by every BPE piece of that word — a word only partially
+          overlapping an entity span gets 0 for ALL its pieces;
+        - a word is inside span (start, end, idx) iff
+          word_start >= start - (1 if the word begins with ' ' else 0)
+          and word_end <= end — the space-shift quirk lets the leading
+          Ġ-space word of an entity match the spaCy char span, which starts
+          at the first letter;
+        - spans are applied in order and later spans overwrite earlier ones
+          on overlap, so idx identifies WHICH entity a token belongs to
+          (pointer models' per-entity copy loss). Specials get 0.
+
+        The GPT-2 pre-tokenizer regex consumes every character, so word
+        offsets computed by accumulation equal text character offsets —
+        the same invariant the reference's get_copy_mask relies on.
+        """
         max_len = max_len or self.max_len
         ids: list[int] = []
         masks: list[int] = []
-        for tok, s, e in self._piece_spans(text):
+        pos = 0
+        for chunk in _PRETOKENIZE.findall(text):
+            start, end = pos, pos + len(chunk)
+            pos = end
             idx = 0
+            shift = 1 if chunk[0] == " " else 0
             for (a, b, i) in entity_spans:
-                if self._piece_inside(s, e, a, b):
+                if start >= a - shift and end <= b:
                     idx = i
-            ids.append(self.bpe.encoder.get(tok, self.UNK))
-            masks.append(idx)
+            mapped = "".join(self.bpe.byte_encoder[b]
+                             for b in chunk.encode("utf-8"))
+            for tok in self.bpe._bpe(mapped):
+                ids.append(self.bpe.encoder.get(tok, self.UNK))
+                masks.append(idx)
         ids = ids[: max_len - 2]
         masks = masks[: max_len - 2]
         return ([self.BOS] + ids + [self.EOS], [0] + masks + [0])
