@@ -188,15 +188,20 @@ def score_generations(cands: list[str], refs: list[list[str]],
     for c, rs in zip(cands, refs):
         cider.append(strip(c), [strip(r) for r in rs])
     cider_mean, _ = cider.compute()
-    from ..evalm.meteor import corpus_meteor
+    from ..evalm.meteor import MeteorConfig, corpus_meteor
+    # Full "meteor" key only when the synonym+paraphrase tables are loaded
+    # (TELL_TPU_METEOR_DATA) so the stage set matches the jar's config;
+    # otherwise the reduced exact+stem score is reported under
+    # "meteor_exact_stem" — NOT comparable to published jar METEOR.
+    mcfg = MeteorConfig.from_data_dir()
     metrics = {
         "bleu-1": bleus[0] * 100, "bleu-2": bleus[1] * 100,
         "bleu-3": bleus[2] * 100, "bleu-4": bleus[3] * 100,
         "rouge-l": rouge_l([strip(c) for c in cands],
                            [[strip(r) for r in rs] for rs in refs]) * 100,
-        "meteor": corpus_meteor([strip(c) for c in cands],
-                                [[strip(r) for r in rs]
-                                 for rs in refs]) * 100,
+        mcfg.metric_key: corpus_meteor([strip(c) for c in cands],
+                                       [[strip(r) for r in rs]
+                                        for rs in refs], mcfg) * 100,
         # CiderScorer.compute is pycocoevalcap-scale (x10 internal); the
         # reference's tables display that value x100 (generate_tables.py:32),
         # so "54" == pycoco 0.54. Report on the same displayed scale.

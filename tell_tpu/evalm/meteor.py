@@ -1,31 +1,67 @@
-"""METEOR metric, pure Python.
+"""METEOR metric, pure Python — the METEOR-1.5 formulation.
 
 The reference drives the Java METEOR-1.5 jar through pycocoevalcap
 (/root/reference/scripts/compute_metrics.py:36-45, patched subprocess).
-That jar (and its WordNet synonym/paraphrase stages) is unavailable here,
-so this is the original METEOR formulation (Banerjee & Lavie 2005 /
-Lavie & Agarwal 2007) with the exact and Porter-stem matching stages:
+The jar and its bundled WordNet/paraphrase data files are unavailable in
+this environment (zero egress), so this module implements the METEOR-1.5
+algorithm (Denkowski & Lavie 2014) directly:
 
-  P = m/|cand|, R = m/|ref|,  F_mean = P*R / (alpha*P + (1-alpha)*R)
-  penalty = gamma * (chunks/m)**beta
-  score = F_mean * (1 - penalty)
+  four matcher stages with the jar's module weights
+      exact 1.0 | stem 0.6 | synonym 0.8 | paraphrase 0.6
+  content/function-word weighting (delta), English task parameters
+      alpha=0.85  beta=0.2  gamma=0.6  delta=0.75
+  weighted P/R over word weights, fragmentation penalty over chunks:
+      P = m_c / len_c,  R = m_r / len_r
+      F_mean = P*R / (alpha*P + (1-alpha)*R)
+      Pen = gamma * (chunks / m_avg)**beta
+      score = F_mean * (1 - Pen)
 
-with the standard alpha=0.9, beta=3.0, gamma=0.5. Multiple references take
-the max score (the jar does the same). Matching is stage-wise greedy on
-word positions (exact first, then stems), and the chunk count is the number
-of maximal runs of contiguous, monotone aligned pairs — the same alignment
-strategy as nltk.translate.meteor_score.
+The synonym and paraphrase stages need data tables the jar ships with;
+they are LOADABLE here (load_synonyms / load_paraphrases /
+load_function_words, or MeteorConfig.from_data_dir pointing at a
+directory with synonyms.tsv / paraphrases.tsv / function_words.txt).
+Without them only the exact+stem stages run, and callers MUST report the
+result under the key "meteor_exact_stem" — scores from the reduced stage
+set are not comparable to published jar METEOR numbers. When both tables
+are loaded the stage configuration matches the jar's and the score is
+reported as "meteor" (the aligner is a stage-priority greedy
+approximation of the jar's beam search, documented divergence).
+
+Alignment is stage-priority greedy with a diagonal-preference tie-break
+(closest reference position to the previous match), the standard
+pure-Python stand-in for the jar's chunk-minimizing beam search. Corpus
+scores aggregate sufficient statistics over the whole set (the jar's
+MeteorStats aggregation), not mean-of-sentences; per-sentence scoring is
+also exposed.
 """
 from __future__ import annotations
 
+import dataclasses
+import os
+from dataclasses import dataclass
 
 _STEMMER = None
 _STEM_CACHE: dict = {}
 
+# A standard English closed-class word list (articles, conjunctions,
+# prepositions, pronouns, auxiliaries, common adverbial particles). The
+# jar derives its function-word list from corpus frequencies; this bundled
+# approximation is replaceable via load_function_words().
+DEFAULT_FUNCTION_WORDS = frozenset("""
+a an the and or but nor so yet for of in on at by to from with without
+into onto upon about above below under over between among through during
+before after since until while as if than that which who whom whose what
+when where why how this these those it its he him his she her hers they
+them their theirs we us our ours you your yours i me my mine is are was
+were be been being am do does did have has had having will would shall
+should can could may might must not no nor there here then once own same
+such only very s t don now d ll m o re ve y
+""".split())
+
 
 def _stem(words: list[str]) -> list[str]:
-    """Module-cached stemmer + per-word memo: corpus scoring re-stems the
-    same vocabulary thousands of times."""
+    """Module-cached Porter stemmer + per-word memo: corpus scoring
+    re-stems the same vocabulary thousands of times."""
     global _STEMMER
     if _STEMMER is None:
         try:
@@ -46,67 +82,289 @@ def _stem(words: list[str]) -> list[str]:
     return out
 
 
-def _align(cand: list[str], ref: list[str]) -> list[tuple[int, int]]:
-    """Stage-wise greedy alignment: exact matches, then stem matches.
-    Returns (cand_idx, ref_idx) pairs, each position used at most once."""
-    pairs: list[tuple[int, int]] = []
-    used_c: set[int] = set()
-    used_r: set[int] = set()
+@dataclass(frozen=True)
+class MeteorConfig:
+    """METEOR-1.5 English task parameters + loadable matcher data."""
+    alpha: float = 0.85
+    beta: float = 0.2
+    gamma: float = 0.6
+    delta: float = 0.75
+    # module weights: exact, stem, synonym, paraphrase (the jar's -m
+    # "exact stem synonym paraphrase" English default)
+    weights: tuple[float, float, float, float] = (1.0, 0.6, 0.8, 0.6)
+    # word -> frozenset of words sharing a synset (symmetric closure is
+    # the loader's job); None disables the synonym stage
+    synonyms: dict | None = None
+    # tuple(words) -> set of tuple(words); None disables the stage
+    paraphrases: dict | None = None
+    function_words: frozenset = DEFAULT_FUNCTION_WORDS
+    max_paraphrase_len: int = 6
 
-    def stage(cs: list[str], rs: list[str]) -> None:
-        for i, cw in enumerate(cs):
-            if i in used_c:
+    @property
+    def full_stages(self) -> bool:
+        """True when the stage configuration matches the jar's English
+        default (all four matchers active) — the condition for reporting
+        under the key "meteor" rather than "meteor_exact_stem"."""
+        return self.synonyms is not None and self.paraphrases is not None
+
+    @property
+    def metric_key(self) -> str:
+        return "meteor" if self.full_stages else "meteor_exact_stem"
+
+    @classmethod
+    def from_data_dir(cls, path: str | None = None, **kw) -> "MeteorConfig":
+        """Build a config from a data directory holding any of
+        synonyms.tsv, paraphrases.tsv, function_words.txt. Defaults to
+        $TELL_TPU_METEOR_DATA. Missing files leave that stage off."""
+        path = path or os.environ.get("TELL_TPU_METEOR_DATA")
+        if not path or not os.path.isdir(path):
+            return cls(**kw)
+        syn_p = os.path.join(path, "synonyms.tsv")
+        par_p = os.path.join(path, "paraphrases.tsv")
+        fn_p = os.path.join(path, "function_words.txt")
+        if os.path.exists(syn_p):
+            kw.setdefault("synonyms", load_synonyms(syn_p))
+        if os.path.exists(par_p):
+            kw.setdefault("paraphrases", load_paraphrases(par_p))
+        if os.path.exists(fn_p):
+            kw.setdefault("function_words", load_function_words(fn_p))
+        return cls(**kw)
+
+
+def load_synonyms(path: str) -> dict:
+    """TSV: word<TAB>comma-separated synonyms (one line per word, as
+    exported from WordNet synsets). Returns the symmetric closure."""
+    table: dict[str, set] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
                 continue
+            word, _, rest = line.partition("\t")
+            syns = {s.strip() for s in rest.split(",") if s.strip()}
+            table.setdefault(word, set()).update(syns)
+            for s in syns:  # symmetric
+                table.setdefault(s, set()).add(word)
+    return {w: frozenset(s) for w, s in table.items()}
+
+
+def load_paraphrases(path: str) -> dict:
+    """TSV: phrase<TAB>phrase (both lowercased, space-separated words);
+    loaded symmetrically."""
+    table: dict[tuple, set] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            a, _, b = line.partition("\t")
+            ta, tb = tuple(a.split()), tuple(b.split())
+            if not ta or not tb:
+                continue
+            table.setdefault(ta, set()).add(tb)
+            table.setdefault(tb, set()).add(ta)
+    return table
+
+
+def load_function_words(path: str) -> frozenset:
+    with open(path, encoding="utf-8") as f:
+        return frozenset(w.strip().lower() for w in f if w.strip())
+
+
+@dataclass
+class _Match:
+    """One aligned block: cand[ci:ci+cn] <-> ref[ri:ri+rn], module w."""
+    ci: int
+    cn: int
+    ri: int
+    rn: int
+    weight: float
+
+
+def _align(cand: list[str], ref: list[str],
+           cfg: MeteorConfig) -> list[_Match]:
+    """Stage-priority greedy alignment with diagonal preference."""
+    used_c = [False] * len(cand)
+    used_r = [False] * len(ref)
+    matches: list[_Match] = []
+
+    def word_stage(cs: list[str], rs: list[str], weight: float,
+                   syn: dict | None = None) -> None:
+        last_r = -1
+        for i, cw in enumerate(cs):
+            if used_c[i]:
+                continue
+            best_j = -1
             for j, rw in enumerate(rs):
-                if j in used_r:
+                if used_r[j]:
                     continue
-                if cw == rw:
-                    pairs.append((i, j))
-                    used_c.add(i)
-                    used_r.add(j)
+                if syn is None:
+                    hit = cw == rw
+                else:
+                    hit = (rw in syn.get(cw, ()) or cw in syn.get(rw, ()))
+                if hit and (best_j < 0
+                            or abs(j - last_r - 1) < abs(best_j - last_r - 1)):
+                    best_j = j
+            if best_j >= 0:
+                matches.append(_Match(i, 1, best_j, 1, weight))
+                used_c[i] = True
+                used_r[best_j] = True
+                last_r = best_j
+
+    w_exact, w_stem, w_syn, w_par = cfg.weights
+    word_stage(cand, ref, w_exact)
+    word_stage(_stem(cand), _stem(ref), w_stem)
+    if cfg.synonyms is not None:
+        word_stage(cand, ref, w_syn, syn=cfg.synonyms)
+    if cfg.paraphrases is not None:
+        _paraphrase_stage(cand, ref, used_c, used_r, matches, cfg, w_par)
+    matches.sort(key=lambda m: m.ci)
+    return matches
+
+
+def _paraphrase_stage(cand, ref, used_c, used_r, matches, cfg, weight):
+    """Match fully-unmatched phrase pairs through the paraphrase table
+    (longest candidate phrases first, the jar's preference)."""
+    table = cfg.paraphrases
+    for k in range(min(cfg.max_paraphrase_len, len(cand)), 0, -1):
+        for i in range(len(cand) - k + 1):
+            if any(used_c[i:i + k]):
+                continue
+            alts = table.get(tuple(cand[i:i + k]))
+            if not alts:
+                continue
+            hit = None
+            for alt in alts:
+                n = len(alt)
+                for j in range(len(ref) - n + 1):
+                    if (not any(used_r[j:j + n])
+                            and tuple(ref[j:j + n]) == alt):
+                        hit = (j, n)
+                        break
+                if hit:
                     break
+            if hit:
+                j, n = hit
+                matches.append(_Match(i, k, j, n, weight))
+                for x in range(i, i + k):
+                    used_c[x] = True
+                for x in range(j, j + n):
+                    used_r[x] = True
 
-    stage(cand, ref)
-    stage(_stem(cand), _stem(ref))
-    return sorted(pairs)
 
-
-def _chunks(pairs: list[tuple[int, int]]) -> int:
-    """Number of maximal monotone contiguous runs in the alignment."""
-    if not pairs:
+def _chunks(matches: list[_Match]) -> int:
+    """Maximal monotone contiguous runs; a phrase match is one block that
+    extends a run only when both sides stay contiguous."""
+    if not matches:
         return 0
     n = 1
-    for (c0, r0), (c1, r1) in zip(pairs[:-1], pairs[1:]):
-        if not (c1 == c0 + 1 and r1 == r0 + 1):
+    for a, b in zip(matches[:-1], matches[1:]):
+        if not (b.ci == a.ci + a.cn and b.ri == a.ri + a.rn):
             n += 1
     return n
 
 
-def meteor_single(cand: str, ref: str, alpha: float = 0.9,
-                  beta: float = 3.0, gamma: float = 0.5) -> float:
+def _word_weight(w: str, cfg: MeteorConfig) -> float:
+    return (1.0 - cfg.delta) if w in cfg.function_words else cfg.delta
+
+
+@dataclass
+class MeteorStats:
+    """Sufficient statistics for one (cand, ref) pair; corpus scores add
+    them (the jar's MeteorStats aggregation)."""
+    m_c: float = 0.0     # weighted matched candidate mass
+    m_r: float = 0.0     # weighted matched reference mass
+    len_c: float = 0.0   # weighted candidate length
+    len_r: float = 0.0   # weighted reference length
+    chunks: int = 0
+    n_matched: float = 0.0  # unweighted mean matched-word count
+
+    def add(self, other: "MeteorStats") -> None:
+        self.m_c += other.m_c
+        self.m_r += other.m_r
+        self.len_c += other.len_c
+        self.len_r += other.len_r
+        self.chunks += other.chunks
+        self.n_matched += other.n_matched
+
+    def score(self, cfg: MeteorConfig) -> float:
+        if self.len_c <= 0 or self.len_r <= 0 or self.m_c <= 0 \
+                or self.m_r <= 0:
+            return 0.0
+        p = self.m_c / self.len_c
+        r = self.m_r / self.len_r
+        f_mean = p * r / (cfg.alpha * p + (1 - cfg.alpha) * r)
+        pen = 0.0
+        if self.n_matched > 0 and self.chunks > 0:
+            frag = self.chunks / self.n_matched
+            pen = cfg.gamma * frag ** cfg.beta
+        return f_mean * (1.0 - pen)
+
+
+def sentence_stats(cand: str, ref: str, cfg: MeteorConfig) -> MeteorStats:
     cw = cand.lower().split()
     rw = ref.lower().split()
+    st = MeteorStats()
+    st.len_c = sum(_word_weight(w, cfg) for w in cw)
+    st.len_r = sum(_word_weight(w, cfg) for w in rw)
     if not cw or not rw:
-        return 0.0
-    pairs = _align(cw, rw)
-    m = len(pairs)
-    if m == 0:
-        return 0.0
-    p = m / len(cw)
-    r = m / len(rw)
-    f_mean = p * r / (alpha * p + (1 - alpha) * r)
-    penalty = gamma * (_chunks(pairs) / m) ** beta
-    return f_mean * (1.0 - penalty)
+        return st
+    matches = _align(cw, rw, cfg)
+    nc = nr = 0
+    for m in matches:
+        st.m_c += m.weight * sum(_word_weight(w, cfg)
+                                 for w in cw[m.ci:m.ci + m.cn])
+        st.m_r += m.weight * sum(_word_weight(w, cfg)
+                                 for w in rw[m.ri:m.ri + m.rn])
+        nc += m.cn
+        nr += m.rn
+    st.n_matched = (nc + nr) / 2.0
+    # all words matched in a single chunk -> no fragmentation penalty
+    # (the jar zeroes frag when ch == 1 and m == len)
+    ch = _chunks(matches)
+    if ch == 1 and nc == len(cw) and nr == len(rw):
+        ch = 0
+    st.chunks = ch
+    return st
 
 
-def meteor(cand: str, refs: list[str], **kw) -> float:
-    """Max over references (the METEOR jar's multi-reference behavior)."""
-    return max((meteor_single(cand, r, **kw) for r in refs), default=0.0)
+def meteor_single(cand: str, ref: str, cfg: MeteorConfig | None = None,
+                  **kw) -> float:
+    cfg = _cfg(cfg, kw)
+    return sentence_stats(cand, ref, cfg).score(cfg)
 
 
-def corpus_meteor(cands: list[str], refs: list[list[str]], **kw) -> float:
-    """Mean sentence METEOR (pycocoevalcap reports the corpus aggregate of
-    the jar; mean-of-sentence is the standard pure-Python stand-in)."""
+def _cfg(cfg, kw) -> MeteorConfig:
+    if cfg is None:
+        cfg = MeteorConfig()
+    if kw:
+        cfg = dataclasses.replace(cfg, **kw)
+    return cfg
+
+
+def meteor(cand: str, refs: list[str], cfg: MeteorConfig | None = None,
+           **kw) -> float:
+    """Max over references (the jar's multi-reference behavior)."""
+    cfg = _cfg(cfg, kw)
+    return max((meteor_single(cand, r, cfg) for r in refs), default=0.0)
+
+
+def corpus_meteor(cands: list[str], refs: list[list[str]],
+                  cfg: MeteorConfig | None = None, **kw) -> float:
+    """Aggregate corpus score: per segment pick the best-scoring
+    reference's statistics, sum them, score once (MeteorStats
+    aggregation — NOT mean of sentence scores)."""
+    cfg = _cfg(cfg, kw)
     if not cands:
         return 0.0
-    return sum(meteor(c, r, **kw) for c, r in zip(cands, refs)) / len(cands)
+    total = MeteorStats()
+    for c, rs in zip(cands, refs):
+        best, best_score = None, -1.0
+        for r in rs:
+            st = sentence_stats(c, r, cfg)
+            sc = st.score(cfg)
+            if sc > best_score:
+                best, best_score = st, sc
+        if best is not None:
+            total.add(best)
+    return total.score(cfg)

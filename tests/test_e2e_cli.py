@@ -217,4 +217,5 @@ def test_preprocess_train_evaluate_score(exp_yaml, capsys):
 
     assert main(["score", gen_path]) == 0
     scored = json.loads(capsys.readouterr().out)
-    assert set(scored) >= {"bleu-1", "rouge-l", "meteor", "cider"}
+    assert set(scored) >= {"bleu-1", "rouge-l", "meteor_exact_stem",
+                           "cider"}

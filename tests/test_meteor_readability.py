@@ -1,20 +1,29 @@
-"""METEOR + readability/TTR metric tests."""
+"""METEOR-1.5 + readability/TTR metric tests.
+
+Scores are hand-computed from the METEOR-1.5 formulation (module weights
+exact 1.0 / stem 0.6 / synonym 0.8 / paraphrase 0.6; alpha=0.85,
+beta=0.2, gamma=0.6, delta=0.75, content/function word weighting).
+"""
 import math
 
 import pytest
 
-from tell_tpu.evalm.meteor import corpus_meteor, meteor, meteor_single
+from tell_tpu.evalm.meteor import (
+    MeteorConfig, corpus_meteor, meteor, meteor_single, sentence_stats,
+)
 from tell_tpu.evalm.readability import (
     count_syllables, get_narrative_productivity, get_readability_scores,
     maas,
 )
 
+CFG = MeteorConfig()
+
 
 def test_meteor_identity():
+    # perfect match in one chunk covering everything: penalty zeroed,
+    # P = R = 1 -> score 1
     s = "the quick brown fox jumps over the lazy dog"
-    # perfect match: P=R=1, one chunk, penalty = 0.5*(1/9)^3
-    expected = 1.0 * (1 - 0.5 * (1 / 9) ** 3)
-    assert meteor_single(s, s) == pytest.approx(expected)
+    assert meteor_single(s, s) == pytest.approx(1.0)
 
 
 def test_meteor_disjoint_zero():
@@ -22,21 +31,81 @@ def test_meteor_disjoint_zero():
     assert meteor_single("", "ref") == 0.0
 
 
+def test_meteor_hand_computed_partial():
+    """cand 'the cat sat on a rug' vs ref 'the cat sat on the mat':
+    4 exact matches (the/cat/sat/on) in one run; hand-derived weighted
+    P = R = 2/3, F = 2/3, frag = 1/4."""
+    cand, ref = "the cat sat on a rug", "the cat sat on the mat"
+    # weights: function 0.25 (the/on/a), content 0.75 (cat/sat/rug/mat)
+    m = 0.25 + 0.75 + 0.75 + 0.25              # the + cat + sat + on
+    len_c = m + 0.25 + 0.75                    # + a + rug
+    len_r = m + 0.25 + 0.75                    # + the + mat
+    p, r = m / len_c, m / len_r
+    f_mean = p * r / (CFG.alpha * p + (1 - CFG.alpha) * r)
+    pen = CFG.gamma * (1 / 4) ** CFG.beta      # 1 chunk, 4 matched words
+    assert meteor_single(cand, ref) == pytest.approx(f_mean * (1 - pen))
+
+
 def test_meteor_orders_quality():
     ref = "the cat sat on the mat"
-    good = "the cat sat on the mat"
-    ok = "the cat sat on a rug"
-    bad = "dogs run fast"
-    s_good = meteor(good, [ref])
-    s_ok = meteor(ok, [ref])
-    s_bad = meteor(bad, [ref])
-    assert s_good > s_ok > s_bad
+    assert (meteor("the cat sat on the mat", [ref])
+            > meteor("the cat sat on a rug", [ref])
+            > meteor("dogs run fast", [ref]))
 
 
 def test_meteor_stem_stage():
-    # "jumping"/"jumps" only match through the Porter stem stage
+    # "jumping"/"jumps" only match through the Porter stem stage (0.6)
     with_stem = meteor_single("the dog jumping", "the dog jumps")
     assert with_stem > meteor_single("the dog walking", "the dog jumps")
+
+
+def test_meteor_synonym_stage():
+    """'feline'~'cat' matches only with a synonym table, at weight 0.8."""
+    syn = {"cat": frozenset({"feline"}), "feline": frozenset({"cat"})}
+    cfg_syn = MeteorConfig(synonyms=syn)
+    base = meteor_single("the feline", "the cat")
+    with_syn = meteor_single("the feline", "the cat", cfg_syn)
+    assert with_syn > base
+    # hand-check: both words matched (exact 'the' w=1.0, syn w=0.8),
+    # single full-coverage chunk -> no penalty
+    st = sentence_stats("the feline", "the cat", cfg_syn)
+    m_c = 1.0 * 0.25 + 0.8 * 0.75
+    assert st.m_c == pytest.approx(m_c)
+    assert st.chunks == 0
+
+
+def test_meteor_paraphrase_stage():
+    """phrase pair ('passed away' ~ 'died') matches only through the
+    paraphrase table, at weight 0.6, as one aligned block."""
+    par = {("passed", "away"): {("died",)}, ("died",): {("passed", "away")}}
+    cfg_par = MeteorConfig(paraphrases=par)
+    base = meteor_single("he passed away", "he died")
+    with_par = meteor_single("he passed away", "he died", cfg_par)
+    assert with_par > base
+    st = sentence_stats("he passed away", "he died", cfg_par)
+    # 'he' exact + 2-word phrase <-> 1-word phrase at 0.6
+    assert st.m_c == pytest.approx(0.25 + 0.6 * (0.75 + 0.75))
+    assert st.m_r == pytest.approx(0.25 + 0.6 * 0.75)
+    assert st.chunks == 0  # both sides fully covered, contiguous
+
+
+def test_meteor_metric_key_and_stage_config():
+    assert MeteorConfig().metric_key == "meteor_exact_stem"
+    full = MeteorConfig(synonyms={}, paraphrases={})
+    assert full.metric_key == "meteor"
+
+
+def test_meteor_data_dir_loaders(tmp_path):
+    (tmp_path / "synonyms.tsv").write_text("cat\tfeline,kitty\n")
+    (tmp_path / "paraphrases.tsv").write_text("passed away\tdied\n")
+    (tmp_path / "function_words.txt").write_text("the\na\n")
+    cfg = MeteorConfig.from_data_dir(str(tmp_path))
+    assert cfg.full_stages and cfg.metric_key == "meteor"
+    assert "feline" in cfg.synonyms["cat"]
+    assert "cat" in cfg.synonyms["kitty"]          # symmetric closure
+    assert ("passed", "away") in cfg.paraphrases
+    assert ("died",) in cfg.paraphrases
+    assert cfg.function_words == frozenset({"the", "a"})
 
 
 def test_meteor_multiref_max():
@@ -45,11 +114,21 @@ def test_meteor_multiref_max():
                                                         refs[1])
 
 
-def test_corpus_meteor_mean():
-    c = ["the cat", "a dog"]
-    r = [["the cat"], ["a dog"]]
-    assert corpus_meteor(c, r) == pytest.approx(
-        (meteor(c[0], r[0]) + meteor(c[1], r[1])) / 2)
+def test_corpus_meteor_aggregates_stats():
+    """Corpus score sums sufficient statistics (jar MeteorStats
+    aggregation), which differs from mean-of-sentences."""
+    c = ["the cat sat on a rug", "dogs run fast"]
+    r = [["the cat sat on the mat"], ["the dogs ran quickly"]]
+    total = None
+    for ci, ri in zip(c, r):
+        st = sentence_stats(ci, ri[0], CFG)
+        if total is None:
+            total = st
+        else:
+            total.add(st)
+    assert corpus_meteor(c, r) == pytest.approx(total.score(CFG))
+    mean = (meteor(c[0], r[0]) + meteor(c[1], r[1])) / 2
+    assert corpus_meteor(c, r) != pytest.approx(mean)
 
 
 def test_syllables():
@@ -86,8 +165,16 @@ def test_ttr_family():
     assert maas(1, 1) == 0.2
 
 
-def test_score_generations_includes_meteor():
+def test_score_generations_includes_meteor(tmp_path, monkeypatch):
     from tell_tpu.commands.evaluate import score_generations
+    # without tables: honest reduced-stage key
     m = score_generations(["the cat sat"], [["the cat sat"]])
-    assert m["meteor"] > 90
+    assert "meteor" not in m
+    assert m["meteor_exact_stem"] > 90
     assert m["bleu-1"] > 99
+    # with a full table dir: jar-matching stage config -> "meteor" key
+    (tmp_path / "synonyms.tsv").write_text("cat\tfeline\n")
+    (tmp_path / "paraphrases.tsv").write_text("passed away\tdied\n")
+    monkeypatch.setenv("TELL_TPU_METEOR_DATA", str(tmp_path))
+    m2 = score_generations(["the cat sat"], [["the cat sat"]])
+    assert m2["meteor"] > 90

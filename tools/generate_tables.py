@@ -17,7 +17,13 @@ import os
 import sys
 
 COLUMNS = [("bleu-4", "BLEU-4"), ("rouge-l", "ROUGE"),
-           ("meteor", "METEOR"), ("cider", "CIDEr"),
+           # "meteor" is only emitted when the jar-matching synonym +
+           # paraphrase tables were loaded; the reduced exact+stem score
+           # is keyed meteor_exact_stem (see evalm/meteor.py) and shown
+           # under a marked header so it is never confused with
+           # published jar METEOR numbers
+           ("meteor", "METEOR"), ("meteor_exact_stem", "METEOR (e+s)"),
+           ("cider", "CIDEr"),
            ("entity_precision", "Ent. P"), ("entity_recall", "Ent. R")]
 
 
