@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("-c", "--counters", default=None,
                     help="name_counters.pkl for rare-name P/R")
 
+    tw = sub.add_parser("towers", help="frozen-tower utilities")
+    tw.add_argument("action", choices=["verify"],
+                    help="verify: probe converted checkpoints and print "
+                         "activation checksums (docs/towers.md)")
+    tw.add_argument("dir", help="towers dir (tools/convert_towers.py --out)")
+    tw.add_argument("-t", "--tower", action="append", default=None,
+                    help="restrict to specific towers (repeatable)")
+    tw.add_argument("--json", action="store_true", dest="as_json")
+
     return p
 
 
@@ -321,12 +330,18 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_towers(args) -> int:
+    from .towers import verify
+    return verify(args.dir, towers=args.tower, as_json=args.as_json)
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
     return {"train": cmd_train, "evaluate": cmd_evaluate,
             "preprocess": cmd_preprocess, "serve": cmd_serve,
-            "score": cmd_score, "bench": cmd_bench}[args.cmd](args)
+            "score": cmd_score, "bench": cmd_bench,
+            "towers": cmd_towers}[args.cmd](args)
 
 
 if __name__ == "__main__":
