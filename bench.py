@@ -74,12 +74,84 @@ def _device_watchdog(timeout_s: float) -> "threading.Event":
     return armed
 
 
+def bench_train():
+    """BENCH_TRAIN=1: slope-time the FULL jitted train step — frozen
+    RoBERTa-large article encode + 4-context decoder fwd/bwd + BertAdam —
+    at the reference batch shape (16 instances x 512 context tokens,
+    config.yaml:106-110). Baseline: ~590 ms/batch on a Titan V (43 min /
+    4376 batches, expt/nytimes/9_transformer_objects/config.yaml:130).
+
+    Single-chip measurement; multi-chip projections assume linear DP
+    scaling over the "data" mesh axis (unmeasured here — one real chip),
+    stated explicitly in the "note" field.
+    """
+    import dataclasses
+
+    from tell_tpu.models.backbones.roberta import RobertaConfig, init_roberta
+    from tell_tpu.training import bert_adam, make_train_step
+
+    B, S, T = 16, 512, 32
+    BASELINE_MS = 590.0
+    cfg = CaptionerConfig()
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    dcfg = cfg.decoder
+
+    rcfg = RobertaConfig.large()
+    frozen = {"roberta": init_roberta(jr.PRNGKey(0), rcfg),
+              "roberta_cfg": rcfg}
+    params = init_captioner(jr.PRNGKey(1), cfg)
+    optimizer = bert_adam(t_total=437600)
+    opt_state = optimizer.init(params)
+
+    ks = jr.split(jr.PRNGKey(2), 8)
+    caption = jr.randint(ks[4], (B, T), 4, dcfg.vocab_size)
+    caption = caption.at[:, 0].set(dcfg.bos_id)
+    caption = caption.at[:, -1].set(dcfg.eos_id)
+    batch = {
+        # raw BPE ids: the step runs the frozen RoBERTa encode on-device
+        "context_ids": jr.randint(ks[0], (B, S), 4, rcfg.vocab_size),
+        "image_grid": jr.normal(ks[1], (B, 49, 2048)),
+        "face_embeds": jr.normal(ks[2], (B, 4, 512)),
+        "obj_embeds": jr.normal(ks[3], (B, 64, 2048)),
+        "caption_ids": caption,
+    }
+
+    step = jax.jit(make_train_step(cfg, optimizer))
+
+    def run_k(k):
+        p, o = params, opt_state
+        m = None
+        for i in range(k):
+            p, o, m = step(p, o, batch, jr.fold_in(jr.PRNGKey(3), i),
+                           frozen)
+        return float(m["loss"])  # one scalar device_get forces completion
+
+    run_k(1)  # compile warmup
+    k_lo, k_hi = 1, 1 + max(REPS, 2)
+    lo = min(_t(run_k, k_lo) for _ in range(2))
+    hi = min(_t(run_k, k_hi) for _ in range(2))
+    ms = 1000.0 * (hi - lo) / (k_hi - k_lo)
+    tokens = B * (S + T)
+    print(json.dumps({
+        "metric": "train_ms_per_batch_b%d_s%d" % (B, S),
+        "value": round(ms, 2),
+        "unit": "ms/batch (frozen RoBERTa fwd + decoder fwd/bwd + BertAdam)",
+        "vs_baseline": round(BASELINE_MS / ms, 2),
+        "tokens_per_sec": round(tokens / (ms / 1000.0), 1),
+        "note": "single chip; multi-chip throughput assumes linear DP "
+                "scaling over the data mesh axis (unmeasured: 1 real chip)",
+    }))
+
+
 def main():
     import dataclasses
     armed = _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
                                                   "900")))
     jax.devices()      # blocks here if the tunnel is wedged
     armed.set()
+    if os.environ.get("BENCH_TRAIN") == "1":
+        bench_train()
+        return
     cfg = CaptionerConfig()
     cfg = dataclasses.replace(cfg, gen_len=GEN_LEN)
     dtype = jnp.bfloat16
