@@ -26,3 +26,39 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# ---------------------------------------------------------------------------
+# Fast gate: `pytest -m "not slow"` (< 5 min) for iteration; the default
+# invocation still runs everything. Slow tests (>= ~10 s on the reference
+# box) are listed in tests/slow_tests.txt — regenerate candidates with
+# `pytest --durations=150` and keep the manifest sorted. Literal
+# @pytest.mark.slow decorations work too.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "slow_tests.txt")
+
+
+def _load_slow_set():
+    try:
+        with open(_SLOW_MANIFEST) as f:
+            return {line.strip() for line in f
+                    if line.strip() and not line.startswith("#")}
+    except OSError:  # pragma: no cover
+        return set()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: excluded from the fast gate (-m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _load_slow_set()
+    if not slow:
+        return
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        if base in slow:
+            item.add_marker(pytest.mark.slow)
