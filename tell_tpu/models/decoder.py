@@ -209,15 +209,17 @@ def _split(rng, n):
 # ---------------------------------------------------------------------------
 
 def _kv8_enabled() -> bool:
-    """Opt-in int8 K/V cache (TELL_TPU_KV8=1): halves the decode loop's
-    dominant HBM stream. Per-source-row, per-head symmetric quantization
-    with fp32 scales; scales factor out of both attention contractions, so
-    the only approximation is the int8 rounding of K/V themselves
-    (~1e-2 relative on attention outputs — off by default, the fp path is
-    the parity reference)."""
-    import os
-    from ..ops.kernels.dispatch import env_flag
-    return env_flag("TELL_TPU_KV8")
+    """int8 K/V cache — DEFAULT ON on TPU (disable with TELL_TPU_KV8=0):
+    halves the decode loop's dominant HBM stream, measured 263 -> 304
+    captions/s beam-5 B=128 on v5e-1. Per-source-row, per-head symmetric
+    quantization with fp32 scales; scales factor out of both attention
+    contractions, so the only approximation is the int8 rounding of K/V
+    themselves (~1e-2 relative on attention outputs). The parity gate is
+    tests/test_decoder.py::test_int8_kv_decode_parity_gate (token-level
+    agreement vs the fp path, which stays the parity reference); off-TPU
+    the fp path is the default so CPU parity tests are exact."""
+    from ..ops.kernels.dispatch import env_flag, on_tpu
+    return env_flag("TELL_TPU_KV8", default=on_tpu())
 
 
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:

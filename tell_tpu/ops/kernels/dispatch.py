@@ -25,9 +25,21 @@ def fused_kernels_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def env_flag(name: str) -> bool:
-    """Shared truthy parsing for kernel opt-in env vars (1/true/on)."""
-    return os.environ.get(name, "").lower() in ("1", "true", "on")
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """Shared truthy parsing for kernel opt-in env vars (1/true/on).
+
+    With default=True the flag is an opt-OUT: unset -> True, and only an
+    explicit falsy value (0/false/off) disables it."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if default:
+        return raw.lower() not in ("0", "false", "off")
+    return raw.lower() in ("1", "true", "on")
 
 
 def interpret_mode() -> bool:

@@ -275,3 +275,30 @@ def test_step_decode_matches_full_forward_learned_positional():
     g = jax.grad(loss_fn)(params)
     gt = np.asarray(g["decoder"]["pos_embed"]["table"])
     assert np.isfinite(gt).all() and np.abs(gt).max() > 0
+
+
+def test_int8_kv_decode_parity_gate(monkeypatch):
+    """The gate behind the int8-KV default: whole greedy captions decoded
+    with the int8 cache must track the fp path token-for-token (random
+    near-tie logits may flip a tail token, so >= 95% agreement with
+    identical prefixes of >= 4 tokens is required; scores stay close)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_test_config(), gen_len=12)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(jax.random.PRNGKey(1))
+    dec_batch = {k: v for k, v in batch.items() if k != "caption_ids"}
+
+    monkeypatch.setenv("TELL_TPU_KV8", "0")
+    ref = generate(params, cfg, dec_batch, early_stop=False)
+    monkeypatch.setenv("TELL_TPU_KV8", "1")
+    q = generate(params, cfg, dec_batch, early_stop=False)
+
+    t_ref = np.asarray(ref["token_ids"])
+    t_q = np.asarray(q["token_ids"])
+    agree = (t_ref == t_q).mean()
+    assert agree >= 0.95, f"int8-KV token agreement {agree:.3f}"
+    assert (t_ref[:, :5] == t_q[:, :5]).all()
+    lp_ref = np.asarray(ref["log_probs"]).sum(-1)
+    lp_q = np.asarray(q["log_probs"]).sum(-1)
+    np.testing.assert_allclose(lp_q, lp_ref, rtol=0.05, atol=0.5)
