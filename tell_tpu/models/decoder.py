@@ -245,17 +245,23 @@ def context_groups(cfg: DecoderConfig) -> tuple[tuple[int, ...], ...]:
 
 
 def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
-                              contexts: dict) -> list[list[dict]]:
+                              contexts: dict,
+                              beam: int | None = None) -> list[list[dict]]:
     """Per-layer, per-group concatenated K/V with within-group segment ids.
 
     Returns [layers][groups] of {k: [B,S_g,E], v: [B,S_g,E],
-    mask: [B,S_g] True=masked, seg: [S_g] int32 in-group modality index}."""
+    mask: [B,S_g] True=masked, seg: [S_g] int32 in-group modality index}.
+    With `beam` given, the fused kernel's additive segment bias
+    [B, M*beam, S_g] is also precomputed once per group (identical across
+    layers and decode steps — recomputing it inside the scanned step
+    costs a [B, MG, S] materialization per layer per step)."""
     groups = context_groups(cfg)
     H = cfg.num_heads
     kvs = []
+    bias_cache: dict[int, jax.Array] = {}
     for lp in params["layers"]:
         layer = []
-        for group in groups:
+        for gi, group in enumerate(groups):
             ks, vs, masks, segs = [], [], [], []
             for j, idx in enumerate(group):
                 spec = cfg.contexts[idx]
@@ -282,6 +288,28 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
                 entry["v"], entry["v_scale"] = _quantize_kv(vt)
             else:
                 entry["k"], entry["v"] = kt, vt
+            # Stacked per-modality q/out projection weights, PRECOMPUTED
+            # once per decode call: inside the scanned step XLA does not
+            # reliably hoist the jnp.stack concatenations out of the
+            # loop, and re-materializing [M, E, E] x2 per layer per step
+            # is ~134 MB/step of pure write traffic at flagship shapes.
+            names = [cfg.contexts[i].name for i in group]
+            ap = lp["attn"]
+            entry["wq"] = jnp.stack([ap[n]["q_proj"]["w"] for n in names])
+            entry["bq"] = jnp.stack([ap[n]["q_proj"]["b"] for n in names])
+            entry["wo"] = jnp.stack([ap[n]["out_proj"]["w"] for n in names])
+            entry["bo"] = jnp.stack([ap[n]["out_proj"]["b"] for n in names])
+            entry["ln_s"] = jnp.stack([lp["attn_ln"][n]["scale"]
+                                       for n in names])
+            entry["ln_b"] = jnp.stack([lp["attn_ln"][n]["bias"]
+                                       for n in names])
+            if beam:
+                if gi not in bias_cache:
+                    from ..ops.kernels.decode_attention import segment_bias
+                    bias_cache[gi] = segment_bias(entry["seg"],
+                                                  entry["mask"],
+                                                  len(group), beam)
+                entry["bias"] = bias_cache[gi]
             layer.append(entry)
         kvs.append(layer)
     return kvs
@@ -345,8 +373,13 @@ def stacked_attention_core(attn_params: dict, names: list[str],
     H = num_heads
     hd = E // H
 
-    wq = jnp.stack([attn_params[n]["q_proj"]["w"] for n in names])
-    bq = jnp.stack([attn_params[n]["q_proj"]["b"] for n in names])
+    # use precomputed stacks when the decode-state cat carries them
+    # (precompute_context_kv_cat); stack on the fly in the full forward
+    if "wq" in cat:
+        wq, bq = cat["wq"], cat["bq"]
+    else:
+        wq = jnp.stack([attn_params[n]["q_proj"]["w"] for n in names])
+        bq = jnp.stack([attn_params[n]["q_proj"]["b"] for n in names])
     q = jnp.einsum("bge,mef->bmgf", x, wq.astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(x.dtype)
     q = (q + bq.astype(x.dtype)[None, :, None, :]) * (hd ** -0.5)
@@ -363,7 +396,9 @@ def stacked_attention_core(attn_params: dict, names: list[str],
     if fused_kernels_enabled() and not need_weights:
         from ..ops.kernels.decode_attention import (
             fused_decode_attention, fused_decode_attention_q8, segment_bias)
-        bias = segment_bias(cat["seg"], cat["mask"], M, G)
+        bias = cat.get("bias")
+        if bias is None or bias.shape[1] != M * G:
+            bias = segment_bias(cat["seg"], cat["mask"], M, G)
         if quant:
             out = fused_decode_attention_q8(
                 qh, kh, cat["k_scale"], vh, cat["v_scale"], bias)
@@ -392,8 +427,11 @@ def stacked_attention_core(attn_params: dict, names: list[str],
                          preferred_element_type=jnp.float32
                          ).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(B, M, G, E)
-    wo = jnp.stack([attn_params[n]["out_proj"]["w"] for n in names])
-    bo = jnp.stack([attn_params[n]["out_proj"]["b"] for n in names])
+    if "wo" in cat:
+        wo, bo = cat["wo"], cat["bo"]
+    else:
+        wo = jnp.stack([attn_params[n]["out_proj"]["w"] for n in names])
+        bo = jnp.stack([attn_params[n]["out_proj"]["b"] for n in names])
     out = jnp.einsum("bmge,mef->bmgf", out, wo.astype(x.dtype),
                      preferred_element_type=jnp.float32).astype(x.dtype)
     out = out + bo.astype(x.dtype)[None, :, None, :]
@@ -412,8 +450,11 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
     names = [cfg.contexts[i].name for i in group]
     out, attn = stacked_attention_core(lp["attn"], names, cfg.num_heads, x,
                                        cat, need_weights)
-    ln_s = jnp.stack([lp["attn_ln"][n]["scale"] for n in names])
-    ln_b = jnp.stack([lp["attn_ln"][n]["bias"] for n in names])
+    if "ln_s" in cat:
+        ln_s, ln_b = cat["ln_s"], cat["ln_b"]
+    else:
+        ln_s = jnp.stack([lp["attn_ln"][n]["scale"] for n in names])
+        ln_b = jnp.stack([lp["attn_ln"][n]["bias"] for n in names])
     branches = _ln_stacked(ln_s, ln_b, x[:, None] + out)            # [B,M,G,E]
     return branches, attn
 
@@ -584,7 +625,7 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
     return {
         "conv": [init_conv_state(batch * beam, cfg.conv_dim, k, dtype)
                  for k in cfg.kernel_sizes],
-        "kv": precompute_context_kv_cat(params, cfg, contexts),
+        "kv": precompute_context_kv_cat(params, cfg, contexts, beam=beam),
         # dense projected embedding table: one gather per decode step
         # instead of the banded gather+projection chain
         "embed_table": merged_embed_table(

@@ -38,6 +38,49 @@ from .common import dropout
 from .linear import init_linear, linear
 
 
+def fast_top_k(x: jax.Array, k: int,
+               block: int = 128) -> tuple[jax.Array, jax.Array]:
+    """EXACT top-k via a block-max prefilter — ~4x faster than lax.top_k
+    STANDALONE on wide rows (v5e-1: 0.51 -> ~0.13 ms/step at
+    [640, 30336], k=5). NOT used inside adaptive_top_k: there the plain
+    sort already overlaps the next cluster's matmul and the prefilter's
+    longer dependent chain measured slower end-to-end (see the note at
+    the call site). Available for latency-bound single-sort contexts.
+
+    Stage 1 takes the max of each `block`-lane tile (a pure VPU reduce at
+    full HBM bandwidth) and sorts only the [R, n/block] maxima; stage 2
+    gathers the winning k blocks and sorts their k*block candidates.
+    Exactness: the j-th largest value (j <= k) has at most j-1 < k values
+    above it, so at most k-1 OTHER blocks can have a larger max — its own
+    block always survives the stage-1 top-k. Tie ORDER may differ from
+    lax.top_k's lowest-index-first, which real (continuous) logits never
+    exercise. Falls back to lax.top_k on narrow rows where the prefilter
+    cannot win.
+    """
+    n = x.shape[-1]
+    nb = -(-n // block)
+    # need nb >= k for the stage-1 sort, and enough blocks that the
+    # prefilter actually wins over one direct sort
+    if nb < max(8, k) or k > block:
+        return jax.lax.top_k(x, k)
+    pad = nb * block - n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)),
+                    constant_values=_neg_inf_like(x))
+    blocks = x.reshape(x.shape[0], nb, block)
+    _, bi = jax.lax.top_k(blocks.max(-1), k)              # [R, k]
+    cand = jnp.take_along_axis(blocks, bi[:, :, None], axis=1)
+    vals, ci = jax.lax.top_k(cand.reshape(x.shape[0], k * block), k)
+    ids = (jnp.take_along_axis(bi, ci // block, axis=1) * block
+           + ci % block)
+    return vals, ids
+
+
+def _neg_inf_like(x):
+    return jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+
+
 def band_ranges(cutoffs: tuple[int, ...]) -> list[tuple[int, int]]:
     """[(lo, hi)] for each band given full cutoffs ending at vocab_size."""
     out = []
@@ -325,6 +368,12 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
         head_logits = _head_logits(sm, emb, x, padding_idx
                                    ).astype(jnp.float32)
     head_lse = jax.scipy.special.logsumexp(head_logits, axis=-1)
+    # NOTE: fast_top_k (block-max prefilter) measured FASTER standalone
+    # (0.51 -> 0.13 ms at [640, 30336]) but SLOWER end-to-end here
+    # (305.7 -> 297.3 captions/s): XLA already overlaps each cluster's
+    # sort with the next cluster's matmul, so the sort is off the
+    # critical path and the prefilter's longer dependent op chain
+    # (reduce -> gather -> sort) only adds serial latency.
     vals, ids = jax.lax.top_k(head_logits[:, :c0], k)
     all_vals = [vals - head_lse[:, None]]
     all_ids = [ids]

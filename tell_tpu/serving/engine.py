@@ -200,7 +200,7 @@ class DecodeEngine:
         """One request's feature batch (leading dim 1) -> context KV."""
         contexts = build_contexts(params, self.cfg, batch1)
         return precompute_context_kv_cat(params["decoder"], self.dcfg,
-                                         contexts)
+                                         contexts, beam=self.beam)
 
     def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
         """Zero slot b's rows of the per-row dynamic state."""
@@ -497,7 +497,8 @@ class LLMDecodeEngine(DecodeEngine):
     def _encode_kv(self, params: dict, batch1: dict):
         from ..models.llm_decoder import _build_contexts
         contexts = _build_contexts(params, self.cfg, batch1)
-        return precompute_context_kv_cat(params, self.cfg, contexts)
+        return precompute_context_kv_cat(params, self.cfg, contexts,
+                                         beam=self.beam)
 
     def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
         B, K = self.slots, self.beam

@@ -190,3 +190,36 @@ def test_adaptive_top_k_fused_matches_plain(monkeypatch):
     np.testing.assert_allclose(np.asarray(fv), np.asarray(rv),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+
+
+def test_fast_top_k_exact_vs_lax():
+    """Block-max prefilter top-k must be EXACT (values and ids) on
+    continuous inputs, including clustered layouts where all winners
+    share one block, and must fall back cleanly on narrow rows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tell_tpu.ops.adaptive import fast_top_k
+
+    rng = np.random.RandomState(0)
+    for cols in (512, 700, 5021, 30265):
+        x = jnp.asarray(rng.randn(64, cols).astype(np.float32))
+        for k in (1, 5, 8):
+            want_v, want_i = jax.lax.top_k(x, k)
+            got_v, got_i = fast_top_k(x, k)
+            np.testing.assert_array_equal(np.asarray(got_v),
+                                          np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i),
+                                          np.asarray(want_i))
+    # adversarial: all top-5 values inside ONE 128-lane block
+    x = rng.randn(8, 4096).astype(np.float32)
+    x[:, 256:261] += 100.0
+    got_v, got_i = fast_top_k(jnp.asarray(x), 5)
+    want_v, want_i = jax.lax.top_k(jnp.asarray(x), 5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    # bf16 path
+    xb = jnp.asarray(rng.randn(16, 2048), jnp.bfloat16)
+    gv, gi = fast_top_k(xb, 5)
+    wv, wi = jax.lax.top_k(xb, 5)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
