@@ -443,6 +443,7 @@ class CaptionService:
             # LSTM decoder — normalize to first-layer per-context lists
             attns = out["attns"]
             layer0 = attns[0] if isinstance(attns, (list, tuple)) else attns
+            from .word_attention import merge_word_attentions
             for i in range(n):
                 results[i]["attns"] = {
                     name: (np.asarray(a)[:, i, 0].tolist()
@@ -450,6 +451,11 @@ class CaptionService:
                            else np.asarray(a)[:, i].tolist())
                     for name, a in layer0.items()
                 }
+                # word-level payload for the demo UI (reference
+                # generate() merge, transformer_faces_objects.py:142-309)
+                results[i].update(merge_word_attentions(
+                    self.tokenizer, token_ids[i], results[i]["attns"],
+                    context_ids=np.asarray(batch["context_ids"])[i]))
         return results
 
     def caption(self, request: dict) -> dict:
@@ -479,13 +485,24 @@ class CaptionService:
         token_ids = np.asarray(out["token_ids"][0])  # best beam
         result = {"caption": self.tokenizer.decode(token_ids),
                   "token_ids": token_ids.tolist(),
-                  "score": float(out["scores"][0])}
+                  "score": float(out["scores"][0]),
+                  # the other beams, best-first: the demo's "alternative
+                  # captions" list
+                  "alternatives": [
+                      {"caption": self.tokenizer.decode(t),
+                       "score": float(s)}
+                      for t, s in zip(np.asarray(out["token_ids"])[1:],
+                                      np.asarray(out["scores"])[1:])]}
         if self.need_attention:
             attns = self._replay(self._params, enc, token_ids[None])
             layer0 = attns[0]
             result["attns"] = {
                 name: np.asarray(a)[:, 0, 0].tolist()
                 for name, a in layer0.items()}
+            from .word_attention import merge_word_attentions
+            result.update(merge_word_attentions(
+                self.tokenizer, token_ids, result["attns"],
+                context_ids=np.asarray(batch["context_ids"])[0]))
         return result
 
 
