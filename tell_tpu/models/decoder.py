@@ -258,7 +258,6 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
     groups = context_groups(cfg)
     H = cfg.num_heads
     kvs = []
-    bias_cache: dict[int, jax.Array] = {}
     for lp in params["layers"]:
         layer = []
         for gi, group in enumerate(groups):
@@ -304,12 +303,13 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
             entry["ln_b"] = jnp.stack([lp["attn_ln"][n]["bias"]
                                        for n in names])
             if beam:
-                if gi not in bias_cache:
-                    from ..ops.kernels.decode_attention import segment_bias
-                    bias_cache[gi] = segment_bias(entry["seg"],
-                                                  entry["mask"],
-                                                  len(group), beam)
-                entry["bias"] = bias_cache[gi]
+                # one buffer PER LAYER even though the values are
+                # identical: sharing one array across the 4 layers'
+                # pytree leaves breaks donation ("donate the same buffer
+                # twice") in the serving engine's donated-state _admit
+                from ..ops.kernels.decode_attention import segment_bias
+                entry["bias"] = segment_bias(entry["seg"], entry["mask"],
+                                             len(group), beam)
             layer.append(entry)
         kvs.append(layer)
     return kvs
