@@ -374,7 +374,15 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # sort with the next cluster's matmul, so the sort is off the
     # critical path and the prefilter's longer dependent op chain
     # (reduce -> gather -> sort) only adds serial latency.
-    vals, ids = jax.lax.top_k(head_logits[:, :c0], k)
+    from .kernels.dispatch import env_flag
+    if env_flag("TELL_TPU_APPROX_TOPK"):
+        # opt-in: TPU PartialReduce approximate top-k (recall ~0.99 per
+        # element) — NOT exact; may flip near-tie beam candidates
+        def _tk(a, kk):
+            return jax.lax.approx_max_k(a, kk, recall_target=0.99)
+    else:
+        _tk = jax.lax.top_k
+    vals, ids = _tk(head_logits[:, :c0], k)
     all_vals = [vals - head_lse[:, None]]
     all_ids = [ids]
     for i, (lo, hi) in enumerate(ranges[1:]):
@@ -385,7 +393,7 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
             tl = _tail_logits(sm, emb, x, i, padding_idx
                               ).astype(jnp.float32)
         lse = jax.scipy.special.logsumexp(tl, axis=-1)
-        tv, ti = jax.lax.top_k(tl, min(k, hi - lo))
+        tv, ti = _tk(tl, min(k, hi - lo))
         prior = head_logits[:, c0 + i] - head_lse
         all_vals.append(tv - lse[:, None] + prior[:, None])
         all_ids.append(ti + lo)

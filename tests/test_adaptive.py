@@ -223,3 +223,32 @@ def test_fast_top_k_exact_vs_lax():
     gv, gi = fast_top_k(xb, 5)
     wv, wi = jax.lax.top_k(xb, 5)
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_approx_topk_optin_close_to_exact(monkeypatch):
+    """TELL_TPU_APPROX_TOPK=1 swaps the cluster sorts for
+    jax.lax.approx_max_k (recall ~0.99/element on TPU; exact fallback off
+    TPU). The opt-in must keep the same API and near-identical results."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tell_tpu.ops.adaptive import (adaptive_top_k,
+                                       init_adaptive_embedding,
+                                       init_adaptive_softmax)
+
+    cutoffs = (40, 120, 300)
+    emb = init_adaptive_embedding(jax.random.PRNGKey(0), cutoffs,
+                                  initial_dim=32, factor=1.0, output_dim=32)
+    sm = init_adaptive_softmax(jax.random.PRNGKey(1), cutoffs, 32,
+                               factor=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(2), (8, 32))
+    monkeypatch.delenv("TELL_TPU_APPROX_TOPK", raising=False)
+    v0, i0 = adaptive_top_k(sm, emb, x, cutoffs, 5)
+    monkeypatch.setenv("TELL_TPU_APPROX_TOPK", "1")
+    v1, i1 = adaptive_top_k(sm, emb, x, cutoffs, 5)
+    # top-1 must agree; the full top-5 set overlap must be >= 4/5 per row
+    np.testing.assert_array_equal(np.asarray(i0[:, 0]), np.asarray(i1[:, 0]))
+    overlap = np.mean([len(set(a) & set(b)) / 5.0
+                       for a, b in zip(np.asarray(i0), np.asarray(i1))])
+    assert overlap >= 0.8
