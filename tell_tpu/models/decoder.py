@@ -637,12 +637,18 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
 
 
 def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
-                 state: dict, need_weights: bool = False
+                 state: dict, need_weights: bool = False,
+                 row_gather: jax.Array | None = None
                  ) -> tuple[jax.Array, dict, list[dict]]:
     """One decode step. tokens: [B*beam] -> (features [B*beam, E], state',
     attns). beam is inferred from tokens vs KV row counts.
 
     Deterministic (no dropout) — decoding never trains.
+
+    row_gather [B*beam] int32: beam parent indices applied to the conv
+    ring buffers AT READ TIME (fused into the window concat) instead of a
+    separate post-selection gather+rewrite — see beam_search_core's fused
+    mode. KV is per-batch (shared by beams) and never needs gathering.
     """
     R = tokens.shape[0]
     B = state["kv"][0][0]["k"].shape[0]
@@ -664,7 +670,8 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
                    else lightweight_conv_step)
         h, buf = step_fn(lp["conv"], h, state["conv"][i], kernel_size=k,
                          num_heads=cfg.num_heads,
-                         weight_softmax=cfg.weight_softmax)
+                         weight_softmax=cfg.weight_softmax,
+                         row_gather=row_gather)
         new_conv.append(buf)
         h = gehring_linear(lp["linear2"], h)
         h = layer_norm(lp["conv_ln"], residual + h)
