@@ -18,6 +18,25 @@ def _add_common(p):
     p.add_argument("config", help="experiment YAML (see expt/)")
     p.add_argument("-o", "--overrides", default=None,
                    help="JSON merged over the YAML config")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory: "
+                   "first compile of each program is written there, "
+                   "subsequent process starts load it instead of "
+                   "recompiling (cuts server/trainer cold start from "
+                   "minutes to seconds)")
+
+
+def _enable_compile_cache(args) -> None:
+    path = getattr(args, "compile_cache", None)
+    if not path:
+        return
+    import jax
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program (the default 1 MiB floor skips the small decode
+    # steps that dominate cold-start count)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -183,6 +202,7 @@ def _restore_params(exp, model_dir, template):
 
 
 def cmd_train(args) -> int:
+    _enable_compile_cache(args)
     from ..data.bucketing import bucket_batches
     from ..data.records import RecordDataset
     from ..training.trainer import Trainer
@@ -242,6 +262,7 @@ def cmd_train(args) -> int:
 
 
 def cmd_evaluate(args) -> int:
+    _enable_compile_cache(args)
     import jax
     from .evaluate import evaluate_split
 
@@ -273,6 +294,7 @@ def cmd_preprocess(args) -> int:
 
 
 def cmd_serve(args) -> int:
+    _enable_compile_cache(args)
     import jax
     from ..serving import CaptionService, serve
 

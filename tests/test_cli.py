@@ -74,3 +74,21 @@ def test_all_expt_yamls_parse():
         dcfg = getattr(exp.model, "decoder", exp.model)
         assert dcfg.contexts or exp.model_type.startswith(("baseline",
                                                            "lstm")), path
+
+
+def test_compile_cache_flag(tmp_path):
+    """--compile-cache wires the persistent XLA compilation cache."""
+    import jax
+
+    from tell_tpu.commands.__main__ import (_enable_compile_cache,
+                                            build_parser)
+    args = build_parser().parse_args(
+        ["train", "cfg.yaml", "--compile-cache", str(tmp_path / "cc")])
+    assert args.compile_cache == str(tmp_path / "cc")
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        _enable_compile_cache(args)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

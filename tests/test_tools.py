@@ -139,3 +139,44 @@ def test_dump_dataset_projection_and_filter(tmp_path, capsys):
     assert stats["exported"] == 2
     dumped = [json.loads(l) for l in out.read_text().splitlines()]
     assert [d["_id"] for d in dumped] == ["b", "a"]  # newest first
+
+
+def test_build_meteor_tables(tmp_path):
+    """The exporter produces tables that MeteorConfig.from_data_dir loads
+    (synonyms via a stub wordnet; paraphrases from a '|||' file; function
+    words from a tiny corpus)."""
+    bt = _load("build_meteor_tables")
+
+    class _Lemma:
+        def __init__(self, n): self._n = n
+        def name(self): return self._n
+
+    class _Synset:
+        def __init__(self, names): self._l = [_Lemma(n) for n in names]
+        def lemmas(self): return self._l
+
+    class _WN:
+        def all_synsets(self):
+            return [_Synset(["cat", "feline", "big_cat"]),
+                    _Synset(["dog", "canine"])]
+
+    out = tmp_path / "meteor"
+    out.mkdir()
+    n = bt.export_synonyms(str(out / "synonyms.tsv"), 1000, wordnet=_WN())
+    assert n == 4  # cat/feline/dog/canine (big_cat dropped: multiword)
+
+    gz = tmp_path / "para.txt"
+    gz.write_text("passed away ||| died ||| 0.9\nbad line\n")
+    assert bt.export_paraphrases(str(gz), str(out / "paraphrases.tsv")) == 1
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(("the cat sat " * 1000) + "rareword\n")
+    assert bt.export_function_words(str(corpus),
+                                    str(out / "function_words.txt")) == 3
+
+    from tell_tpu.evalm.meteor import MeteorConfig
+    cfg = MeteorConfig.from_data_dir(str(out))
+    assert cfg.full_stages and cfg.metric_key == "meteor"
+    assert "feline" in cfg.synonyms["cat"]
+    assert ("passed", "away") in cfg.paraphrases
+    assert "the" in cfg.function_words and "rareword" not in cfg.function_words
