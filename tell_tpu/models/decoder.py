@@ -298,10 +298,12 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
             entry["bq"] = jnp.stack([ap[n]["q_proj"]["b"] for n in names])
             entry["wo"] = jnp.stack([ap[n]["out_proj"]["w"] for n in names])
             entry["bo"] = jnp.stack([ap[n]["out_proj"]["b"] for n in names])
-            entry["ln_s"] = jnp.stack([lp["attn_ln"][n]["scale"]
-                                       for n in names])
-            entry["ln_b"] = jnp.stack([lp["attn_ln"][n]["bias"]
-                                       for n in names])
+            if "attn_ln" in lp:  # flagship decoder; the modern LM's cross
+                # block has no per-branch LN (llm_decoder.py)
+                entry["ln_s"] = jnp.stack([lp["attn_ln"][n]["scale"]
+                                           for n in names])
+                entry["ln_b"] = jnp.stack([lp["attn_ln"][n]["bias"]
+                                           for n in names])
             if beam:
                 # one buffer PER LAYER even though the values are
                 # identical: sharing one array across the 4 layers'

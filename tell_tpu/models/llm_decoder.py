@@ -627,7 +627,7 @@ def init_llm_decode_state(params: dict, cfg: LLMConfig, contexts: dict,
         "self_kv": [{"k": jnp.zeros((R, T, KV, hd), dtype),
                      "v": jnp.zeros((R, T, KV, hd), dtype)}
                     for _ in range(cfg.num_layers)],
-        "kv": precompute_context_kv_cat(params, cfg, contexts),
+        "kv": precompute_context_kv_cat(params, cfg, contexts, beam=beam),
         "step": jnp.zeros((), jnp.int32),
     }
 
