@@ -169,6 +169,7 @@ class DecodeEngine:
         self.pending: dict[int, Future] = {}
         self.queue: "_queue.Queue[tuple[dict, Future]]" = _queue.Queue()
         self.stats = {"requests": 0, "chunks": 0}
+        self._poisoned: BaseException | None = None
         self._lock = threading.Lock()
         # per-slot admission generation + in-flight packed reports, oldest
         # first: (report_i32, report_f32, gen-at-chunk-time)
@@ -363,9 +364,31 @@ class DecodeEngine:
     def submit(self, batch1: dict) -> Future:
         """batch1: feature dict with leading dim 1 (one request)."""
         fut: Future = Future()
+        if self._poisoned is not None:
+            fut.set_exception(self._poisoned)
+            return fut
         self.queue.put((batch1, fut))
         self.stats["requests"] += 1
         return fut
+
+    def poison(self, exc: BaseException) -> None:
+        """Fail every pending and queued request immediately — called when
+        the tick loop dies so clients get the error instead of hanging to
+        their timeout (the reference's ZeroMQ stack simply lost requests
+        of a dead worker, tell/server/base.py)."""
+        with self._lock:
+            self._poisoned = exc
+            for fut in self.pending.values():
+                if not fut.done():
+                    fut.set_exception(exc)
+            self.pending.clear()
+            while not self.queue.empty():
+                try:
+                    _, fut = self.queue.get_nowait()
+                except _queue.Empty:
+                    break
+                if not fut.done():
+                    fut.set_exception(exc)
 
     def _admit_queued(self):
         while self.free and not self.queue.empty():

@@ -192,7 +192,16 @@ class CaptionService:
             def _tick_loop():
                 engines = list(self.engines.values())
                 while not self._eng_stop.is_set():
-                    live = [e.tick() for e in engines]
+                    try:
+                        live = [e.tick() for e in engines]
+                    except Exception as e:  # fail pending requests fast:
+                        # a dead tick loop must not leave clients hanging
+                        # to their timeout (the reference's ZeroMQ stack
+                        # silently lost a dead worker's requests)
+                        log.exception("engine tick loop died")
+                        for eng in engines:
+                            eng.poison(e)
+                        return
                     if not any(live):
                         time.sleep(0.005)
 

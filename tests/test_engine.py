@@ -8,6 +8,7 @@ completion per worker process (tell/server/base.py:30-191) and has no
 analogue of requests joining a running decode.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -304,3 +305,20 @@ def test_llm_engine_fuzz_random_schedules():
         for fut, ref in zip(futs, refs):
             _check(fut.result(timeout=0), ref)
         assert sorted(eng.free) == list(range(slots))
+
+
+def test_engine_poison_fails_futures_fast():
+    """A dead tick loop must fail pending and queued requests immediately
+    (server._tick_loop calls poison on crash) instead of leaving clients
+    hanging to their timeout; later submits fail fast too."""
+    cfg, params = _setup(gen_len=4)
+    eng = DecodeEngine(params, cfg, slots=2, beam=2, chunk_steps=2)
+    req = _request(cfg, 1)
+    f_queued = eng.submit(req)          # never ticked: stays queued
+    boom = RuntimeError("tick loop died")
+    eng.poison(boom)
+    with pytest.raises(RuntimeError, match="tick loop died"):
+        f_queued.result(timeout=1)
+    f_late = eng.submit(req)
+    with pytest.raises(RuntimeError, match="tick loop died"):
+        f_late.result(timeout=1)
