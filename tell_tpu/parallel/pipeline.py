@@ -174,12 +174,12 @@ def pipeline_apply(stacked, layer_fn: Callable, x: jax.Array,
             check_vma=False,
         )
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         smap = shard_map(
             pipelined, mesh=mesh,
             in_specs=in_specs,
             out_specs=out_specs,
-            check_rep=False,
+            check_vma=False,
         )
     out, aux = smap(stacked, micro, extras, micro_b)
     out = out.reshape((B,) + x.shape[1:])

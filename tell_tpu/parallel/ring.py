@@ -94,7 +94,7 @@ def roberta_encode_ring(params: dict, cfg: RobertaConfig, ids: jax.Array,
     head count need NOT divide the axis. Output sharding: [B, S, (L+1,) D]
     with S on `seq_axis` (batch stays on "data" when the caller shards it
     there)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     B, S = ids.shape
     n_shards = mesh.shape[seq_axis]
@@ -135,5 +135,5 @@ def roberta_encode_ring(params: dict, cfg: RobertaConfig, ids: jax.Array,
         body, mesh=mesh,
         in_specs=(P(), P(None, seq_axis), P(None, seq_axis), P()),
         out_specs=out_spec,
-        check_rep=False)
+        check_vma=False)
     return fn(params, ids, positions, mask)

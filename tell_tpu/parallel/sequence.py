@@ -68,7 +68,7 @@ def roberta_encode_seq_parallel(params: dict, cfg: RobertaConfig,
     ids: [B, S], S divisible by mesh.shape[seq_axis]. Output sharding:
     [B, S, (L+1,) D] with S on `seq_axis` (batch stays on "data" when the
     caller shards it there)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     B, S = ids.shape
     P_seq = mesh.shape[seq_axis]
@@ -112,5 +112,5 @@ def roberta_encode_seq_parallel(params: dict, cfg: RobertaConfig,
         body, mesh=mesh,
         in_specs=(P(), P(None, seq_axis), P(None, seq_axis), P()),
         out_specs=out_spec,
-        check_rep=False)
+        check_vma=False)
     return fn(params, ids, positions, mask)
