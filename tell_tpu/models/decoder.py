@@ -222,12 +222,45 @@ def _kv8_enabled() -> bool:
     return env_flag("TELL_TPU_KV8", default=on_tpu())
 
 
+def _kv4_enabled() -> bool:
+    """int4 packed K/V cache — OPT-IN (TELL_TPU_KV4=1, overrides the int8
+    default): halves the decode loop's dominant HBM stream AGAIN relative
+    to int8 by nibble-packing two 4-bit K/V values per byte along the head
+    dim. Same per-source-row/per-head symmetric scales factoring out of
+    both contractions; the approximation is the 4-bit rounding (15 levels
+    per row). Opt-in for two measured reasons: (a) token-level drift vs
+    the fp path is larger than int8's (tests/test_decoder.py::
+    test_int4_kv_decode_parity); (b) at production decode shapes it is a
+    memory lever, NOT a speed lever — the in-kernel nibble unpack costs
+    more than the halved DMA saves (0.137-0.151 ms/call vs int8's 0.122
+    at B=64/S=640 on v5e, tools/kernel_variants.py VARIANT=q4/q4split),
+    so use it to fit longer contexts or bigger batches in HBM, not to
+    chase captions/s."""
+    from ..ops.kernels.dispatch import env_flag
+    return env_flag("TELL_TPU_KV4")
+
+
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
     """t: [B, H, hd, S] -> (int8 values, scales [B, H, 1, S])."""
     amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def _quantize_kv4(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """t: [B, H, hd, S] -> (nibble-packed int8 [B, H, hd/2, S], scales
+    [B, H, 1, S]). Byte d packs rows (d, d + hd/2) as two's-complement
+    low/high nibbles in [-7, 7] — the layout unpack_int4 restores."""
+    hd = t.shape[2]
+    assert hd % 2 == 0, "int4 packing needs an even head dim"
+    amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale), -7, 7)
+    q = q.astype(jnp.int8)
+    lo = q[:, :, :hd // 2] & jnp.int8(0x0F)
+    hi = q[:, :, hd // 2:] << jnp.int8(4)
+    return lo | hi, scale.astype(jnp.float32)
 
 
 def context_groups(cfg: DecoderConfig) -> tuple[tuple[int, ...], ...]:
@@ -282,7 +315,10 @@ def precompute_context_kv_cat(params: dict, cfg: DecoderConfig,
             vt = v.reshape(B, S, H, E // H).transpose(0, 2, 3, 1)
             entry = {"mask": jnp.concatenate(masks, axis=1),
                      "seg": jnp.concatenate(segs)}
-            if _kv8_enabled():
+            if _kv4_enabled():
+                entry["k"], entry["k_scale"] = _quantize_kv4(kt)
+                entry["v"], entry["v_scale"] = _quantize_kv4(vt)
+            elif _kv8_enabled():
                 entry["k"], entry["k_scale"] = _quantize_kv(kt)
                 entry["v"], entry["v_scale"] = _quantize_kv(vt)
             else:
@@ -407,6 +443,11 @@ def stacked_attention_core(attn_params: dict, names: list[str],
         else:
             out = fused_decode_attention(qh, kh, vh, bias)
     else:
+        if quant and kh.shape[2] != hd:
+            # nibble-packed int4 K/V: unpack to int8 values, then the
+            # int8 math below applies unchanged
+            from ..ops.kernels.decode_attention import unpack_int4
+            kh, vh = unpack_int4(kh), unpack_int4(vh)
         if quant:
             # int8 K/V: per-row scales factor out of both contractions
             scores = jnp.einsum("bhxd,bhds->bhxs", qh,

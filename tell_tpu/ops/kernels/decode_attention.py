@@ -235,20 +235,46 @@ def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
+def unpack_int4(x8: jax.Array) -> jax.Array:
+    """Packed int4 [..., hd/2, S] -> int8 [..., hd, S].
+
+    Byte d holds the nibble pair (d, d + hd/2): the low nibble is row d,
+    the high nibble row d + hd/2, both two's-complement in [-7, 7], so a
+    concat along the row axis restores the original hd order. int32 shifts
+    sign-extend portably (int8 shift semantics differ between numpy and
+    Mosaic)."""
+    xi = x8.astype(jnp.int32)
+    lo = (xi << 28) >> 28
+    hi = (xi << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
+def _dequant(x_ref_b: jax.Array, dtype, pack4: bool) -> jax.Array:
+    """In-kernel K/V dequantization to the query dtype. int8 in [-127,127]
+    (and int4 in [-7,7]) is exactly representable in bf16, so this loses
+    nothing; for pack4 the nibble unpack runs on the VPU in int32."""
+    if pack4:
+        xi = x_ref_b.astype(jnp.int32)
+        lo = (xi << 28) >> 28
+        hi = (xi << 24) >> 28
+        return jnp.concatenate([lo, hi], axis=1).astype(dtype)
+    return x_ref_b.astype(dtype)
+
+
 def _kernel_q8(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref, *,
-               H: int, BB: int):
+               H: int, BB: int, pack4: bool = False):
     """int8-K/V variant: K/V arrive as int8 [BB, H, hd, S] with per-source-
     row fp32 scales [BB, H, 1, S]. The scales factor out of both
     contractions (scores *= k_scale per column; p *= v_scale before the
     value matmul), so the only approximation is the int8 rounding of K/V
     themselves — and the kernel's HBM stream halves, which is the point:
-    the K/V DMA is the decode loop's dominant cost (ARCHITECTURE.md)."""
+    the K/V DMA is the decode loop's dominant cost (ARCHITECTURE.md).
+    With pack4, K/V arrive nibble-packed [BB, H, hd/2, S] (see
+    unpack_int4) and the stream halves again."""
     for b in range(BB):
         q = q_ref[b]                                  # [H, MG, hd]
-        # dequantize in VMEM at the query dtype (int8 in [-127,127] is
-        # exactly representable in bf16, so this loses nothing)
-        kt = k_ref[b].astype(q_ref.dtype)             # [H, hd, S]
-        vt = v_ref[b].astype(q_ref.dtype)
+        kt = _dequant(k_ref[b], q_ref.dtype, pack4)   # [H, hd, S]
+        vt = _dequant(v_ref[b], q_ref.dtype, pack4)
         scores = jax.lax.dot_general(
             q, kt, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # [H, MG, S]
@@ -265,7 +291,7 @@ def _kernel_q8(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref, *,
 
 def _kernel_q8_tiled(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
                      acc_ref, m_ref, l_ref, *,
-                     H: int, BB: int, S: int, TS: int):
+                     H: int, BB: int, S: int, TS: int, pack4: bool = False):
     """Online-softmax int8-K/V variant. As in the single-shot q8 kernel the
     per-source-row scales factor out of both contractions: scores *= ks per
     column; the unnormalized weights are multiplied by vs before the value
@@ -285,8 +311,8 @@ def _kernel_q8_tiled(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
              + s_idx * TS) < S                        # [1, 1, TS]
     for b in range(BB):
         q = q_ref[b]                                  # [H, MG, hd]
-        kt = k_ref[b].astype(q_ref.dtype)             # [H, hd, TS]
-        vt = v_ref[b].astype(q_ref.dtype)
+        kt = _dequant(k_ref[b], q_ref.dtype, pack4)   # [H, hd, TS]
+        vt = _dequant(v_ref[b], q_ref.dtype, pack4)
         vs = jnp.where(valid, vs_ref[b], 0.0)         # [H, 1, TS]
         scores = jax.lax.dot_general(
             q, kt, (((2,), (1,)), ((0,), (0,))),
@@ -311,16 +337,19 @@ def _kernel_q8_tiled(q_ref, k_ref, ks_ref, v_ref, vs_ref, bias_ref, o_ref,
 
 
 def _tiled_decode_attention_q8(q, k8, k_scale, v8, v_scale, bias,
-                               BB: int, TS: int) -> jax.Array:
+                               BB: int, TS: int,
+                               pack4: bool = False) -> jax.Array:
     B, H, MG, hd = q.shape
+    hd_store = k8.shape[2]                 # hd, or hd/2 nibble-packed
     S = k8.shape[3]
     n_s = -(-S // TS)
-    kv_spec = pl.BlockSpec((BB, H, hd, TS), lambda b, s: (b, 0, 0, s),
+    kv_spec = pl.BlockSpec((BB, H, hd_store, TS), lambda b, s: (b, 0, 0, s),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((BB, H, 1, TS), lambda b, s: (b, 0, 0, s),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_q8_tiled, H=H, BB=BB, S=S, TS=TS),
+        functools.partial(_kernel_q8_tiled, H=H, BB=BB, S=S, TS=TS,
+                          pack4=pack4),
         out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
         grid=(B // BB, n_s),
         in_specs=[
@@ -346,24 +375,27 @@ def _tiled_decode_attention_q8(q, k8, k_scale, v8, v_scale, bias,
 def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
                               v8: jax.Array, v_scale: jax.Array,
                               bias: jax.Array) -> jax.Array:
-    """q: [B, H, MG, hd]; k8/v8: int8 [B, H, hd, S]; k_scale/v_scale:
-    fp32 [B, H, 1, S]; bias: [B, MG, S]. Returns [B, H, MG, hd]."""
+    """q: [B, H, MG, hd]; k8/v8: int8 [B, H, hd, S] — or nibble-packed
+    int4 [B, H, hd/2, S] (see unpack_int4); k_scale/v_scale: fp32
+    [B, H, 1, S]; bias: [B, MG, S]. Returns [B, H, MG, hd]."""
     B, H, MG, hd = q.shape
+    hd_store = k8.shape[2]
+    pack4 = hd_store != hd
     S = k8.shape[3]
-    BB = _pick_bb(B, H, hd, S, MG, 1, quant=True)
+    BB = _pick_bb(B, H, hd_store, S, MG, 1, quant=True)
     if BB is None:
-        tile = _pick_tile(B, H, hd, S, MG, 1, quant=True)
+        tile = _pick_tile(B, H, hd_store, S, MG, 1, quant=True)
         if tile is not None:
             return _tiled_decode_attention_q8(
-                q, k8, k_scale, v8, v_scale, bias, *tile)
+                q, k8, k_scale, v8, v_scale, bias, *tile, pack4=pack4)
         return reference_decode_attention_q8(q, k8, k_scale, v8, v_scale,
                                              bias)
-    kv_spec = pl.BlockSpec((BB, H, hd, S), lambda b: (b, 0, 0, 0),
+    kv_spec = pl.BlockSpec((BB, H, hd_store, S), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((BB, H, 1, S), lambda b: (b, 0, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel_q8, H=H, BB=BB),
+        functools.partial(_kernel_q8, H=H, BB=BB, pack4=pack4),
         out_shape=jax.ShapeDtypeStruct((B, H, MG, hd), q.dtype),
         grid=(B // BB,),
         in_specs=[
@@ -385,7 +417,10 @@ def reference_decode_attention_q8(q, k8, k_scale, v8, v_scale, bias):
     """jnp math twin of the int8-K/V kernels (parity tests + the
     last-resort fallback for shapes where even a (1, 128) tile cell would
     not fit VMEM). Same int8 math as decoder.stacked_attention_core's
-    quant branch: scales factor out of both contractions."""
+    quant branch: scales factor out of both contractions. Accepts
+    nibble-packed int4 K/V ([B, H, hd/2, S]) and unpacks it first."""
+    if k8.shape[2] != q.shape[3]:
+        k8, v8 = unpack_int4(k8), unpack_int4(v8)
     scores = jnp.einsum("bhxd,bhds->bhxs", q, k8.astype(q.dtype),
                         preferred_element_type=jnp.float32)
     scores = scores * k_scale + bias[:, None]

@@ -302,3 +302,47 @@ def test_int8_kv_decode_parity_gate(monkeypatch):
     lp_ref = np.asarray(ref["log_probs"]).sum(-1)
     lp_q = np.asarray(q["log_probs"]).sum(-1)
     np.testing.assert_allclose(lp_q, lp_ref, rtol=0.05, atol=0.5)
+
+
+def test_int4_kv_decode_parity(monkeypatch):
+    """Documentation gate for the OPT-IN int4 packed K/V cache
+    (TELL_TPU_KV4=1): at the production head dim (hd=64) whole greedy
+    captions must track the fp path closely (measured 0.88 agreement with
+    identical >=4-token prefixes on random weights; random-weight logits
+    are near-uniform, so this is a floor — trained models separate logits
+    further). At tiny head dims (hd=16, the default test config) 4-bit
+    rounding is much coarser (~0.5 agreement) — which is exactly why int4
+    stays opt-in while int8 is the TPU default."""
+    import dataclasses
+
+    cfg = small_test_config(embed_dim=256, conv_dim=256, ffn_dim=512,
+                            num_heads=4)
+    cfg = dataclasses.replace(cfg, gen_len=12)
+    assert cfg.decoder.embed_dim // cfg.decoder.num_heads == 64
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    B = 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    dcfg = cfg.decoder
+    S = dcfg.context("article").max_len
+    batch = {
+        "image_grid": jax.random.normal(ks[0], (B, 9, 32)),
+        "article_hiddens": jax.random.normal(
+            ks[1], (B, S, 3, 24)),
+        "article_mask": jnp.zeros((B, S), bool),
+        "face_embeds": jax.random.normal(ks[2], (B, 4, 16)),
+        "obj_embeds": jax.random.normal(ks[3], (B, 8, 32)),
+    }
+
+    monkeypatch.setenv("TELL_TPU_KV8", "0")
+    ref = generate(params, cfg, batch, early_stop=False)
+    monkeypatch.setenv("TELL_TPU_KV4", "1")
+    q4 = generate(params, cfg, batch, early_stop=False)
+
+    t_ref = np.asarray(ref["token_ids"])
+    t_q = np.asarray(q4["token_ids"])
+    agree = (t_ref == t_q).mean()
+    assert agree >= 0.8, f"int4-KV token agreement {agree:.3f}"
+    assert (t_ref[:, :3] == t_q[:, :3]).all()
+    lp_ref = np.asarray(ref["log_probs"]).sum(-1)
+    lp_q = np.asarray(q4["log_probs"]).sum(-1)
+    np.testing.assert_allclose(lp_q, lp_ref, rtol=0.15, atol=1.0)

@@ -296,3 +296,96 @@ def test_fused_dynamic_conv_short_sequence():
     out = fused_dynamic_conv(x, w_km, K, H, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_unpack_int4_roundtrip():
+    """_quantize_kv4 packs rows (d, d+hd/2) into nibble pairs; unpack_int4
+    must restore the exact clipped/rounded int4 values in original order."""
+    from tell_tpu.models.decoder import _quantize_kv4
+    from tell_tpu.ops.kernels.decode_attention import unpack_int4
+    t = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 16, 24)) * 2.0
+    packed, scale = _quantize_kv4(t)
+    assert packed.shape == (2, 3, 8, 24) and packed.dtype == jnp.int8
+    got = np.asarray(unpack_int4(packed))
+    want = np.clip(np.round(np.asarray(t) / np.asarray(scale)), -7, 7)
+    np.testing.assert_array_equal(got, want.astype(np.int8))
+
+
+def test_fused_decode_attention_q4_matches_jnp_int4_math():
+    """The nibble-packed int4 path through the q8 kernel must equal the
+    jnp twin exactly and approximate the fp result to int4 rounding."""
+    from tell_tpu.models.decoder import _quantize_kv4
+    from tell_tpu.ops.kernels.decode_attention import (
+        fused_decode_attention_q8, reference_decode_attention,
+        reference_decode_attention_q8, segment_bias)
+    B, H, M, G, S, hd = 2, 4, 3, 5, 24, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, H, M * G, hd))
+    k = jax.random.normal(ks[1], (B, H, hd, S))
+    v = jax.random.normal(ks[2], (B, H, hd, S))
+    k4, k_s = _quantize_kv4(k)
+    v4, v_s = _quantize_kv4(v)
+    seg = jnp.asarray([0] * 10 + [1] * 6 + [2] * 8, jnp.int32)
+    pad = jnp.zeros((B, S), bool).at[:, 8:10].set(True).at[1, 20:].set(True)
+    bias = segment_bias(seg, pad, M, G)
+    ref = reference_decode_attention_q8(q, k4, k_s, v4, v_s, bias)
+    out = fused_decode_attention_q8(q, k4, k_s, v4, v_s, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    fp = reference_decode_attention(q, k, v, bias)
+    # int4 rounding error on unit-normal K/V; sanity bound, not parity
+    assert np.max(np.abs(np.asarray(out) - np.asarray(fp))) < 1.0
+
+
+def test_fused_decode_attention_q4_long_context_tiled():
+    """int4 through the S-tiled online-softmax kernel (ragged final tile
+    + padded tail) must match the jnp twin."""
+    from tell_tpu.models.decoder import _quantize_kv4
+    from tell_tpu.ops.kernels.decode_attention import (
+        _tiled_decode_attention_q8, reference_decode_attention_q8,
+        segment_bias)
+    B, H, M, G, hd = 2, 2, 2, 1, 16
+    S = 300
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (B, H, M * G, hd))
+    k = jax.random.normal(ks[1], (B, H, hd, S))
+    v = jax.random.normal(ks[2], (B, H, hd, S))
+    k4, k_s = _quantize_kv4(k)
+    v4, v_s = _quantize_kv4(v)
+    seg = (jnp.arange(S) * M // S).astype(jnp.int32)
+    pad = jnp.zeros((B, S), bool).at[:, -50:].set(True)
+    bias = segment_bias(seg, pad, M, G)
+    ref = reference_decode_attention_q8(q, k4, k_s, v4, v_s, bias)
+    out = _tiled_decode_attention_q8(q, k4, k_s, v4, v_s, bias, 2, 128,
+                                     pack4=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_step_kv4_fused_matches_kv4_jnp(monkeypatch):
+    """With TELL_TPU_KV4=1, fused-on vs fused-off decoder_step agree (the
+    packed-int4 kernel path and the jnp unpack branch share quantized
+    values)."""
+    from tell_tpu.config import small_test_config
+    from tell_tpu.models.decoder import (decoder_step, init_decoder,
+                                         init_decode_state)
+    cfg = small_test_config().decoder
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    B = 2
+    contexts = {}
+    for i, spec in enumerate(cfg.contexts):
+        feats = jax.random.normal(ks[i], (B, spec.max_len, spec.kv_dim))
+        mask = jnp.zeros((B, spec.max_len), bool)
+        contexts[spec.name] = (feats, mask)
+    toks = jnp.array([5, 9], jnp.int32)
+
+    monkeypatch.setenv("TELL_TPU_KV4", "1")
+    monkeypatch.setenv("TELL_TPU_FUSED", "0")
+    state = init_decode_state(params, cfg, contexts, B)
+    ref, _, _ = decoder_step(params, cfg, toks, state)
+    monkeypatch.setenv("TELL_TPU_FUSED", "1")
+    state = init_decode_state(params, cfg, contexts, B)
+    out, _, _ = decoder_step(params, cfg, toks, state)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
