@@ -65,8 +65,14 @@ def fast_top_k(x: jax.Array, k: int,
         return jax.lax.top_k(x, k)
     pad = nb * block - n
     if pad:
+        # pad with true -inf, not finfo.min: rows may legitimately hold
+        # -inf (masked logits), and a finfo.min pad would outrank them and
+        # leak out-of-range ids; on ties lax.top_k prefers the LOWEST
+        # index, so real columns always beat the trailing pad lanes
         x = jnp.pad(x, ((0, 0), (0, pad)),
-                    constant_values=_neg_inf_like(x))
+                    constant_values=(-jnp.inf
+                                     if jnp.issubdtype(x.dtype, jnp.floating)
+                                     else _neg_inf_like(x)))
     blocks = x.reshape(x.shape[0], nb, block)
     _, bi = jax.lax.top_k(blocks.max(-1), k)              # [R, k]
     cand = jnp.take_along_axis(blocks, bi[:, :, None], axis=1)

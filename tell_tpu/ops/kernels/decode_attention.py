@@ -235,8 +235,8 @@ def fused_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(q, k, v, bias)
 
 
-def unpack_int4(x8: jax.Array) -> jax.Array:
-    """Packed int4 [..., hd/2, S] -> int8 [..., hd, S].
+def unpack_int4(x8: jax.Array, dtype=jnp.int8) -> jax.Array:
+    """Packed int4 [..., hd/2, S] -> `dtype` [..., hd, S].
 
     Byte d holds the nibble pair (d, d + hd/2): the low nibble is row d,
     the high nibble row d + hd/2, both two's-complement in [-7, 7], so a
@@ -246,7 +246,7 @@ def unpack_int4(x8: jax.Array) -> jax.Array:
     xi = x8.astype(jnp.int32)
     lo = (xi << 28) >> 28
     hi = (xi << 24) >> 28
-    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2).astype(dtype)
 
 
 def _dequant(x_ref_b: jax.Array, dtype, pack4: bool) -> jax.Array:
@@ -254,10 +254,7 @@ def _dequant(x_ref_b: jax.Array, dtype, pack4: bool) -> jax.Array:
     (and int4 in [-7,7]) is exactly representable in bf16, so this loses
     nothing; for pack4 the nibble unpack runs on the VPU in int32."""
     if pack4:
-        xi = x_ref_b.astype(jnp.int32)
-        lo = (xi << 28) >> 28
-        hi = (xi << 24) >> 28
-        return jnp.concatenate([lo, hi], axis=1).astype(dtype)
+        return unpack_int4(x_ref_b, dtype)
     return x_ref_b.astype(dtype)
 
 
@@ -382,9 +379,14 @@ def fused_decode_attention_q8(q: jax.Array, k8: jax.Array, k_scale: jax.Array,
     hd_store = k8.shape[2]
     pack4 = hd_store != hd
     S = k8.shape[3]
-    BB = _pick_bb(B, H, hd_store, S, MG, 1, quant=True)
+    # Size the VMEM model on the FULL head dim even when pack4 streams
+    # hd/2 bytes: _dequant materializes full-hd bf16 kt/vt tiles in VMEM,
+    # which dominate the footprint — modeling hd/2 would admit
+    # long-context shapes into the single-shot kernel that only the tiled
+    # kernel can actually hold (conservative by the halved input stream).
+    BB = _pick_bb(B, H, hd, S, MG, 1, quant=True)
     if BB is None:
-        tile = _pick_tile(B, H, hd_store, S, MG, 1, quant=True)
+        tile = _pick_tile(B, H, hd, S, MG, 1, quant=True)
         if tile is not None:
             return _tiled_decode_attention_q8(
                 q, k8, k_scale, v8, v_scale, bias, *tile, pack4=pack4)

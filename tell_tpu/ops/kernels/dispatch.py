@@ -32,13 +32,14 @@ def on_tpu() -> bool:
 def env_flag(name: str, default: bool = False) -> bool:
     """Shared truthy parsing for kernel opt-in env vars (1/true/on).
 
-    With default=True the flag is an opt-OUT: unset -> True, and only an
-    explicit falsy value (0/false/off) disables it."""
+    With default=True the flag is an opt-OUT: unset -> True, and an
+    explicit falsy value (0/false/off, or set-but-empty as in
+    `NAME= cmd`) disables it."""
     raw = os.environ.get(name)
     if raw is None:
         return default
     if default:
-        return raw.lower() not in ("0", "false", "off")
+        return raw.lower() not in ("", "0", "false", "off")
     return raw.lower() in ("1", "true", "on")
 
 

@@ -364,11 +364,15 @@ class DecodeEngine:
     def submit(self, batch1: dict) -> Future:
         """batch1: feature dict with leading dim 1 (one request)."""
         fut: Future = Future()
-        if self._poisoned is not None:
-            fut.set_exception(self._poisoned)
-            return fut
-        self.queue.put((batch1, fut))
-        self.stats["requests"] += 1
+        # check-and-enqueue must be atomic with poison(): a put() racing a
+        # dying tick loop would otherwise land after poison() drained the
+        # queue and hang the client until its timeout
+        with self._lock:
+            if self._poisoned is not None:
+                fut.set_exception(self._poisoned)
+                return fut
+            self.queue.put((batch1, fut))
+            self.stats["requests"] += 1
         return fut
 
     def poison(self, exc: BaseException) -> None:

@@ -223,6 +223,17 @@ def test_fast_top_k_exact_vs_lax():
     gv, gi = fast_top_k(xb, 5)
     wv, wi = jax.lax.top_k(xb, 5)
     np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+    # ragged width + -inf masked logits: the ragged tail pads with true
+    # -inf (not finfo.min), so masked columns still outrank pad lanes and
+    # ids never leave [0, n)
+    n = 1500  # not a multiple of the 128 block
+    xm = rng.randn(16, n).astype(np.float32)
+    xm[:, 40:] = -np.inf  # fewer finite values than one block
+    gv, gi = fast_top_k(jnp.asarray(xm), 8)
+    wv, wi = jax.lax.top_k(jnp.asarray(xm), 8)
+    assert int(np.asarray(gi).max()) < n
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
 
 
 def test_approx_topk_optin_close_to_exact(monkeypatch):

@@ -389,3 +389,22 @@ def test_decoder_step_kv4_fused_matches_kv4_jnp(monkeypatch):
     out, _, _ = decoder_step(params, cfg, toks, state)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_env_flag_parsing(monkeypatch):
+    """Opt-in: only 1/true/on enable. Opt-out (default=True): 0/false/off
+    AND set-but-empty (`NAME= cmd`) disable — an operator exporting an
+    empty TELL_TPU_KV8 to force the fp parity path must get the fp path."""
+    from tell_tpu.ops.kernels.dispatch import env_flag
+
+    monkeypatch.delenv("X_FLAG", raising=False)
+    assert env_flag("X_FLAG") is False
+    assert env_flag("X_FLAG", default=True) is True
+    for raw, opt_in, opt_out in [("1", True, True), ("true", True, True),
+                                 ("on", True, True), ("0", False, False),
+                                 ("false", False, False), ("off", False,
+                                                           False),
+                                 ("", False, False)]:
+        monkeypatch.setenv("X_FLAG", raw)
+        assert env_flag("X_FLAG") is opt_in, raw
+        assert env_flag("X_FLAG", default=True) is opt_out, raw

@@ -84,3 +84,22 @@ def test_modern_sharded_loss_matches_single_device():
             lambda p, b: llm_loss(p, CFG, b)[0])(sharded_params,
                                                  sharded_batch))
     np.testing.assert_allclose(loss, ref, rtol=2e-5)
+
+
+def test_force_host_device_flag_rewrites_existing():
+    """A pre-existing smaller --xla_force_host_platform_device_count must
+    be RAISED (a substring check would keep it and the child backend would
+    come up with too few devices); larger or equal counts are kept; absent
+    flag is appended."""
+    import __graft_entry__ as ge
+
+    f = ge._force_host_device_flag
+    assert f("", 8) == "--xla_force_host_platform_device_count=8"
+    assert f("--xla_foo=1", 8) == (
+        "--xla_foo=1 --xla_force_host_platform_device_count=8")
+    assert f("--xla_force_host_platform_device_count=2", 8) == (
+        "--xla_force_host_platform_device_count=8")
+    assert f("--xla_force_host_platform_device_count=16", 8) == (
+        "--xla_force_host_platform_device_count=16")
+    assert f("--a=1 --xla_force_host_platform_device_count=2 --b=2", 8) == (
+        "--a=1 --xla_force_host_platform_device_count=8 --b=2")
