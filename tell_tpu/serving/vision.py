@@ -42,30 +42,39 @@ def decode_request_image(req: dict) -> np.ndarray | None:
 
 
 def letterbox(img: np.ndarray, size: int) -> tuple[np.ndarray, float]:
-    """Aspect-preserving resize onto a size x size black canvas (the
-    reference's YOLO letterbox, yolov3/utils/datasets.py:653). Returns
-    (canvas float32 [size, size, 3], scale original->canvas)."""
+    """Aspect-preserving resize onto a size x size gray (128) canvas with
+    CENTERED padding, matching the reference's YOLO letterbox
+    (yolov3/utils/datasets.py:653-680: cv2.INTER_AREA downscale, color
+    128, dw/2 each side; PIL's BOX filter is the area-average resample)
+    and tools/annotate_objects.py. We keep the full square canvas where
+    the reference's auto=True pads to a 32-multiple rectangle — a
+    static-shape requirement under jit; detections are unaffected (the
+    extra padding is uniform gray). Returns (canvas float32
+    [size, size, 3], scale original->canvas); box coords stay in canvas
+    space (crops are cut from the canvas), so offsets need no unmapping
+    here."""
     from PIL import Image
     h, w = img.shape[:2]
     scale = size / max(h, w)
     nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    im = Image.fromarray(img.astype(np.uint8)).resize((nw, nh))
-    canvas = np.zeros((size, size, 3), np.float32)
-    canvas[:nh, :nw] = np.asarray(im, np.float32)
+    im = Image.fromarray(img.astype(np.uint8)).resize(
+        (nw, nh), Image.Resampling.BOX)
+    canvas = np.full((size, size, 3), 128.0, np.float32)
+    top, left = (size - nh) // 2, (size - nw) // 2
+    canvas[top:top + nh, left:left + nw] = np.asarray(im, np.float32)
     return canvas, scale
 
 
 def center_crop_224(img: np.ndarray) -> np.ndarray:
-    """Resize shortest side to 256 then center-crop 224 (the dataset
-    pipeline of scripts/process_images.py:27-42)."""
+    """Resize shortest side to 256 then center-crop 224 with the dataset
+    pipeline's EXACT semantics (tools/process_images.py ==
+    scripts/process_images.py:27-42): LANCZOS, floored long side,
+    round-half-even crop offsets — serve-time grids must match
+    train-time grids pixel-for-pixel."""
     from PIL import Image
-    h, w = img.shape[:2]
-    scale = 256 / min(h, w)
-    nh, nw = int(round(h * scale)), int(round(w * scale))
-    im = np.asarray(Image.fromarray(img.astype(np.uint8)).resize((nw, nh)),
-                    np.float32)
-    top, left = (nh - 224) // 2, (nw - 224) // 2
-    return im[top:top + 224, left:left + 224]
+    from ..data.images import resize_shortest_crop
+    im = resize_shortest_crop(Image.fromarray(img.astype(np.uint8)))
+    return np.asarray(im, np.float32)
 
 
 class VisionPipeline:

@@ -35,12 +35,60 @@ def test_letterbox_and_crop_shapes():
     canvas, scale = letterbox(img, 416)
     assert canvas.shape == (416, 416, 3)
     assert abs(scale - 416 / 300) < 1e-6
+    # reference letterbox semantics (yolov3/utils/datasets.py:653-680):
+    # gray-128 padding, content CENTERED vertically
     nh = int(round(100 * scale))
-    assert canvas[:nh, :, :].mean() > 100  # content
-    assert canvas[nh + 1:, :, :].max() == 0.0  # black padding
+    top = (416 - nh) // 2
+    assert canvas[top:top + nh, :, :].mean() > 150  # content
+    assert (canvas[:top - 1, :, :] == 128.0).all()  # centered gray pad
+    assert (canvas[top + nh + 1:, :, :] == 128.0).all()
 
     crop = center_crop_224(np.zeros((260, 500, 3), np.float32))
     assert crop.shape == (224, 224, 3)
+
+
+def test_resize_shortest_crop_matches_torchvision_semantics():
+    """Pixel-exact oracle for the dataset image pipeline: torchvision's
+    F.resize(img, 256, ANTIALIAS) + F.center_crop(img, (224, 224))
+    (scripts/process_images.py:37-39) re-derived step-for-step — floored
+    long side, LANCZOS, shortest-side-already-256 early return,
+    round-half-even crop offsets."""
+    from PIL import Image
+
+    from tell_tpu.data.images import resize_shortest_crop
+
+    def oracle(img, size=256, crop=224):
+        w, h = img.size
+        if not ((w <= h and w == size) or (h <= w and h == size)):
+            if w < h:
+                ow, oh = size, int(size * h / w)
+            else:
+                ow, oh = int(size * w / h), size
+            img = img.resize((ow, oh), Image.Resampling.LANCZOS)
+        w, h = img.size
+        i = int(round((h - crop) / 2.0))
+        j = int(round((w - crop) / 2.0))
+        return img.crop((j, i, j + crop, i + crop))
+
+    rng = np.random.RandomState(0)
+    # adversarial sizes: floor-vs-round on the scaled side (513/512 ->
+    # 256.5), odd crop diffs (round-half-even offsets), exact-256
+    # shortest side (early return skips the resample entirely), upscale
+    for (w, h) in [(512, 513), (513, 512), (333, 500), (500, 333),
+                   (256, 401), (401, 256), (257, 449), (120, 300),
+                   (224, 224), (640, 480)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+        got = np.asarray(resize_shortest_crop(img))
+        want = np.asarray(oracle(img))
+        assert got.shape == (224, 224, 3), (w, h)
+        np.testing.assert_array_equal(got, want, err_msg=f"size {(w, h)}")
+
+    # serve-time center_crop_224 must ride the same code path
+    arr = rng.randint(0, 256, (449, 257, 3), dtype=np.uint8)
+    got = center_crop_224(arr.astype(np.float32))
+    want = np.asarray(oracle(Image.fromarray(arr)), np.float32)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_grid_stage_with_small_resnet():

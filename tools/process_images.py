@@ -1,15 +1,24 @@
 #!/usr/bin/env python
 """Resize + center-crop article images to 224x224.
 
-Equivalent of /root/reference/scripts/process_images.py:27-42 (shortest
-side -> 256 bicubic, center crop 224), writing JPEGs to --out so the data
-pipeline's image_grid_fn / the serving stack can load fixed-size inputs.
+Equivalent of /root/reference/scripts/process_images.py:27-42, matching
+its torchvision-functional semantics EXACTLY (any pixel drift moves the
+frozen ResNet grid features): shortest side -> 256 with LANCZOS
+(torchvision's Image.ANTIALIAS), the scaled long side FLOORED
+(``int(size * h / w)``), no-op when the shortest side already equals 256,
+center-crop offsets ``int(round((n - 224) / 2))`` (round-half-even), and
+JPEG re-encode at PIL defaults (the reference saves with no quality
+override).
 """
 from __future__ import annotations
 
 import argparse
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tell_tpu.data.images import resize_shortest_crop  # noqa: E402
 
 
 def process_image(src: str, dst: str, resize: int = 256,
@@ -19,16 +28,7 @@ def process_image(src: str, dst: str, resize: int = 256,
         img = Image.open(src).convert("RGB")
     except Exception:
         return False
-    w, h = img.size
-    if w < h:
-        nw, nh = resize, int(round(h * resize / w))
-    else:
-        nw, nh = int(round(w * resize / h)), resize
-    img = img.resize((nw, nh), Image.BICUBIC)
-    left = (nw - crop) // 2
-    top = (nh - crop) // 2
-    img = img.crop((left, top, left + crop, top + crop))
-    img.save(dst, "JPEG", quality=95)
+    resize_shortest_crop(img, resize, crop).save(dst)
     return True
 
 
