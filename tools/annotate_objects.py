@@ -58,14 +58,16 @@ def main() -> int:
         return resnet_forward(resnet, rcfg, crops, pool=True)
 
     def letterbox(img, size=416):
+        # the serving stack's letterbox (centered gray-128, area/BOX
+        # downscale, reference yolov3/utils/datasets.py:653-680 semantics)
+        # so dataset-build detections match serve-time detections
+        from tell_tpu.serving.vision import letterbox as lb
+        canvas, r = lb(img, size)
         h, w = img.shape[:2]
-        r = size / max(h, w)
-        nh, nw = int(round(h * r)), int(round(w * r))
-        resized = jax.image.resize(jnp.asarray(img), (nh, nw, 3), "linear")
+        nh = max(int(round(h * r)), 1)
+        nw = max(int(round(w * r)), 1)
         top, left = (size - nh) // 2, (size - nw) // 2
-        out = jnp.full((size, size, 3), 127.5)
-        out = out.at[top:top + nh, left:left + nw].set(resized)
-        return out / 255.0, r, top, left
+        return jnp.asarray(canvas) / 255.0, r, top, left
 
     seen = set()
     n = 0
