@@ -199,13 +199,13 @@ def _split(rng, n):
 # The reference runs four independent MultiHeadAttention modules per layer
 # per decode step (decoder_faces_objects.py:271-352) — at one token per
 # step those are dozens of tiny kernels, and decode becomes launch-latency
-# bound rather than HBM bound. Here contexts are STATICALLY GROUPED by
-# source length (context_groups): every small modality (image/faces/obj)
-# shares one concatenated-KV attention chain whose branches ride a
-# "virtual modality" axis with a segment-masked softmax, while long
-# contexts (the 512-token article) keep their own chain so the stacked
-# scores never multiply the dominant S. Op count per layer drops ~4x with
-# <1.4x extra score traffic (vs 4x if everything were stacked together).
+# bound rather than HBM bound. Here ALL contexts share ONE concatenated-KV
+# attention chain per layer (context_groups() returns a single group):
+# modalities ride a "virtual modality" axis with a segment-masked softmax.
+# Decode is bound by serial op-chain latency, not score bytes — measured
+# 6.1 ms/step for one chain vs 27 ms for either per-context chains or a
+# 2-chain article split (see the context_groups docstring), so the extra
+# stacked-score traffic over the article's 514 rows is free in practice.
 # ---------------------------------------------------------------------------
 
 def _kv8_enabled() -> bool:

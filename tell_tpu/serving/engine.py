@@ -171,6 +171,11 @@ class DecodeEngine:
         self.stats = {"requests": 0, "chunks": 0}
         self._poisoned: BaseException | None = None
         self._lock = threading.Lock()
+        # submit() must not stall behind tick()'s chunk dispatch / blocking
+        # report drain, so the poisoned-check + queue.put ride a dedicated
+        # cheap lock; poison() takes BOTH (always _lock first) so a put can
+        # never land after poison() drained the queue
+        self._submit_lock = threading.Lock()
         # per-slot admission generation + in-flight packed reports, oldest
         # first: (report_i32, report_f32, gen-at-chunk-time)
         self._gen = np.zeros(slots, np.int64)
@@ -366,8 +371,10 @@ class DecodeEngine:
         fut: Future = Future()
         # check-and-enqueue must be atomic with poison(): a put() racing a
         # dying tick loop would otherwise land after poison() drained the
-        # queue and hang the client until its timeout
-        with self._lock:
+        # queue and hang the client until its timeout. Uses the dedicated
+        # submit lock so client HTTP threads never wait behind tick()'s
+        # chunk dispatch or a blocking device fetch.
+        with self._submit_lock:
             if self._poisoned is not None:
                 fut.set_exception(self._poisoned)
                 return fut
@@ -380,7 +387,7 @@ class DecodeEngine:
         the tick loop dies so clients get the error instead of hanging to
         their timeout (the reference's ZeroMQ stack simply lost requests
         of a dead worker, tell/server/base.py)."""
-        with self._lock:
+        with self._lock, self._submit_lock:
             self._poisoned = exc
             for fut in self.pending.values():
                 if not fut.done():

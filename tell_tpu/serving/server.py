@@ -427,6 +427,17 @@ class CaptionService:
                 return self._decode(self._params, self._frozen, batch)
         return self._decode(self._params, self._frozen, batch)
 
+    def _source_lens(self, batch: dict) -> dict:
+        """True per-context source lengths for the word-attention merge:
+        lets merge_word_attentions DERIVE how many trailing bias/zero
+        columns each attention map carries (S' - source_len) instead of
+        assuming the add_bias_kv/add_zero_attn default of 2."""
+        dcfg = getattr(self.cfg, "decoder", self.cfg)
+        lens = {c.name: c.max_len for c in dcfg.contexts}
+        if "context_ids" in batch:  # article rides the packed bucket width
+            lens["article"] = int(np.asarray(batch["context_ids"]).shape[1])
+        return lens
+
     def _run(self, requests: list[dict]) -> list[dict]:
         # pad the micro-batch to max_batch for a single compiled shape
         n = len(requests)
@@ -464,7 +475,8 @@ class CaptionService:
                 # generate() merge, transformer_faces_objects.py:142-309)
                 results[i].update(merge_word_attentions(
                     self.tokenizer, token_ids[i], results[i]["attns"],
-                    context_ids=np.asarray(batch["context_ids"])[i]))
+                    context_ids=np.asarray(batch["context_ids"])[i],
+                    source_lens=self._source_lens(batch)))
         return results
 
     def caption(self, request: dict) -> dict:
@@ -511,7 +523,8 @@ class CaptionService:
             from .word_attention import merge_word_attentions
             result.update(merge_word_attentions(
                 self.tokenizer, token_ids, result["attns"],
-                context_ids=np.asarray(batch["context_ids"])[0]))
+                context_ids=np.asarray(batch["context_ids"])[0],
+                source_lens=self._source_lens(batch)))
         return result
 
 

@@ -44,10 +44,13 @@ def decode_request_image(req: dict) -> np.ndarray | None:
 def letterbox(img: np.ndarray, size: int) -> tuple[np.ndarray, float]:
     """Aspect-preserving resize onto a size x size gray (128) canvas with
     CENTERED padding, matching the reference's YOLO letterbox
-    (yolov3/utils/datasets.py:653-680: cv2.INTER_AREA downscale, color
-    128, dw/2 each side; PIL's BOX filter is the area-average resample)
-    and tools/annotate_objects.py. We keep the full square canvas where
-    the reference's auto=True pads to a 32-multiple rectangle — a
+    (yolov3/utils/datasets.py:653-680: cv2.INTER_AREA resize, color 128,
+    dw/2 each side) and tools/annotate_objects.py. cv2.INTER_AREA is an
+    area average only when shrinking — on upscale it falls back to a
+    bilinear-like tap — so we pick PIL's filter per direction: BOX
+    (area average) when scale < 1, BILINEAR when enlarging small images
+    up to the canvas. We keep the full square canvas where the
+    reference's auto=True pads to a 32-multiple rectangle — a
     static-shape requirement under jit; detections are unaffected (the
     extra padding is uniform gray). Returns (canvas float32
     [size, size, 3], scale original->canvas); box coords stay in canvas
@@ -57,8 +60,9 @@ def letterbox(img: np.ndarray, size: int) -> tuple[np.ndarray, float]:
     h, w = img.shape[:2]
     scale = size / max(h, w)
     nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
-    im = Image.fromarray(img.astype(np.uint8)).resize(
-        (nw, nh), Image.Resampling.BOX)
+    filt = (Image.Resampling.BOX if scale < 1.0
+            else Image.Resampling.BILINEAR)
+    im = Image.fromarray(img.astype(np.uint8)).resize((nw, nh), filt)
     canvas = np.full((size, size, 3), 128.0, np.float32)
     top, left = (size - nh) // 2, (size - nw) // 2
     canvas[top:top + nh, left:left + nw] = np.asarray(im, np.float32)

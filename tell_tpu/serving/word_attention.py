@@ -57,15 +57,20 @@ def group_pieces(tokenizer, ids, *, skip_special: bool = True
 
 
 def merge_word_attentions(tokenizer, token_ids, attns: dict,
-                          context_ids=None, eos_id: int = 2) -> dict:
+                          context_ids=None, eos_id: int = 2,
+                          source_lens: dict | None = None) -> dict:
     """Merge per-step per-context maps into the frontend's word payload.
 
     token_ids: [T+1] generated ids including the seed <s>.
     attns: {context_name: [gen_len, S'] list/array} (layer-0 maps; each
-        context's source axis ends with 2 bias/zero-attention columns,
+        context's source axis may end with bias/zero-attention columns,
         dropped here — App.js:473 ignores them the same way).
     context_ids: the article's BPE ids (with specials), used to collapse
         the article source axis into words.
+    source_lens: {context_name: true source length} — when given, the
+        number of trailing extra columns is DERIVED as S' - source_len
+        (0 for a config without add_bias_kv/add_zero_attn, 2 for the
+        reference default) instead of assuming the default's 2.
 
     Returns {"caption_words": [str], "word_attns": [{ctx: [float]}],
     "article_words": [str] (when context_ids given)}.
@@ -91,7 +96,11 @@ def merge_word_attentions(tokenizer, token_ids, attns: dict,
         row: dict = {}
         for name, m in maps.items():
             avg = m[[steps[p] for p in positions]].mean(axis=0)
-            avg = avg[:-2] if avg.shape[0] >= 2 else avg  # bias/zero cols
+            if source_lens is not None and name in source_lens:
+                extra = max(avg.shape[0] - int(source_lens[name]), 0)
+            else:
+                extra = 2 if avg.shape[0] >= 2 else 0  # default bias/zero
+            avg = avg[:avg.shape[0] - extra] if extra else avg
             if name == "article" and article_groups is not None:
                 row[name] = [float(avg[[p for p in pos
                                         if p < avg.shape[0]]].sum())

@@ -46,6 +46,53 @@ def test_meteor_hand_computed_partial():
     assert meteor_single(cand, ref) == pytest.approx(f_mean * (1 - pen))
 
 
+def test_meteor_fragmentation_adversarial_reversal():
+    """Fully reversed content order: every word matches (P = R = 1) but
+    the alignment splits into 3 chunks of 3 matched words, so
+    frag = 3/3 = 1 and the penalty hits its gamma ceiling:
+    score = 1 * (1 - gamma * 1**beta) = 1 - 0.6 = 0.4."""
+    st = sentence_stats("dog bites man", "man bites dog", CFG)
+    assert st.m_c == pytest.approx(3 * 0.75)
+    assert st.m_r == pytest.approx(3 * 0.75)
+    assert st.chunks == 3
+    assert st.n_matched == pytest.approx(3.0)
+    assert meteor_single("dog bites man", "man bites dog") == \
+        pytest.approx(0.4)
+
+
+def test_meteor_hand_computed_duplicate_words_diagonal():
+    """Duplicate-word alignment exercises the diagonal preference:
+    cand 'the cat the mat' vs ref 'the cat sat on the mat'. The first
+    'the' takes ref position 0 (closest to the run start), the second
+    takes position 4, giving chunks {the cat} and {the mat}:
+    m_c = m_r = 2.0, len_c = 2.0, len_r = 3.0, chunks = 2 over 4
+    matched words."""
+    cand, ref = "the cat the mat", "the cat sat on the mat"
+    st = sentence_stats(cand, ref, CFG)
+    assert st.m_c == pytest.approx(2.0)
+    assert st.m_r == pytest.approx(2.0)
+    assert st.len_c == pytest.approx(2.0)
+    assert st.len_r == pytest.approx(3.0)
+    assert st.chunks == 2
+    assert st.n_matched == pytest.approx(4.0)
+    p, r = 1.0, 2.0 / 3.0
+    f_mean = p * r / (CFG.alpha * p + (1 - CFG.alpha) * r)
+    pen = CFG.gamma * (2 / 4) ** CFG.beta
+    assert meteor_single(cand, ref) == pytest.approx(f_mean * (1 - pen))
+
+
+def test_meteor_full_coverage_single_chunk_zeroes_penalty():
+    """The jar zeroes fragmentation only when ONE chunk covers BOTH
+    sides completely — a single chunk with leftover words still pays."""
+    # full coverage through the stem stage: chunks -> 0, score = 0.6
+    st = sentence_stats("cats running", "cat runs", CFG)
+    assert st.chunks == 0
+    assert meteor_single("cats running", "cat runs") == pytest.approx(0.6)
+    # one contiguous chunk but unmatched ref words remain: penalty applies
+    st2 = sentence_stats("the cat", "the cat sat", CFG)
+    assert st2.chunks == 1
+
+
 def test_meteor_orders_quality():
     ref = "the cat sat on the mat"
     assert (meteor("the cat sat on the mat", [ref])
@@ -106,6 +153,28 @@ def test_meteor_data_dir_loaders(tmp_path):
     assert ("passed", "away") in cfg.paraphrases
     assert ("died",) in cfg.paraphrases
     assert cfg.function_words == frozenset({"the", "a"})
+
+
+def test_meteor_partial_data_dir_cannot_claim_full_key(tmp_path,
+                                                       monkeypatch):
+    """A data dir missing either table must NOT unlock the "meteor" key —
+    the reduced stage set is not comparable to published jar numbers
+    (scripts/compute_metrics.py:36-45), so a partially-provisioned
+    deployment has to keep reporting meteor_exact_stem."""
+    from tell_tpu.commands.evaluate import score_generations
+    (tmp_path / "synonyms.tsv").write_text("cat\tfeline\n")  # no paraphrases
+    cfg = MeteorConfig.from_data_dir(str(tmp_path))
+    assert not cfg.full_stages
+    assert cfg.metric_key == "meteor_exact_stem"
+    monkeypatch.setenv("TELL_TPU_METEOR_DATA", str(tmp_path))
+    m = score_generations(["the cat sat"], [["the cat sat"]])
+    assert "meteor" not in m and "meteor_exact_stem" in m
+    # the other partial direction: paraphrases without synonyms
+    only_par = tmp_path / "par_only"
+    only_par.mkdir()
+    (only_par / "paraphrases.tsv").write_text("passed away\tdied\n")
+    cfg2 = MeteorConfig.from_data_dir(str(only_par))
+    assert cfg2.metric_key == "meteor_exact_stem"
 
 
 def test_meteor_multiref_max():
