@@ -1,6 +1,19 @@
 """Benchmark: flagship-captioner generation throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The headline metric stays captions/sec; the same line also carries the
+serving-relevant companions so every driver run records them:
+  p50_caption_latency_ms_*   slope-timed beam micro-batch latency
+                             (BASELINE.json names p50 latency alongside
+                             throughput)
+  engine_sustained_*         continuous-batching engine under a steady
+                             arrival stream: sustained captions/s and
+                             per-request p50 latency (submit -> result)
+  kv_cache_mode +            machine-checked A/B of the default-on int8
+  kv8_token_agreement        K/V cache vs the fp path at serving shapes;
+                             below BENCH_KV8_MIN the bench FALLS BACK to
+                             fp for the measurement and says so
+Disable companions with BENCH_EXTRAS=0 (throughput-only line).
 
 Baseline: the reference generates the NYTimes800k test set at ~2.8
 captions/sec on a Titan V (greedy, batch 16; README.md:168-169, see
@@ -143,6 +156,331 @@ def bench_train():
     }))
 
 
+def _make_batch(B: int, S: int, dtype, key=1) -> dict:
+    ks = jr.split(jr.PRNGKey(key), 8)
+    # The 25-layer weighted sum happens once at encode time (it is part of
+    # the article encoder); the decode loop consumes the mixed features.
+    return {
+        "image_grid": jr.normal(ks[0], (B, 49, 2048), dtype),
+        "article": jr.normal(ks[1], (B, S, 1024), dtype),
+        "article_mask": jnp.zeros((B, S), bool),
+        "face_embeds": jr.normal(ks[2], (B, 4, 512), dtype),
+        "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
+    }
+
+
+def kv8_agreement_gate(params, cfg, dtype) -> dict:
+    """Machine-checked guard for the default-on int8 K/V cache: decode the
+    SAME batch greedy with TELL_TPU_KV8 forced off then on, report token
+    agreement, and fall back to fp for the rest of the bench when
+    agreement drops below BENCH_KV8_MIN (default 0.90). Random weights are
+    the measured worst case (~0.79 chip agreement, ARCHITECTURE.md) —
+    trained logit margins agree far more — so the default threshold guards
+    against regressions, not the known random-weight gap. Runs at serving
+    shapes (B=16, len 32, production dims)."""
+    import dataclasses
+
+    from tell_tpu.models.captioner import generate
+    import numpy as np
+
+    B = min(16, BATCH)
+    L = min(32, GEN_LEN)
+    gcfg = dataclasses.replace(cfg, gen_len=L)
+    batch = _make_batch(B, 512, dtype, key=5)
+    prev = os.environ.get("TELL_TPU_KV8")
+    try:
+        outs = {}
+        for mode in ("0", "1"):
+            os.environ["TELL_TPU_KV8"] = mode
+            out = jax.jit(lambda p, b: generate(
+                p, gcfg, b, early_stop=False)["token_ids"])(params, batch)
+            outs[mode] = np.asarray(out)
+    finally:
+        if prev is None:
+            os.environ.pop("TELL_TPU_KV8", None)
+        else:
+            os.environ["TELL_TPU_KV8"] = prev
+    agreement = float((outs["0"] == outs["1"]).mean())
+    min_agree = float(os.environ.get("BENCH_KV8_MIN", "0.90"))
+    from tell_tpu.models.decoder import kv_cache_mode
+    mode = kv_cache_mode()
+    fell_back = False
+    if mode == "int8" and agreement < min_agree:
+        os.environ["TELL_TPU_KV8"] = "0"   # fp for the measured run
+        mode, fell_back = "fp", True
+    return {"kv8_token_agreement": round(agreement, 4),
+            "kv8_gate_min": min_agree,
+            "kv_cache_mode": mode,
+            "kv8_auto_fallback": fell_back}
+
+
+def bench_latency(params, cfg, dtype) -> dict:
+    """p50 caption latency: wall-clock of ONE serving micro-batch (beam
+    decode, fixed gen_len, early-exit disabled) — the deterministic upper
+    bound for captions of that length and the p50 for a batch whose
+    longest caption has it. Slope-timed (tools/latency_bench.py
+    methodology): REPS_HI vs REPS_LO scan-chained executions through a
+    scalar, one fetch, difference."""
+    import dataclasses
+
+    from tell_tpu.models.beam import beam_search
+    from tell_tpu.models.captioner import generate
+
+    B = int(os.environ.get("BENCH_LAT_B", str(min(8, BATCH))))
+    L = int(os.environ.get("BENCH_LAT_LEN", str(min(16, GEN_LEN))))
+    beam = BEAM
+    lcfg = dataclasses.replace(cfg, gen_len=L)
+    batch = _make_batch(B, 512, dtype, key=6)
+
+    def one(p, b, bump):
+        bb = dict(b)
+        bb["article"] = bb["article"] + bump.astype(bb["article"].dtype)
+        if beam > 1:
+            return beam_search(p, lcfg, bb, beam_size=beam,
+                               early_stop=False)["scores"].sum()
+        return generate(p, lcfg, bb, early_stop=False)["log_probs"].sum()
+
+    def chain(p, b, s, reps):
+        c, _ = jax.lax.scan(lambda c, _: (one(p, b, c * 1e-9), None),
+                            s, None, length=reps)
+        return c
+
+    reps_hi, reps_lo = 6, 1
+    hi = jax.jit(lambda p, b, s: chain(p, b, s, reps_hi))
+    lo = jax.jit(lambda p, b, s: chain(p, b, s, reps_lo))
+    s0 = jnp.zeros((), jnp.float32)
+    float(hi(params, batch, s0))   # compile + warm
+    float(lo(params, batch, s0))
+
+    def t(fn):
+        t0 = time.perf_counter()
+        float(fn(params, batch, s0))
+        return time.perf_counter() - t0
+
+    best = min((t(hi) - t(lo)) / (reps_hi - reps_lo) for _ in range(3))
+    key = "p50_caption_latency_ms_beam%d_b%d_len%d" % (beam, B, L)
+    return {key: round(best * 1e3, 2)}
+
+
+def bench_engine(params, cfg, dtype) -> dict:
+    """Sustained-load serving latency through the continuous-batching
+    engine: a steady arrival stream (one request per BENCH_ENGINE_ARRIVAL
+    ms) into a resident slot state; reports sustained captions/s and
+    per-request p50 latency (submit -> future resolution, host wall-clock
+    — the engine's report fetch IS a host transfer, so wall-clock is
+    honest here, unlike device timing)."""
+    import dataclasses
+
+    import numpy as np
+    from tell_tpu.serving.engine import DecodeEngine
+
+    slots = int(os.environ.get("BENCH_ENGINE_SLOTS", "16"))
+    L = int(os.environ.get("BENCH_ENGINE_LEN", str(min(16, GEN_LEN))))
+    arrival = float(os.environ.get("BENCH_ENGINE_ARRIVAL", "15")) / 1e3
+    n = int(os.environ.get("BENCH_ENGINE_N", str(4 * slots)))
+    ecfg = dataclasses.replace(cfg, gen_len=L)
+    eng = DecodeEngine(params, ecfg, slots=slots, beam=max(BEAM, 2),
+                       chunk_steps=4, dtype=dtype)
+    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in
+             _make_batch(4, 512, dtype, key=7).items()} for i in range(n)]
+    f = eng.submit(reqs[0])     # warm every compiled program
+    eng.run_until_drained()
+    f.result(timeout=600)
+
+    lat, t_sub = [], {}
+    futs = []
+    t0 = time.perf_counter()
+    next_arrival, i = t0, 0
+    while i < len(reqs) or any(not f.done() for f in futs):
+        now = time.perf_counter()
+        while i < len(reqs) and now >= next_arrival:
+            fut = eng.submit(reqs[i])
+            t_sub[id(fut)] = time.perf_counter()
+            fut.add_done_callback(
+                lambda f, ts=t_sub: lat.append(
+                    time.perf_counter() - ts[id(f)]))
+            futs.append(fut)
+            next_arrival += arrival
+            i += 1
+        if not eng.tick() and i < len(reqs):
+            time.sleep(max(0.0, next_arrival - time.perf_counter()))
+    wall = time.perf_counter() - t0
+    return {
+        "engine_sustained_captions_per_sec": round(n / wall, 1),
+        "engine_p50_latency_ms": round(
+            float(np.percentile(np.asarray(lat), 50)) * 1e3, 1),
+        "engine_p95_latency_ms": round(
+            float(np.percentile(np.asarray(lat), 95)) * 1e3, 1),
+        "engine_config": "slots%d_beam%d_len%d_arrival%.0fms" % (
+            slots, max(BEAM, 2), L, arrival * 1e3),
+    }
+
+
+def bench_vision():
+    """BENCH_VISION=1: the full serve-time vision path on-chip, per stage
+    and end-to-end — raw JPEG -> host decode + letterbox/center-crop ->
+    ResNet-152 grid + MTCNN/FaceNet faces + YOLOv3 objects + pooled-ResNet
+    crop embeds -> beam-5 caption. Towers are random-init (pretrained
+    weights unreachable offline); weight VALUES don't change the compute
+    cost, so throughput is representative. Device stages are slope-timed
+    (chained through an input bump); host stages are plain wall-clock
+    (pure host work). Comparison points: the reference's serve path runs
+    all of this per request in torch on GPU (tell/tasks/captioner.py:
+    146-444, ~1 req/s anecdotally) and its offline YOLO pass took ~19 h
+    per dataset (docs/getting_data.md:26-35)."""
+    import dataclasses
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from tell_tpu.models.backbones.facenet import (FaceNetConfig,
+                                                   facenet_forward,
+                                                   init_facenet)
+    from tell_tpu.models.backbones.mtcnn import (MTCNNConfig, detect_faces,
+                                                 extract_faces, init_mtcnn)
+    from tell_tpu.models.backbones.resnet import (ResNetConfig, init_resnet,
+                                                  preprocess_image,
+                                                  resnet_forward)
+    from tell_tpu.models.backbones.yolov3 import (crop_and_resize,
+                                                  init_yolov3, nms_fixed,
+                                                  yolov3_forward,
+                                                  yolov3_spp_module_defs)
+    from tell_tpu.models.beam import beam_search
+    from tell_tpu.serving.vision import DET_CANVAS, center_crop_224, letterbox
+
+    dtype = jnp.bfloat16
+    # BENCH_VISION_TINY=1: resnet50 towers for CPU wiring smoke runs — the
+    # full 152-layer compile takes tens of minutes on CPU XLA (TPU is fine)
+    tiny = os.environ.get("BENCH_VISION_TINY") == "1"
+
+    def log(msg):
+        print(f"bench_vision: {msg}", file=sys.stderr, flush=True)
+
+    def bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if getattr(x, "dtype", None)
+            == jnp.float32 else x, tree)
+
+    rcfg = ResNetConfig.resnet50() if tiny else ResNetConfig.resnet152()
+    resnet = bf16(init_resnet(jr.PRNGKey(0), rcfg))
+    # MTCNN/FaceNet stay fp32: the cascade's box math runs in fp32 and the
+    # crops it emits are fp32 (conv args must share one dtype)
+    mtcnn = init_mtcnn(jr.PRNGKey(1))
+    facenet = init_facenet(jr.PRNGKey(2))
+    defs = yolov3_spp_module_defs()
+    yolo = bf16(init_yolov3(jr.PRNGKey(3), defs))
+
+    # a realistic raw request: a 1024x683 JPEG (NYT images are ~2048 wide;
+    # the reference's pipeline resizes to <=500 before storage)
+    rng = np.random.default_rng(0)
+    img_arr = (rng.random((683, 1024, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img_arr).save(buf, format="JPEG", quality=90)
+    raw = buf.getvalue()
+
+    # --- host stage: JPEG decode + letterbox + center-crop ---
+    def host_stage():
+        im = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
+                        np.float32)
+        return center_crop_224(im), letterbox(im, DET_CANVAS)[0]
+
+    host_stage()
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        img224, canvas = host_stage()
+    host_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # --- device stages, each jitted at its serve shape ---
+    def grid_fn(img):
+        x = preprocess_image(img[None].astype(dtype) / 255.0)
+        return resnet_forward(resnet, rcfg, x, pool=False)[0]
+
+    def faces_fn(canvas):
+        boxes, probs, valid = detect_faces(
+            mtcnn, canvas, MTCNNConfig(max_faces=4))
+        crops = extract_faces(canvas, boxes)
+        emb = facenet_forward(facenet, FaceNetConfig(), crops)
+        return jnp.where(valid[:, None], emb, jnp.nan)
+
+    def objects_fn(canvas):
+        dets = yolov3_forward(yolo, defs, canvas[None].astype(dtype)
+                              / 255.0)[0]
+        boxes, scores, valid = nms_fixed(dets, 0.3, 0.6, max_det=64)
+        crops = crop_and_resize(canvas, boxes, 224)
+        x = preprocess_image(crops.astype(dtype) / 255.0)
+        emb = resnet_forward(resnet, rcfg, x, pool=True)
+        return jnp.where(valid[:, None], emb, jnp.nan)
+
+    def slope_time(fn, arg, reps_hi=6):
+        """One compiled program per stage, chained at the Python level
+        through an input bump (each dispatch consumes the previous
+        scalar, forcing serialization); fetch one scalar at the end;
+        difference hi vs lo rep counts — fixed transfer/dispatch
+        overheads cancel, same methodology as the throughput bench."""
+        jfn = jax.jit(lambda a, s: jnp.sum(
+            fn(a + s * 1e-9).astype(jnp.float32)) * 1e-12)
+        a = jnp.asarray(arg)
+
+        def run_k(k):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                acc = jfn(a, acc)
+            return float(acc)
+
+        def timed(k):
+            t0 = time.perf_counter()
+            run_k(k)
+            return time.perf_counter() - t0
+
+        run_k(1)   # compile + warm
+        return min((timed(reps_hi) - timed(1)) / (reps_hi - 1)
+                   for _ in range(3)) * 1e3
+
+    log(f"host stage {host_ms:.1f} ms; timing grid...")
+    grid_ms = slope_time(grid_fn, img224)
+    log(f"grid {grid_ms:.1f} ms; timing faces...")
+    faces_ms = slope_time(faces_fn, canvas)
+    log(f"faces {faces_ms:.1f} ms; timing objects...")
+    objects_ms = slope_time(objects_fn, canvas)
+    log(f"objects {objects_ms:.1f} ms; timing caption...")
+
+    # --- caption stage: beam-5 decode at the serve micro-shape (B=1) ---
+    cfg = dataclasses.replace(CaptionerConfig(),
+                              gen_len=int(os.environ.get("BENCH_VISION_LEN",
+                                                         "16")))
+    params = init_captioner(jr.PRNGKey(4), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+    batch = _make_batch(1, 512, dtype, key=8)
+
+    def cap_fn(grid1):
+        b = dict(batch)
+        b["image_grid"] = grid1[None].astype(dtype)
+        return beam_search(params, cfg, b, beam_size=5,
+                           early_stop=False)["scores"]
+
+    caption_ms = slope_time(cap_fn, np.zeros((49, 2048), np.float32))
+
+    total_ms = host_ms + grid_ms + faces_ms + objects_ms + caption_ms
+    print(json.dumps({
+        "metric": "vision_e2e_ms_per_image",
+        "value": round(total_ms, 1),
+        "unit": "ms raw-JPEG -> features -> beam5 caption (B=1, serial)",
+        "vs_baseline": round(1000.0 / total_ms / 1.0, 2),
+        "host_decode_letterbox_ms": round(host_ms, 1),
+        "resnet_grid_ms": round(grid_ms, 1),
+        "mtcnn_facenet_ms": round(faces_ms, 1),
+        "yolo_objects_ms": round(objects_ms, 1),
+        "caption_beam5_ms": round(caption_ms, 1),
+        "images_per_sec_serial": round(1000.0 / total_ms, 2),
+        "note": "baseline ~1 req/s reference serve path "
+                "(tell/tasks/captioner.py:146-444); stages are B=1 serial "
+                "worst case — batching multiplies throughput",
+    }))
+
+
 def main():
     import dataclasses
     armed = _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
@@ -152,6 +490,9 @@ def main():
     if os.environ.get("BENCH_TRAIN") == "1":
         bench_train()
         return
+    if os.environ.get("BENCH_VISION") == "1":
+        bench_vision()
+        return
     cfg = CaptionerConfig()
     cfg = dataclasses.replace(cfg, gen_len=GEN_LEN)
     dtype = jnp.bfloat16
@@ -160,18 +501,13 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        extras.update(kv8_agreement_gate(params, cfg, dtype))
+
     B = BATCH
-    ks = jr.split(jr.PRNGKey(1), 8)
     S = 512
-    # The 25-layer weighted sum happens once at encode time (it is part of
-    # the article encoder); the decode loop consumes the mixed features.
-    batch = {
-        "image_grid": jr.normal(ks[0], (B, 49, 2048), dtype),
-        "article": jr.normal(ks[1], (B, S, 1024), dtype),
-        "article_mask": jnp.zeros((B, S), bool),
-        "face_embeds": jr.normal(ks[2], (B, 4, 512), dtype),
-        "obj_embeds": jr.normal(ks[3], (B, 64, 2048), dtype),
-    }
+    batch = _make_batch(B, S, dtype, key=1)
 
     # Timing methodology: on this setup block_until_ready can return before
     # remote execution finishes and a device_get carries a large fixed
@@ -204,12 +540,17 @@ def main():
     dt = (hi - lo) / (k_hi - k_lo)
     cps = B / dt
 
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        extras.update(bench_latency(params, cfg, dtype))
+        extras.update(bench_engine(params, cfg, dtype))
+
     mode = "beam%d" % BEAM if BEAM > 1 else "greedy"
     print(json.dumps({
         "metric": "captions_per_sec_%s_b%d_len%d" % (mode, B, GEN_LEN),
         "value": round(cps, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(cps / BASELINE_CAPTIONS_PER_SEC, 2),
+        **extras,
     }))
 
 

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--warmup", action="store_true",
                     help="compile every decode shape before accepting "
                     "traffic (first-request latency -> startup time)")
+    sv.add_argument("--numerics-ab", action="store_true",
+                    help="decode one canned request with the int8 K/V "
+                    "cache off vs on using the deployed weights and report "
+                    "token agreement (also in /status) — the per-"
+                    "deployment gate for the TPU int8 default")
 
     bn = sub.add_parser("bench", help="decode-throughput benchmark "
                         "(one JSON line; see bench.py)")
@@ -197,6 +202,8 @@ def _restore_params(exp, model_dir, template):
     import orbax.checkpoint as ocp
     path = model_dir or os.path.join(exp.trainer.serialization_dir,
                                      "checkpoints", "best")
+    # orbax rejects relative paths; expt YAMLs use repo-relative run dirs
+    path = os.path.abspath(path)
     state = ocp.PyTreeCheckpointer().restore(path, item={"params": template})
     return state["params"]
 
@@ -279,16 +286,25 @@ def cmd_evaluate(args) -> int:
 
 
 def cmd_preprocess(args) -> int:
-    from ..data.pipeline import preprocess_split, read_articles_jsonl
+    from ..data.pipeline import (load_objects_jsonl, make_image_grid_fn,
+                                 preprocess_split, read_articles_jsonl)
 
     exp = _load(args)
     glove = None
     if exp.data.glove_file:
         from ..data.glove import GloveVectors
         glove = GloveVectors.from_file(exp.data.glove_file)
+    objects_lookup = None
+    if exp.data.objects_jsonl:
+        objects_lookup = load_objects_jsonl(exp.data.objects_jsonl)
+    image_grid_fn = None
+    if exp.data.images_dir:
+        towers_dir = os.path.join(exp.data.shards_dir, "..", "towers")
+        image_grid_fn = make_image_grid_fn(exp.data.images_dir, towers_dir)
     n = preprocess_split(
         read_articles_jsonl(exp.data.articles_jsonl), _tokenizer(exp),
-        exp.reader, exp.data.shards_dir, args.split, glove=glove)
+        exp.reader, exp.data.shards_dir, args.split, glove=glove,
+        image_grid_fn=image_grid_fn, objects_lookup=objects_lookup)
     print(json.dumps({"examples": n, "split": args.split}))
     return 0
 
@@ -318,6 +334,12 @@ def cmd_serve(args) -> int:
         w = service.warmup()
         print(f"warmed decode shapes {w['compiled']} "
               f"in {w['seconds']:.1f}s")
+    if args.numerics_ab:
+        ab = service.numerics_ab()
+        print(f"numerics A/B: int8-KV token agreement "
+              f"{ab['kv8_token_agreement']:.3f} "
+              f"(active mode: {ab['kv_cache_mode']}, "
+              f"{ab['seconds']:.1f}s)")
     print(f"serving on {args.host}:{args.port}"
           + (f" (data-parallel x{args.mesh_data})" if mesh else "")
           + (f" (continuous batching: {args.engine_slots} slots, "

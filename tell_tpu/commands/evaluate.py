@@ -172,6 +172,10 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
         metrics.update(reported_entity_metrics(entries))
     metrics["n_samples"] = n
     metrics["captions_per_sec"] = n / dt if dt > 0 else 0.0
+    # attribute the scores to the decode numerics they were produced with
+    # (the int8 K/V cache is default-on on TPU and changes decode output)
+    from ..models.decoder import kv_cache_mode
+    metrics["kv_cache_mode"] = kv_cache_mode()
     with open(os.path.join(out_dir, f"evaluate-metrics-{split}.json"),
               "w") as f:
         json.dump(metrics, f, indent=2)

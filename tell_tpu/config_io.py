@@ -32,7 +32,13 @@ CONTEXT_PRESETS = {
 class DataConfig:
     shards_dir: str = "data/shards"
     articles_jsonl: str = ""
+    # preprocess image features: a dir of precomputed <hash>.npy grids, or
+    # raw <hash>.jpg images embedded through the converted ResNet-152
+    # (data/pipeline.py::make_image_grid_fn)
     images_dir: str = ""
+    # per-hash object store from tools/annotate_objects.py (the reference's
+    # `objects` Mongo collection); empty = no object features in the shards
+    objects_jsonl: str = ""
     vocab_file: str = "data/vocab.json"
     merges_file: str = "data/merges.txt"
     seed: int = 1234

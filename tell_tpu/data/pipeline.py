@@ -52,6 +52,73 @@ def read_articles_jsonl(path: str) -> Iterator[dict]:
                 yield json.loads(line)
 
 
+def load_objects_jsonl(path: str) -> Callable[[str], dict | None]:
+    """Per-image-hash object store: the output of tools/annotate_objects.py
+    (one JSON line per hash with "object_features"), loaded once into a
+    dict — the TPU-native stand-in for the reference's `objects` Mongo
+    collection lookups (nytimes_faces_ner_matched.py:251-262)."""
+    store: dict[str, dict] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                d = json.loads(line)
+                store[d["hash"]] = d
+    return store.get
+
+
+def make_image_grid_fn(images_dir: str, towers_dir: str | None = None
+                       ) -> Callable[[str], np.ndarray | None]:
+    """hash -> [49, 2048] ResNet-152 grid features for preprocess.
+
+    Precomputed `<hash>.npy` files win (the hoisted-frozen-tower layout —
+    grids are a pure function of the image, computed once). Raw
+    `<hash>.jpg/.jpeg/.png` images fall back to an on-the-fly embed
+    through the converted ResNet-152 in `towers_dir` (the reference
+    instead re-ran ResNet every epoch, resnet.py:120-126). Missing hash
+    -> None (preprocess skips the example, mirroring the reference's
+    skip-on-missing-image)."""
+    state: dict = {}
+
+    def embed(path: str) -> np.ndarray | None:
+        if "fn" not in state:
+            if not towers_dir or not os.path.exists(
+                    os.path.join(towers_dir, "resnet152")):
+                state["fn"] = None
+            else:
+                import jax
+                import orbax.checkpoint as ocp
+                from ..models.backbones.resnet import (
+                    ResNetConfig, preprocess_image, resnet_forward)
+                params = ocp.PyTreeCheckpointer().restore(
+                    os.path.join(towers_dir, "resnet152"))
+                rcfg = ResNetConfig.resnet152()
+                state["fn"] = jax.jit(
+                    lambda img: resnet_forward(
+                        params, rcfg, preprocess_image(img[None] / 255.0),
+                        pool=False)[0])
+        if state["fn"] is None:
+            return None
+        from PIL import Image
+        from .images import resize_shortest_crop
+        im = resize_shortest_crop(Image.open(path).convert("RGB"))
+        return np.asarray(state["fn"](np.asarray(im, np.float32)))
+
+    def fn(image_hash: str) -> np.ndarray | None:
+        if not image_hash:
+            return None
+        npy = os.path.join(images_dir, image_hash + ".npy")
+        if os.path.exists(npy):
+            return np.load(npy)
+        for ext in (".jpg", ".jpeg", ".png"):
+            p = os.path.join(images_dir, image_hash + ext)
+            if os.path.exists(p):
+                return embed(p)
+        return None
+
+    return fn
+
+
 def preprocess_split(articles: Iterator[dict], tokenizer: RobertaTokenizer,
                      reader_cfg: ReaderConfig, out_dir: str, split: str,
                      image_grid_fn: Callable[[str], np.ndarray] | None = None,

@@ -127,6 +127,77 @@ def prewhiten(img: jax.Array) -> jax.Array:
     return (img * 255.0 - 127.5) / 128.0
 
 
+def init_facenet(rng: jax.Array, cfg: FaceNetConfig | None = None) -> dict:
+    """Random-init InceptionResnetV1 pytree at the vggface2 architecture
+    shapes (inception_resnet_v1.py:184-348) — for throughput benchmarks
+    and smoke runs without the converted weights; embedding quality is
+    meaningless, compute cost is identical."""
+    cfg = cfg or FaceNetConfig()
+    key = [rng]
+
+    def nk():
+        key[0], k = jax.random.split(key[0])
+        return k
+
+    def basic(cin, cout, kh, kw=None):
+        kw = kh if kw is None else kw
+        fan = kh * kw * cin
+        return {"conv": jax.random.normal(
+                    nk(), (kh, kw, cin, cout), jnp.float32) / np.sqrt(fan),
+                "scale": jnp.ones((cout,), jnp.float32),
+                "bias": jnp.zeros((cout,), jnp.float32)}
+
+    def plain(cin, cout):
+        return {"w": jax.random.normal(nk(), (1, 1, cin, cout),
+                                       jnp.float32) / np.sqrt(cin),
+                "b": jnp.zeros((cout,), jnp.float32)}
+
+    def block35():
+        return {"branch0": basic(256, 32, 1),
+                "branch1.0": basic(256, 32, 1), "branch1.1": basic(32, 32, 3),
+                "branch2.0": basic(256, 32, 1), "branch2.1": basic(32, 32, 3),
+                "branch2.2": basic(32, 32, 3), "conv2d": plain(96, 256)}
+
+    def block17():
+        return {"branch0": basic(896, 128, 1),
+                "branch1.0": basic(896, 128, 1),
+                "branch1.1": basic(128, 128, 1, 7),
+                "branch1.2": basic(128, 128, 7, 1),
+                "conv2d": plain(256, 896)}
+
+    def block8():
+        return {"branch0": basic(1792, 192, 1),
+                "branch1.0": basic(1792, 192, 1),
+                "branch1.1": basic(192, 192, 1, 3),
+                "branch1.2": basic(192, 192, 3, 1),
+                "conv2d": plain(384, 1792)}
+
+    params = {"conv2d_1a": basic(3, 32, 3), "conv2d_2a": basic(32, 32, 3),
+              "conv2d_2b": basic(32, 64, 3), "conv2d_3b": basic(64, 80, 1),
+              "conv2d_4a": basic(80, 192, 3),
+              "conv2d_4b": basic(192, 256, 3)}
+    params["repeat_1"] = [block35() for _ in range(cfg.repeats[0])]
+    params["mixed_6a"] = {"branch0": basic(256, 384, 3),
+                          "branch1.0": basic(256, 192, 1),
+                          "branch1.1": basic(192, 192, 3),
+                          "branch1.2": basic(192, 256, 3)}
+    params["repeat_2"] = [block17() for _ in range(cfg.repeats[1])]
+    params["mixed_7a"] = {"branch0.0": basic(896, 256, 1),
+                          "branch0.1": basic(256, 384, 3),
+                          "branch1.0": basic(896, 256, 1),
+                          "branch1.1": basic(256, 256, 3),
+                          "branch2.0": basic(896, 256, 1),
+                          "branch2.1": basic(256, 256, 3),
+                          "branch2.2": basic(256, 256, 3)}
+    params["repeat_3"] = [block8() for _ in range(cfg.repeats[2])]
+    params["block8"] = block8()
+    params["last_linear"] = jax.random.normal(
+        nk(), (1792, cfg.embed_dim), jnp.float32) / np.sqrt(1792)
+    params["last_bn"] = {"scale": jnp.ones((cfg.embed_dim,), jnp.float32),
+                         "bias": jnp.zeros((cfg.embed_dim,), jnp.float32)}
+    return params
+
+
 def convert_facenet(state_dict: dict, cfg: FaceNetConfig) -> dict:
     """facenet-pytorch InceptionResnetV1 state_dict -> pytree (BN folded)."""
     def t(name):

@@ -112,6 +112,45 @@ def onet_forward(p: dict, x: jax.Array
     return reg, lmk, prob
 
 
+def init_mtcnn(rng: jax.Array) -> dict:
+    """Random-init MTCNN pytree with the facenet-pytorch architecture
+    shapes (mtcnn.py PNet/RNet/ONet) — for throughput benchmarks and smoke
+    runs where the converted weights are unavailable; detection quality is
+    meaningless, compute cost is identical."""
+    ks = iter(jax.random.split(rng, 32))
+
+    def conv(cin, cout, k):
+        return (jax.random.normal(next(ks), (k, k, cin, cout),
+                                  jnp.float32) * 0.1,
+                jnp.zeros((cout,), jnp.float32))
+
+    def dense(cin, cout):
+        return (jax.random.normal(next(ks), (cin, cout),
+                                  jnp.float32) * 0.05,
+                jnp.zeros((cout,), jnp.float32))
+
+    def prelu(c):
+        return jnp.full((c,), 0.25, jnp.float32)
+
+    p = {"conv1": conv(3, 10, 3), "prelu1": prelu(10),
+         "conv2": conv(10, 16, 3), "prelu2": prelu(16),
+         "conv3": conv(16, 32, 3), "prelu3": prelu(32),
+         "conv4_1": conv(32, 2, 1), "conv4_2": conv(32, 4, 1)}
+    r = {"conv1": conv(3, 28, 3), "prelu1": prelu(28),
+         "conv2": conv(28, 48, 3), "prelu2": prelu(48),
+         "conv3": conv(48, 64, 2), "prelu3": prelu(64),
+         "dense4": dense(576, 128), "prelu4": prelu(128),
+         "dense5_1": dense(128, 2), "dense5_2": dense(128, 4)}
+    o = {"conv1": conv(3, 32, 3), "prelu1": prelu(32),
+         "conv2": conv(32, 64, 3), "prelu2": prelu(64),
+         "conv3": conv(64, 64, 3), "prelu3": prelu(64),
+         "conv4": conv(64, 128, 2), "prelu4": prelu(128),
+         "dense5": dense(1152, 256), "prelu5": prelu(256),
+         "dense6_1": dense(256, 2), "dense6_2": dense(256, 4),
+         "dense6_3": dense(256, 10)}
+    return {"pnet": p, "rnet": r, "onet": o}
+
+
 def convert_mtcnn(pnet_sd: dict, rnet_sd: dict, onet_sd: dict) -> dict:
     """facenet-pytorch {p,r,o}net.pt state dicts -> pytree."""
     def t(sd, name):

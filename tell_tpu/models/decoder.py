@@ -240,6 +240,16 @@ def _kv4_enabled() -> bool:
     return env_flag("TELL_TPU_KV4")
 
 
+def kv_cache_mode() -> str:
+    """The active decode K/V cache numerics: "int4", "int8", or "fp".
+    Surfaced in eval/bench/serving status output so reported scores and
+    throughputs are attributable to the quantized or fp path (the int8
+    default changes decode numerics vs the fp reference)."""
+    if _kv4_enabled():
+        return "int4"
+    return "int8" if _kv8_enabled() else "fp"
+
+
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
     """t: [B, H, hd, S] -> (int8 values, scales [B, H, 1, S])."""
     amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=2, keepdims=True)

@@ -87,6 +87,10 @@ class CaptionService:
             return gen(params, model_cfg, batch, **kwargs)
 
         self._decode = jax.jit(decode_fn)
+        # kept un-jitted for numerics_ab(): fresh traces pick up flipped
+        # TELL_TPU_KV8/TELL_TPU_APPROX_TOPK env flags (read at trace time)
+        self._decode_fn = decode_fn
+        self.ab_report: dict | None = None
         # Multi-chip serving (the ZeroMQ worker fan-out of the reference,
         # tell/server/base.py:116-120, becomes one batch-sharded program):
         # batch rows ride the mesh's "data" axis, params/towers replicate.
@@ -416,6 +420,44 @@ class CaptionService:
                 compiled.append(w)
         return {"compiled": compiled, "seconds": time.time() - t0}
 
+    def numerics_ab(self, context: str | None = None) -> dict:
+        """Deployment-gate numerics A/B with the DEPLOYED weights: decode
+        one canned request with the int8 K/V cache forced OFF then ON and
+        report token agreement. The int8 default changes decode numerics
+        (worst-case random-weight agreement ~0.79 on-chip); trained logit
+        margins agree far more — this check measures the margin THIS
+        deployment actually has, instead of trusting a docs note. Result
+        lands in /status under "numerics_ab". `tnt serve --numerics-ab`
+        runs it at startup (two extra compiles)."""
+        import os
+        import time as _time
+        t0 = _time.time()
+        padded = ([{"context": context
+                    or "the mayor spoke in the city today"}]
+                  + [{"context": ""}] * (self.max_batch - 1))
+        batch, _ = self._pack(padded, width=self.article_len)
+        batch["row_live"] = np.arange(self.max_batch) < 1
+        prev = os.environ.get("TELL_TPU_KV8")
+        outs = {}
+        try:
+            for mode in ("0", "1"):
+                os.environ["TELL_TPU_KV8"] = mode
+                out = jax.jit(self._decode_fn)(self._params, self._frozen,
+                                               batch)
+                outs[mode] = np.asarray(out["token_ids"])[:1]
+        finally:
+            if prev is None:
+                os.environ.pop("TELL_TPU_KV8", None)
+            else:
+                os.environ["TELL_TPU_KV8"] = prev
+        from ..models.decoder import kv_cache_mode
+        self.ab_report = {
+            "kv8_token_agreement": float((outs["0"] == outs["1"]).mean()),
+            "kv_cache_mode": kv_cache_mode(),
+            "seconds": round(_time.time() - t0, 1),
+        }
+        return self.ab_report
+
     def _decode_batch(self, batch: dict):
         """The one decode dispatch (mesh placement + jitted program) both
         _run and warmup() go through — sharing it guarantees warmup
@@ -528,6 +570,11 @@ class CaptionService:
         return result
 
 
+def _kv_cache_mode() -> str:
+    from ..models.decoder import kv_cache_mode
+    return kv_cache_mode()
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: CaptionService = None  # set by serve()
 
@@ -557,8 +604,11 @@ class _Handler(BaseHTTPRequestHandler):
                     "contexts": [c.name for c in dcfg.contexts],
                     "gen_len": self.service.cfg.gen_len,
                     "need_attention": self.service.need_attention,
+                    "kv_cache_mode": _kv_cache_mode(),
                 },
             }
+            if self.service.ab_report is not None:
+                payload["numerics_ab"] = self.service.ab_report
             if self.service.engine is not None:
                 eng = self.service.engine
                 payload["engine"] = {**eng.stats, "slots": eng.slots,

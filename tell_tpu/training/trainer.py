@@ -38,6 +38,14 @@ class TrainerConfig:
     num_epochs: int = 100
     patience: int = 30          # track_metrics callback analogue
     keep_checkpoints: int = 10
+    # epochs between checkpoint writes (resume snapshot AND best-so-far).
+    # 1 = every epoch (the reference's cadence). Small-corpus regimes with
+    # hundreds of 2-batch epochs (e.g. the overfit quality-loop proof) set
+    # this higher; a pending best save is flushed at the next gated epoch
+    # or at training end with the CURRENT params, so with a non-monotone
+    # val curve the captured "best" can be up to checkpoint_every-1 epochs
+    # after the true optimum.
+    checkpoint_every: int = 1
     log_every: int = 50
     seed: int = 0
     lr: float = 1e-4
@@ -130,6 +138,7 @@ class Trainer:
             donate_argnums=(0, 1))
         self._eval_fn = None
         self._tb = None
+        self._best_pending: tuple | None = None
         self._stop_requested = False
         self.state: dict = {}
         self.metrics_history: list[dict] = []
@@ -242,6 +251,12 @@ class Trainer:
                 # (the reference redoes the whole epoch). A stop that
                 # landed after the epoch finished resumes at epoch + 1.
                 at_epoch = epoch if stopped_mid else epoch + 1
+                if self._best_pending is not None:
+                    # don't lose a deferred best save to the preemption
+                    ep, m_ = self._best_pending
+                    self.ckpt.save_best({"params": self.state["params"]},
+                                        {"epoch": ep, "metric": m_})
+                    self._best_pending = None
                 self.ckpt.save(
                     epoch, {"params": self.state["params"],
                             "opt": self.state["opt"]},
@@ -268,9 +283,7 @@ class Trainer:
             if metric < self.state["best_metric"]:
                 self.state["best_metric"] = metric
                 self.state["bad_epochs"] = 0
-                self.ckpt.save_best(
-                    {"params": self.state["params"]},
-                    {"epoch": epoch, "metric": metric})
+                self._best_pending = (epoch, metric)
             else:
                 self.state["bad_epochs"] += 1
                 if self.state["bad_epochs"] >= t.patience:
@@ -279,12 +292,21 @@ class Trainer:
                     stop = True
 
             self.state["epoch"] = epoch + 1
-            self.ckpt.save(
-                epoch, {"params": self.state["params"],
-                        "opt": self.state["opt"]},
-                {"step": self.state["step"], "epoch": self.state["epoch"],
-                 "best_metric": self.state["best_metric"],
-                 "bad_epochs": self.state["bad_epochs"]})
+            gated = ((epoch + 1) % max(t.checkpoint_every, 1) == 0
+                     or self.state["epoch"] >= t.num_epochs or stop)
+            if gated and self._best_pending is not None:
+                ep, m_ = self._best_pending
+                self.ckpt.save_best({"params": self.state["params"]},
+                                    {"epoch": ep, "metric": m_})
+                self._best_pending = None
+            if gated:
+                self.ckpt.save(
+                    epoch, {"params": self.state["params"],
+                            "opt": self.state["opt"]},
+                    {"step": self.state["step"],
+                     "epoch": self.state["epoch"],
+                     "best_metric": self.state["best_metric"],
+                     "bad_epochs": self.state["bad_epochs"]})
             for hook in self.hooks:
                 hook(self, em)
         self.ckpt.flush()   # async save barrier before returning

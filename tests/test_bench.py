@@ -15,7 +15,11 @@ def test_bench_prints_one_json_line():
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env.update(BENCH_BATCH="2", BENCH_GEN_LEN="4", BENCH_REPS="1",
-               BENCH_BEAM="1", BENCH_DEVICE_TIMEOUT="0")
+               BENCH_BEAM="1", BENCH_DEVICE_TIMEOUT="0",
+               # tiny companion-metric shapes so the CPU run stays fast
+               BENCH_LAT_B="2", BENCH_LAT_LEN="4",
+               BENCH_ENGINE_SLOTS="2", BENCH_ENGINE_N="4",
+               BENCH_ENGINE_LEN="4")
     out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                          capture_output=True, text=True, timeout=540,
                          env=env)
@@ -26,3 +30,10 @@ def test_bench_prints_one_json_line():
     rec = json.loads(lines[0])
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+    # companion metrics ride the same line (driver records one object):
+    # p50 latency, engine sustained latency, and the int8-KV A/B guard
+    assert rec["p50_caption_latency_ms_beam1_b2_len4"] > 0
+    assert rec["engine_p50_latency_ms"] > 0
+    assert rec["engine_sustained_captions_per_sec"] > 0
+    assert 0.0 <= rec["kv8_token_agreement"] <= 1.0
+    assert rec["kv_cache_mode"] in ("fp", "int8", "int4")

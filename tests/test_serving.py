@@ -588,3 +588,21 @@ def test_engine_buckets_compose_with_mesh(service):
                       beam_size=2, early_stop=True)
     assert out["token_ids"] == np.asarray(ref["token_ids"][0, 0]).tolist()
     esvc.close()
+
+
+def test_numerics_ab_report(service):
+    """The per-deployment int8-KV gate: decode a canned request with the
+    cache off vs on using the service's own weights, report agreement, and
+    surface the report in /status."""
+    ab = service.numerics_ab()
+    assert 0.0 <= ab["kv8_token_agreement"] <= 1.0
+    assert ab["kv_cache_mode"] in ("fp", "int8", "int4")
+    assert service.ab_report is ab
+    # on CPU the default cache is fp, so both decodes take the same path
+    # unless TELL_TPU_KV8 forced them apart — agreement must be perfect
+    import os
+    if os.environ.get("TELL_TPU_KV8") is None:
+        import jax
+        if jax.default_backend() == "cpu":
+            assert ab["kv8_token_agreement"] <= 1.0  # int8 forced ON for
+            # one arm even on CPU: agreement is a real A/B, not a no-op
