@@ -9,10 +9,12 @@ serving-relevant companions so every driver run records them:
   engine_sustained_*         continuous-batching engine under a steady
                              arrival stream: sustained captions/s and
                              per-request p50 latency (submit -> result)
-  kv_cache_mode +            machine-checked A/B of the default-on int8
-  kv8_token_agreement        K/V cache vs the fp path at serving shapes;
-                             below BENCH_KV8_MIN the bench FALLS BACK to
-                             fp for the measurement and says so
+  kv_cache_mode / topk_mode  machine-checked A/Bs of the TPU-default
+  + *_token_agreement        numerics levers (int8 K/V cache, approximate
+                             per-cluster top-k) vs the exact fp path at
+                             serving shapes; below BENCH_KV8_MIN /
+                             BENCH_TOPK_MIN the bench FALLS BACK to the
+                             exact path for the measurement and says so
 Disable companions with BENCH_EXTRAS=0 (throughput-only line).
 
 Baseline: the reference generates the NYTimes800k test set at ~2.8
@@ -169,49 +171,92 @@ def _make_batch(B: int, S: int, dtype, key=1) -> dict:
     }
 
 
-def kv8_agreement_gate(params, cfg, dtype) -> dict:
-    """Machine-checked guard for the default-on int8 K/V cache: decode the
-    SAME batch greedy with TELL_TPU_KV8 forced off then on, report token
-    agreement, and fall back to fp for the rest of the bench when
-    agreement drops below BENCH_KV8_MIN (default 0.90). Random weights are
-    the measured worst case (~0.79 chip agreement, ARCHITECTURE.md) —
-    trained logit margins agree far more — so the default threshold guards
-    against regressions, not the known random-weight gap. Runs at serving
-    shapes (B=16, len 32, production dims)."""
+def numerics_agreement_gate(params, cfg, dtype) -> dict:
+    """Machine-checked guard for the TPU-default decode-numerics levers —
+    the int8 K/V cache and the approximate per-cluster top-k — measured as
+    TEACHER-FORCED per-step token agreement: decode once greedy with both
+    levers forced off (the exact fp path), then replay those exact tokens
+    through each lever's decode path (models/captioner.py::predict_forced)
+    and score each step's argmax against the exact path's choice.
+
+    Free-running greedy agreement is the WRONG gate metric at the bench's
+    random weights: logits are near-tie everywhere, so a single benign
+    ~1%/step rounding flip rewrites the entire suffix — measured
+    whole-sequence agreement swings 0.69-0.79 with the batch seed
+    (ARCHITECTURE.md), indistinguishable from a half-broken kernel.
+    Forced per-step agreement has no cascade: a healthy quantized path
+    scores ~0.99 even at random margins, a broken one ~1/sqrt(V), so the
+    floors (BENCH_KV8_MIN / BENCH_TOPK_MIN, default 0.95) can sit tight.
+    Below a floor the bench FALLS BACK to the exact path for the measured
+    run and says so. Caption-level agreement at TRAINED margins — the
+    number deployments care about — is measured by the offline quality
+    loop (QUALITY_r03.json ab_* entries, 1.00 at the overfit checkpoint)
+    and per-deployment by `tnt serve --numerics-ab` with the shipped
+    weights. Runs at serving shapes (B=16, len 32, production dims)."""
     import dataclasses
 
-    from tell_tpu.models.captioner import generate
+    from tell_tpu.models.captioner import generate, predict_forced
     import numpy as np
 
     B = min(16, BATCH)
     L = min(32, GEN_LEN)
     gcfg = dataclasses.replace(cfg, gen_len=L)
     batch = _make_batch(B, 512, dtype, key=5)
-    prev = os.environ.get("TELL_TPU_KV8")
-    try:
-        outs = {}
-        for mode in ("0", "1"):
-            os.environ["TELL_TPU_KV8"] = mode
-            out = jax.jit(lambda p, b: generate(
-                p, gcfg, b, early_stop=False)["token_ids"])(params, batch)
-            outs[mode] = np.asarray(out)
-    finally:
-        if prev is None:
-            os.environ.pop("TELL_TPU_KV8", None)
-        else:
-            os.environ["TELL_TPU_KV8"] = prev
-    agreement = float((outs["0"] == outs["1"]).mean())
-    min_agree = float(os.environ.get("BENCH_KV8_MIN", "0.90"))
     from tell_tpu.models.decoder import kv_cache_mode
-    mode = kv_cache_mode()
-    fell_back = False
-    if mode == "int8" and agreement < min_agree:
+    from tell_tpu.ops.adaptive import topk_mode
+
+    levers = ("TELL_TPU_KV8", "TELL_TPU_APPROX_TOPK")
+    prev = {v: os.environ.get(v) for v in levers}
+    try:
+        for v in levers:                  # exact fp reference decode
+            os.environ[v] = "0"
+        ref = np.asarray(jax.jit(lambda p, b: generate(
+            p, gcfg, b, early_stop=False)["token_ids"])(params, batch))
+        tgt = ref[:, 1:]
+        live = tgt != gcfg.decoder.pad_id   # finished rows emit <pad>
+        if not live.any():                  # degenerate: all rows EOS at t=0
+            live = np.ones_like(live)
+
+        def forced_agreement(var):
+            os.environ[var] = "1"
+            try:
+                preds = np.asarray(jax.jit(lambda p, b, t: predict_forced(
+                    p, gcfg, b, t))(params, batch, ref))
+            finally:
+                os.environ[var] = "0"
+            return float((preds == tgt)[live].mean())
+
+        agree = {var: forced_agreement(var) for var in levers}
+    finally:
+        for v in levers:
+            if prev[v] is None:
+                os.environ.pop(v, None)
+            else:
+                os.environ[v] = prev[v]
+
+    res = {}
+    kv8_agree = agree["TELL_TPU_KV8"]
+    kv8_min = float(os.environ.get("BENCH_KV8_MIN", "0.95"))
+    mode, fell_back = kv_cache_mode(), False
+    if mode == "int8" and kv8_agree < kv8_min:
         os.environ["TELL_TPU_KV8"] = "0"   # fp for the measured run
         mode, fell_back = "fp", True
-    return {"kv8_token_agreement": round(agreement, 4),
-            "kv8_gate_min": min_agree,
-            "kv_cache_mode": mode,
-            "kv8_auto_fallback": fell_back}
+    res.update({"kv8_token_agreement": round(kv8_agree, 4),
+                "kv8_gate_min": kv8_min,
+                "kv_cache_mode": mode,
+                "kv8_auto_fallback": fell_back})
+
+    tk_agree = agree["TELL_TPU_APPROX_TOPK"]
+    tk_min = float(os.environ.get("BENCH_TOPK_MIN", "0.95"))
+    tmode, t_fell_back = topk_mode(), False
+    if tmode == "approx" and tk_agree < tk_min:
+        os.environ["TELL_TPU_APPROX_TOPK"] = "0"  # exact for the bench
+        tmode, t_fell_back = "exact", True
+    res.update({"approx_topk_token_agreement": round(tk_agree, 4),
+                "topk_gate_min": tk_min,
+                "topk_mode": tmode,
+                "topk_auto_fallback": t_fell_back})
+    return res
 
 
 def bench_latency(params, cfg, dtype) -> dict:
@@ -503,7 +548,7 @@ def main():
 
     extras = {}
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
-        extras.update(kv8_agreement_gate(params, cfg, dtype))
+        extras.update(numerics_agreement_gate(params, cfg, dtype))
 
     B = BATCH
     S = 512

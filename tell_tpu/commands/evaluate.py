@@ -173,9 +173,12 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     metrics["n_samples"] = n
     metrics["captions_per_sec"] = n / dt if dt > 0 else 0.0
     # attribute the scores to the decode numerics they were produced with
-    # (the int8 K/V cache is default-on on TPU and changes decode output)
+    # (the int8 K/V cache and approximate top-k are default-on on TPU and
+    # change decode output vs the exact fp path)
     from ..models.decoder import kv_cache_mode
+    from ..ops.adaptive import topk_mode
     metrics["kv_cache_mode"] = kv_cache_mode()
+    metrics["topk_mode"] = topk_mode()
     with open(os.path.join(out_dir, f"evaluate-metrics-{split}.json"),
               "w") as f:
         json.dump(metrics, f, indent=2)

@@ -237,6 +237,50 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     return out
 
 
+def predict_forced(params: dict, cfg: CaptionerConfig, batch: dict,
+                   token_ids: jax.Array) -> jax.Array:
+    """Teacher-forced next-token argmax predictions for a KNOWN sequence.
+
+    Feeds token_ids[:, t] through the incremental decode path (the same
+    decoder_step + decoder_top_k the free-running loop uses, building the
+    same K/V cache) and records each step's top-1 prediction WITHOUT
+    letting it influence the next step. This is the numerics-gate
+    primitive: free-running greedy agreement between two decode numerics
+    (e.g. fp vs int8 K/V) is chaotic — one near-tie argmax flip rewrites
+    the whole suffix — so it cannot distinguish a ~1%/step rounding flip
+    from a broken kernel. Per-step forced agreement has no cascade: a
+    healthy quantized path scores ~0.99 at even RANDOM-weight margins,
+    a broken one ~1/sqrt(V). Used by bench.py's numerics gate and
+    `tnt serve --numerics-ab`.
+
+    token_ids: [B, T+1] including the seed <s> (generate's contract).
+    Returns [B, T] int32 argmax predictions (compare to token_ids[:, 1:]).
+    """
+    dcfg = cfg.decoder
+    contexts = build_contexts(params, cfg, batch)
+    feat0 = next(iter(contexts.values()))[0]
+    B = feat0.shape[0]
+    state = init_decode_state(params["decoder"], dcfg, contexts, B,
+                              dtype=feat0.dtype)
+    kv = state.pop("kv")
+    embed_table = state.pop("embed_table")
+    vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
+
+    def step(dyn, tok):
+        feats, st, _ = decoder_step(
+            params["decoder"], dcfg, tok,
+            {**dyn, "kv": kv, "embed_table": embed_table})
+        st = {k: v for k, v in st.items()
+              if k not in ("kv", "embed_table")}
+        _, idx = decoder_top_k(params["decoder"], dcfg, feats, 1,
+                               vocab_table=vocab_table)
+        return st, idx[:, 0]
+
+    _, preds = jax.lax.scan(step, state,
+                            jnp.asarray(token_ids)[:, :-1].T)
+    return preds.T
+
+
 def replay_attention(params: dict, cfg: CaptionerConfig, batch: dict,
                      token_ids: jax.Array) -> list[dict]:
     """Attention maps for a KNOWN token sequence, teacher-forced.

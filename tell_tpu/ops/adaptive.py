@@ -325,17 +325,45 @@ def merged_decode_table(sm: dict, emb: dict, cutoffs: tuple[int, ...],
     return w if dtype is None else w.astype(dtype)
 
 
+def _approx_topk_enabled() -> bool:
+    """Approximate per-cluster decode top-k — DEFAULT ON on TPU (disable
+    with TELL_TPU_APPROX_TOPK=0): swaps each cluster's exact sort for the
+    TPU's PartialReduce approx_max_k (recall_target=0.99), measured
+    +10% end-to-end beam-5 throughput on v5e-1 (304.7 -> 336.5
+    captions/s, tools/topk_variants.py). NOT bit-exact: a near-tie beam
+    candidate can be missed ~1%/cluster at RANDOM-weight logit margins;
+    at TRAINED margins caption-level agreement with the exact path is
+    machine-checked by the offline quality loop (QUALITY_r03.json
+    ab_approx_topk) and per-deployment by bench.py's A/B gate and
+    `tnt serve --numerics-ab`. Off-TPU (CPU tests) the exact path stays
+    the default so parity tests are exact; jax.lax.approx_max_k is exact
+    on CPU anyway (the PartialReduce lowering is TPU-only)."""
+    from .kernels.dispatch import env_flag, on_tpu
+    return env_flag("TELL_TPU_APPROX_TOPK", default=on_tpu())
+
+
+def topk_mode() -> str:
+    """The active decode top-k algorithm: "approx" (TPU PartialReduce
+    per-cluster candidate search) or "exact". Surfaced in eval/bench/
+    serving status output so reported scores and throughputs are
+    attributable (mirrors kv_cache_mode for the int8 K/V default)."""
+    return "approx" if _approx_topk_enabled() else "exact"
+
+
 def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
                    cutoffs: tuple[int, ...], k: int,
                    padding_idx: int = 0,
                    vocab_table: jax.Array | None = None
                    ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k of the full factored distribution WITHOUT materializing
+    """Top-k of the full factored distribution WITHOUT materializing
     [N, V] log-probs — the decode-loop hot path.
 
     Per-cluster top-k + prior shift, then top-k over the (n_clusters * k)
-    candidates. Exact because adding a cluster's scalar prior preserves
-    within-cluster order. Returns (log_probs [N, k], token_ids [N, k]).
+    candidates. Exact when the per-cluster search is exact, because adding
+    a cluster's scalar prior preserves within-cluster order. On TPU the
+    per-cluster search defaults to approx_max_k (see _approx_topk_enabled;
+    TELL_TPU_APPROX_TOPK=0 restores the exact sort); the candidate merge
+    is always exact. Returns (log_probs [N, k], token_ids [N, k]).
 
     vocab_table: optional precomputed merged_decode_table — all cluster
     logits then come from ONE [N, D] x [D, V+n_tails] matmul and the
@@ -380,10 +408,10 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # sort with the next cluster's matmul, so the sort is off the
     # critical path and the prefilter's longer dependent op chain
     # (reduce -> gather -> sort) only adds serial latency.
-    from .kernels.dispatch import env_flag
-    if env_flag("TELL_TPU_APPROX_TOPK"):
-        # opt-in: TPU PartialReduce approximate top-k (recall ~0.99 per
-        # element) — NOT exact; may flip near-tie beam candidates
+    if _approx_topk_enabled():
+        # TPU PartialReduce approximate top-k (recall ~0.99 per element)
+        # for the PER-CLUSTER candidate sorts only — the final merge over
+        # the <= k*n_clusters survivors (line ~408) stays an exact top_k.
         def _tk(a, kk):
             return jax.lax.approx_max_k(a, kk, recall_target=0.99)
     else:

@@ -90,6 +90,16 @@ class CaptionService:
         # kept un-jitted for numerics_ab(): fresh traces pick up flipped
         # TELL_TPU_KV8/TELL_TPU_APPROX_TOPK env flags (read at trace time)
         self._decode_fn = decode_fn
+        if adapter is None:
+            from ..models.captioner import predict_forced
+
+            def forced_fn(params, frozen, batch, token_ids):
+                return predict_forced(params, cap_cfg,
+                                      encode(frozen, batch), token_ids)
+
+            self._forced_fn = forced_fn
+        else:   # adapters own their decode loop; fall back to free-running
+            self._forced_fn = None
         self.ab_report: dict | None = None
         # Multi-chip serving (the ZeroMQ worker fan-out of the reference,
         # tell/server/base.py:116-120, becomes one batch-sharded program):
@@ -422,13 +432,20 @@ class CaptionService:
 
     def numerics_ab(self, context: str | None = None) -> dict:
         """Deployment-gate numerics A/B with the DEPLOYED weights: decode
-        one canned request with the int8 K/V cache forced OFF then ON and
-        report token agreement. The int8 default changes decode numerics
-        (worst-case random-weight agreement ~0.79 on-chip); trained logit
-        margins agree far more — this check measures the margin THIS
-        deployment actually has, instead of trusting a docs note. Result
-        lands in /status under "numerics_ab". `tnt serve --numerics-ab`
-        runs it at startup (two extra compiles)."""
+        one canned request greedy with both TPU-default numerics levers —
+        the int8 K/V cache and the approximate per-cluster top-k — forced
+        OFF (the exact fp path), then teacher-force those exact tokens
+        through each lever's decode path (predict_forced) and report
+        per-step argmax agreement per lever. Forced agreement has no
+        greedy cascade, so the number measures the lever's numerics at
+        the margins THIS deployment's weights actually produce (healthy
+        quantized path ~0.99+ even at random weights; a broken kernel
+        ~1/vocab) instead of the chaotic whole-suffix agreement a single
+        near-tie flip destroys. Result lands in /status under
+        "numerics_ab". `tnt serve --numerics-ab` runs it at startup
+        (extra compiles). Model adapters (pointer/LSTM/modern) own their
+        decode loop, so they fall back to free-running whole-sequence
+        agreement."""
         import os
         import time as _time
         t0 = _time.time()
@@ -437,25 +454,48 @@ class CaptionService:
                   + [{"context": ""}] * (self.max_batch - 1))
         batch, _ = self._pack(padded, width=self.article_len)
         batch["row_live"] = np.arange(self.max_batch) < 1
-        prev = os.environ.get("TELL_TPU_KV8")
-        outs = {}
-        try:
-            for mode in ("0", "1"):
-                os.environ["TELL_TPU_KV8"] = mode
-                out = jax.jit(self._decode_fn)(self._params, self._frozen,
-                                               batch)
-                outs[mode] = np.asarray(out["token_ids"])[:1]
-        finally:
-            if prev is None:
-                os.environ.pop("TELL_TPU_KV8", None)
-            else:
-                os.environ["TELL_TPU_KV8"] = prev
         from ..models.decoder import kv_cache_mode
-        self.ab_report = {
-            "kv8_token_agreement": float((outs["0"] == outs["1"]).mean()),
-            "kv_cache_mode": kv_cache_mode(),
-            "seconds": round(_time.time() - t0, 1),
-        }
+        from ..ops.adaptive import topk_mode
+        report = {"kv_cache_mode": kv_cache_mode(),
+                  "topk_mode": topk_mode(),
+                  "method": ("forced_per_step" if self._forced_fn
+                             else "free_running")}
+        levers = (("kv8_token_agreement", "TELL_TPU_KV8"),
+                  ("approx_topk_token_agreement", "TELL_TPU_APPROX_TOPK"))
+        prev = {var: os.environ.get(var) for _, var in levers}
+        try:
+            for _, var in levers:
+                os.environ[var] = "0"
+            ref = np.asarray(jax.jit(self._decode_fn)(
+                self._params, self._frozen, batch)["token_ids"])
+            for key, var in levers:
+                os.environ[var] = "1"
+                try:
+                    if self._forced_fn is not None:
+                        preds = np.asarray(jax.jit(self._forced_fn)(
+                            self._params, self._frozen, batch, ref))[:1]
+                        tgt = ref[:1, 1:]
+                        pad = getattr(getattr(self.cfg, "decoder", self.cfg),
+                                      "pad_id", 1)
+                        live = tgt != pad
+                        if not live.any():
+                            live = np.ones_like(live)
+                        report[key] = float((preds == tgt)[live].mean())
+                    else:
+                        out = jax.jit(self._decode_fn)(
+                            self._params, self._frozen, batch)
+                        toks = np.asarray(out["token_ids"])[:1]
+                        report[key] = float((toks == ref[:1]).mean())
+                finally:
+                    os.environ[var] = "0"
+        finally:
+            for _, var in levers:
+                if prev[var] is None:
+                    os.environ.pop(var, None)
+                else:
+                    os.environ[var] = prev[var]
+        report["seconds"] = round(_time.time() - t0, 1)
+        self.ab_report = report
         return self.ab_report
 
     def _decode_batch(self, batch: dict):
@@ -575,6 +615,11 @@ def _kv_cache_mode() -> str:
     return kv_cache_mode()
 
 
+def _topk_mode() -> str:
+    from ..ops.adaptive import topk_mode
+    return topk_mode()
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: CaptionService = None  # set by serve()
 
@@ -605,6 +650,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "gen_len": self.service.cfg.gen_len,
                     "need_attention": self.service.need_attention,
                     "kv_cache_mode": _kv_cache_mode(),
+                    "topk_mode": _topk_mode(),
                 },
             }
             if self.service.ab_report is not None:

@@ -37,3 +37,5 @@ def test_bench_prints_one_json_line():
     assert rec["engine_sustained_captions_per_sec"] > 0
     assert 0.0 <= rec["kv8_token_agreement"] <= 1.0
     assert rec["kv_cache_mode"] in ("fp", "int8", "int4")
+    assert 0.0 <= rec["approx_topk_token_agreement"] <= 1.0
+    assert rec["topk_mode"] in ("exact", "approx")

@@ -445,6 +445,28 @@ def test_replay_attention_matches_generate():
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_predict_forced_reproduces_greedy():
+    """Teacher-forcing a greedy-decoded sequence through predict_forced
+    with the SAME numerics reproduces every live-step token exactly: the
+    forced scan builds the same K/V cache from the same inputs, so its
+    per-step argmax IS the free-running choice. This is the invariant the
+    bench/serve numerics gates rest on — any forced-vs-free divergence at
+    matched numerics would make the gate's agreement number meaningless."""
+    from tests.test_engine import _request, _setup
+    from tell_tpu.models.captioner import generate, predict_forced
+
+    cfg, params = _setup(gen_len=6)
+    batch = {k: np.concatenate([np.asarray(_request(cfg, 31)[k]),
+                                np.asarray(_request(cfg, 32)[k])])
+             for k in _request(cfg, 31)}
+    out = generate(params, cfg, batch, early_stop=False)
+    ref = np.asarray(out["token_ids"])
+    preds = np.asarray(predict_forced(params, cfg, batch, ref))
+    tgt = ref[:, 1:]
+    live = tgt != cfg.decoder.pad_id
+    np.testing.assert_array_equal(preds[live], tgt[live])
+
+
 def test_engine_service_attention(service):
     """--engine-slots + --attention: the payload carries per-context
     per-step attention maps (replayed teacher-forced off the hot path)."""
@@ -597,6 +619,8 @@ def test_numerics_ab_report(service):
     ab = service.numerics_ab()
     assert 0.0 <= ab["kv8_token_agreement"] <= 1.0
     assert ab["kv_cache_mode"] in ("fp", "int8", "int4")
+    assert 0.0 <= ab["approx_topk_token_agreement"] <= 1.0
+    assert ab["topk_mode"] in ("exact", "approx")
     assert service.ab_report is ab
     # on CPU the default cache is fp, so both decodes take the same path
     # unless TELL_TPU_KV8 forced them apart — agreement must be perfect

@@ -209,7 +209,8 @@ def main() -> int:
     for name, var, flipped in (
             ("kv8_flipped", "TELL_TPU_KV8",
              "0" if after_beam.get("kv_cache_mode") == "int8" else "1"),
-            ("approx_topk", "TELL_TPU_APPROX_TOPK", "1")):
+            ("approx_topk", "TELL_TPU_APPROX_TOPK",
+             "0" if after_beam.get("topk_mode") == "approx" else "1")):
         prev = os.environ.get(var)
         os.environ[var] = flipped
         try:
@@ -229,6 +230,7 @@ def main() -> int:
             "caption_agreement_vs_default": round(agree, 4),
             "cider": m.get("cider"),
             "kv_cache_mode": m.get("kv_cache_mode"),
+            "topk_mode": m.get("topk_mode"),
         }
 
     with open(args.out, "w") as f:
