@@ -24,13 +24,17 @@ Without them only the exact+stem stages run, and callers MUST report the
 result under the key "meteor_exact_stem" — scores from the reduced stage
 set are not comparable to published jar METEOR numbers. When both tables
 are loaded the stage configuration matches the jar's and the score is
-reported as "meteor" (the aligner is a stage-priority greedy
-approximation of the jar's beam search, documented divergence).
+reported as "meteor".
 
-Alignment is stage-priority greedy with a diagonal-preference tie-break
-(closest reference position to the previous match), the standard
-pure-Python stand-in for the jar's chunk-minimizing beam search. Corpus
-scores aggregate sufficient statistics over the whole set (the jar's
+Alignment follows the jar's Aligner scheme: enumerate ALL possible
+matches across the four modules, then resolve a one-to-one
+non-overlapping alignment by beam search with the published criteria in
+priority order — maximize covered words across both sentences, minimize
+chunks, minimize total |candidate start - reference start| (see _align).
+Hand-computed fixtures in tests/test_meteor_readability.py pin the
+resolution behavior; jar-output equivalence remains unverifiable offline
+(zero egress), which is the honest residual caveat. Corpus scores
+aggregate sufficient statistics over the whole set (the jar's
 MeteorStats aggregation), not mean-of-sentences; per-sentence scoring is
 also exposed.
 """
@@ -181,75 +185,106 @@ class _Match:
     weight: float
 
 
+_BEAM_WIDTH = 40
+
+
+def _possible_matches(cand: list[str], ref: list[str],
+                      cfg: MeteorConfig) -> list[_Match]:
+    """ALL possible matches across the four matcher modules (the jar's
+    Aligner first enumerates every module's matches, THEN resolves).
+    Exact/stem/synonym are word-level; paraphrase matches phrase pairs
+    (including length-1 phrases) through the table. A word pair matched
+    by several modules keeps the highest module weight."""
+    w_exact, w_stem, w_syn, w_par = cfg.weights
+    best: dict[tuple, float] = {}      # (ci, cn, ri, rn) -> weight
+    stems_c, stems_r = _stem(cand), _stem(ref)
+    syn = cfg.synonyms
+    for i, cw in enumerate(cand):
+        for j, rw in enumerate(ref):
+            if cw == rw:
+                w = w_exact
+            elif stems_c[i] == stems_r[j]:
+                w = w_stem
+            elif syn is not None and (rw in syn.get(cw, ())
+                                      or cw in syn.get(rw, ())):
+                w = w_syn
+            else:
+                continue
+            best[(i, 1, j, 1)] = max(best.get((i, 1, j, 1), 0.0), w)
+    if cfg.paraphrases is not None:
+        table = cfg.paraphrases
+        for k in range(1, min(cfg.max_paraphrase_len, len(cand)) + 1):
+            for i in range(len(cand) - k + 1):
+                alts = table.get(tuple(cand[i:i + k]))
+                if not alts:
+                    continue
+                for alt in alts:
+                    n = len(alt)
+                    for j in range(len(ref) - n + 1):
+                        if tuple(ref[j:j + n]) == alt:
+                            key = (i, k, j, n)
+                            best[key] = max(best.get(key, 0.0), w_par)
+    return [_Match(ci, cn, ri, rn, w)
+            for (ci, cn, ri, rn), w in best.items()]
+
+
 def _align(cand: list[str], ref: list[str],
            cfg: MeteorConfig) -> list[_Match]:
-    """Stage-priority greedy alignment with diagonal preference."""
-    used_c = [False] * len(cand)
-    used_r = [False] * len(ref)
-    matches: list[_Match] = []
+    """One-to-one non-overlapping alignment resolved by beam search with
+    the jar's published criteria (Denkowski & Lavie 2011 §2/2014), in
+    priority order: (1) maximize the number of covered words across both
+    sentences, (2) minimize the number of chunks, (3) minimize the sum of
+    absolute distances between match start indices. Total module-weighted
+    mass breaks remaining ties (it only affects scoring, never coverage).
+    The search sweeps candidate positions left to right keeping the
+    _BEAM_WIDTH best partial alignments — the same resolution scheme as
+    the jar's Aligner, replacing the round-1/2 stage-priority greedy
+    approximation."""
+    poss = _possible_matches(cand, ref, cfg)
+    if not poss:
+        return []
+    by_start: dict[int, list[_Match]] = {}
+    for m in poss:
+        by_start.setdefault(m.ci, []).append(m)
 
-    def word_stage(cs: list[str], rs: list[str], weight: float,
-                   syn: dict | None = None) -> None:
-        last_r = -1
-        for i, cw in enumerate(cs):
-            if used_c[i]:
+    # state: (covered, chunks, dist, wsum, uc, ur, c_end, r_end, matches)
+    # where uc/ur are coverage bitmasks and (c_end, r_end) is the end of
+    # the last match (chunk-extension test). Ranking key: criteria order.
+    def rank(s):
+        covered, chunks, dist, wsum = s[0], s[1], s[2], s[3]
+        return (-covered, chunks, dist, -wsum)
+
+    beam = [(0, 0, 0, 0.0, 0, 0, -1, -1, ())]
+    for i in range(len(cand)):
+        nxt: dict[tuple, tuple] = {}
+
+        def consider(state):
+            key = state[4:8]            # (uc, ur, c_end, r_end)
+            old = nxt.get(key)
+            if old is None or rank(state) < rank(old):
+                nxt[key] = state
+
+        for state in beam:
+            covered, chunks, dist, wsum, uc, ur, ce, re_, ms = state
+            if (uc >> i) & 1:           # covered by an earlier phrase
+                consider(state)
                 continue
-            best_j = -1
-            for j, rw in enumerate(rs):
-                if used_r[j]:
+            consider(state)             # leave word i unmatched
+            for m in by_start.get(i, ()):
+                rmask = ((1 << m.rn) - 1) << m.ri
+                if ur & rmask:
                     continue
-                if syn is None:
-                    hit = cw == rw
-                else:
-                    hit = (rw in syn.get(cw, ()) or cw in syn.get(rw, ()))
-                if hit and (best_j < 0
-                            or abs(j - last_r - 1) < abs(best_j - last_r - 1)):
-                    best_j = j
-            if best_j >= 0:
-                matches.append(_Match(i, 1, best_j, 1, weight))
-                used_c[i] = True
-                used_r[best_j] = True
-                last_r = best_j
-
-    w_exact, w_stem, w_syn, w_par = cfg.weights
-    word_stage(cand, ref, w_exact)
-    word_stage(_stem(cand), _stem(ref), w_stem)
-    if cfg.synonyms is not None:
-        word_stage(cand, ref, w_syn, syn=cfg.synonyms)
-    if cfg.paraphrases is not None:
-        _paraphrase_stage(cand, ref, used_c, used_r, matches, cfg, w_par)
-    matches.sort(key=lambda m: m.ci)
-    return matches
-
-
-def _paraphrase_stage(cand, ref, used_c, used_r, matches, cfg, weight):
-    """Match fully-unmatched phrase pairs through the paraphrase table
-    (longest candidate phrases first, the jar's preference)."""
-    table = cfg.paraphrases
-    for k in range(min(cfg.max_paraphrase_len, len(cand)), 0, -1):
-        for i in range(len(cand) - k + 1):
-            if any(used_c[i:i + k]):
-                continue
-            alts = table.get(tuple(cand[i:i + k]))
-            if not alts:
-                continue
-            hit = None
-            for alt in alts:
-                n = len(alt)
-                for j in range(len(ref) - n + 1):
-                    if (not any(used_r[j:j + n])
-                            and tuple(ref[j:j + n]) == alt):
-                        hit = (j, n)
-                        break
-                if hit:
-                    break
-            if hit:
-                j, n = hit
-                matches.append(_Match(i, k, j, n, weight))
-                for x in range(i, i + k):
-                    used_c[x] = True
-                for x in range(j, j + n):
-                    used_r[x] = True
+                ext = (m.ci == ce and m.ri == re_)
+                consider((covered + m.cn + m.rn,
+                          chunks + (0 if ext else 1),
+                          dist + abs(m.ci - m.ri),
+                          wsum + m.weight * (m.cn + m.rn),
+                          uc | (((1 << m.cn) - 1) << m.ci),
+                          ur | rmask,
+                          m.ci + m.cn, m.ri + m.rn,
+                          ms + (m,)))
+        beam = sorted(nxt.values(), key=rank)[:_BEAM_WIDTH]
+    return list(beam[0][8])
 
 
 def _chunks(matches: list[_Match]) -> int:

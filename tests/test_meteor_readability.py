@@ -93,6 +93,33 @@ def test_meteor_full_coverage_single_chunk_zeroes_penalty():
     assert st2.chunks == 1
 
 
+def test_meteor_beam_minimizes_chunks_over_greedy_diagonal():
+    """Resolution criterion 2 (minimize chunks) requires global search:
+    cand 'b a b' vs ref 'a b' admits two max-coverage alignments — the
+    greedy diagonal pick {b0->b, a1->a} costs 2 chunks, while
+    {a1->a, b2->b} is one contiguous run. The jar's beam resolution must
+    find the 1-chunk alignment (full ref coverage but leftover cand word,
+    so the penalty still applies with chunks=1)."""
+    st = sentence_stats("b a b", "a b", CFG)
+    assert st.chunks == 1
+    assert st.n_matched == pytest.approx(2.0)
+
+
+def test_meteor_beam_maximizes_coverage_over_stage_priority():
+    """Resolution criterion 1 (maximize covered words) can require
+    REJECTING an exact word match: cand 'new york' vs ref 'nyc new' with
+    paraphrase ('new york' ~ 'nyc'). Stage-priority greedy consumes
+    'new' in the exact stage (2 covered words, blocking the phrase);
+    the beam resolver picks the paraphrase block (3 covered words)."""
+    par = {("new", "york"): {("nyc",)}, ("nyc",): {("new", "york")}}
+    cfg_par = MeteorConfig(paraphrases=par)
+    st = sentence_stats("new york", "nyc new", cfg_par)
+    assert st.m_c == pytest.approx(0.6 * (0.75 + 0.75))   # both cand words
+    assert st.m_r == pytest.approx(0.6 * 0.75)            # 'nyc'
+    assert st.n_matched == pytest.approx(1.5)
+    assert st.chunks == 1
+
+
 def test_meteor_orders_quality():
     ref = "the cat sat on the mat"
     assert (meteor("the cat sat on the mat", [ref])
