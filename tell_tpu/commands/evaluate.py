@@ -74,14 +74,23 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     os.makedirs(out_dir, exist_ok=True)
     gen_path = os.path.join(out_dir, f"generations-{split}.jsonl")
 
+    # Encode (frozen towers: windowed RoBERTa-large + optional ResNet) and
+    # decode compile as SEPARATE programs. A monolithic encode+decode jit
+    # at flagship dims is a very large XLA graph — slow to compile and the
+    # known way to stress the remote compiler (verify notes) — and the
+    # quality loop evaluates the same split 5x with different decode
+    # numerics (greedy/beam/lever A/Bs): split, the big tower program is
+    # identical across passes while only the small decode graph re-traces.
+    # Results stay on device between the two dispatches.
+    encode = jax.jit(lambda fr, b: adapter.encode(fr, b))
     if beam_size > 1:
         assert adapter.beam is not None,             "beam search is implemented for the captioner and modern models "             "(the reference likewise decodes pointer/LSTM greedily)"
-        decode = jax.jit(lambda p, b: adapter.beam(
-            p, cfg, adapter.encode(frozen, b),
-            beam_size=beam_size)["token_ids"][:, 0])
+        decode_enc = jax.jit(lambda p, eb: adapter.beam(
+            p, cfg, eb, beam_size=beam_size)["token_ids"][:, 0])
     else:
-        decode = jax.jit(lambda p, b: adapter.generate(
-            p, cfg, adapter.encode(frozen, b))["token_ids"])
+        decode_enc = jax.jit(lambda p, eb: adapter.generate(
+            p, cfg, eb)["token_ids"])
+    decode = lambda p, b: decode_enc(p, encode(frozen, b))  # noqa: E731
 
     ds = RecordDataset(os.path.join(exp.data.shards_dir,
                                     f"{split}-*.npz"), seed=0)
