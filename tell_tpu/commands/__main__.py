@@ -198,6 +198,24 @@ def _frozen_towers(exp):
     return frozen
 
 
+def _abstract_template(adapter):
+    """The checkpoint-restore param template WITHOUT allocating a full
+    set of randomly-initialized weights on the accelerator.
+
+    orbax only needs the tree structure + shapes/dtypes, so trace init
+    with eval_shape (zero device memory) and materialize host-side zero
+    arrays (calloc — no pages touched until orbax overwrites them).
+    Evaluate/serve previously ran the concrete init on-device; a fresh
+    flagship param set next to the restored one was enough to push a
+    post-train in-process evaluate over the v5e HBM limit."""
+    import jax
+    import numpy as np
+    shapes = jax.eval_shape(
+        lambda key: adapter.init(key, adapter.config),
+        jax.random.PRNGKey(0))
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def _restore_params(exp, model_dir, template):
     import orbax.checkpoint as ocp
     path = model_dir or os.path.join(exp.trainer.serialization_dir,
@@ -275,9 +293,13 @@ def cmd_evaluate(args) -> int:
 
     exp = _load(args)
     adapter = _adapter(exp)
-    template = adapter.init(jax.random.PRNGKey(0), adapter.config)
-    params = _restore_params(exp, args.model, template)
-    metrics = evaluate_split(exp, params, _frozen_towers(exp),
+    params = _restore_params(exp, args.model, _abstract_template(adapter))
+    # one host->device transfer up front; orbax restores numpy arrays and
+    # feeding those to the per-batch jits would re-upload params/towers
+    # every batch (frozen holds non-array cfg leaves — transfer arrays only)
+    put = lambda tree: jax.tree.map(  # noqa: E731
+        lambda x: jax.device_put(x) if hasattr(x, "shape") else x, tree)
+    metrics = evaluate_split(exp, put(params), put(_frozen_towers(exp)),
                              _tokenizer(exp), split=args.split,
                              beam_size=args.beam, limit=args.limit,
                              adapter=adapter)
@@ -316,8 +338,7 @@ def cmd_serve(args) -> int:
 
     exp = _load(args)
     adapter = _adapter(exp)
-    template = adapter.init(jax.random.PRNGKey(0), adapter.config)
-    params = _restore_params(exp, args.model, template)
+    params = _restore_params(exp, args.model, _abstract_template(adapter))
     mesh = None
     if args.mesh_data > 1:
         from ..parallel import make_mesh

@@ -1,5 +1,6 @@
 """CLI + config tests: every shipped experiment YAML parses into valid
 dataclasses; overrides merge; score subcommand round-trips."""
+import dataclasses
 import glob
 import json
 import os
@@ -99,3 +100,30 @@ def test_compile_cache_flag(tmp_path):
         assert (tmp_path / "cc").is_dir()
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_abstract_template_matches_concrete_init():
+    """evaluate/serve restore checkpoints against an eval_shape-traced
+    template (zero device allocation — a concrete flagship init next to
+    a trained param set OOMs a 16 GB chip). The template must agree with
+    the concrete init in tree structure, shapes, and dtypes or orbax
+    restore silently produces a mis-shaped tree."""
+    import jax
+
+    from tell_tpu.commands.__main__ import _abstract_template
+    from tell_tpu.config import CaptionerConfig
+    from tell_tpu.models.registry import get_model
+
+    adapter = get_model("transformer_faces_objects",
+                        CaptionerConfig(decoder=dataclasses.replace(
+                            CaptionerConfig().decoder,
+                            vocab_size=64, embed_dim=32, conv_dim=32,
+                            ffn_dim=64, num_heads=2, kernel_sizes=(3,),
+                            adaptive_cutoffs=(16, 32))))
+    abstract = _abstract_template(adapter)
+    concrete = adapter.init(jax.random.PRNGKey(0), adapter.config)
+    flat_a, tree_a = jax.tree.flatten(abstract)
+    flat_c, tree_c = jax.tree.flatten(concrete)
+    assert tree_a == tree_c
+    for a, c in zip(flat_a, flat_c):
+        assert a.shape == c.shape and a.dtype == c.dtype

@@ -84,14 +84,38 @@ def reproduction_and_entities(gen_path: str, entities: dict) -> dict:
             "entity_recall": pr["recall"] * 100}
 
 
+ISOLATE = False
+COMPILE_CACHE = None
+
+
 def _tnt(argv: list[str]) -> dict:
-    """Run a tnt subcommand in-process, return its last stdout JSON."""
-    from tell_tpu.commands.__main__ import main
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(argv)
-    assert rc == 0, f"tnt {argv} -> rc {rc}\n{buf.getvalue()}"
-    out = buf.getvalue().strip()
+    """Run a tnt subcommand, return its last stdout JSON.
+
+    In-process by default (fast, one jax init). With --isolate each call
+    runs in its own subprocess so accelerator memory — train's params +
+    optimizer state + compiled programs — is fully released between
+    phases: on the 16 GB v5e-1 the flagship train footprint plus a fresh
+    evaluate footprint do not coexist (measured RESOURCE_EXHAUSTED at the
+    before-evaluate init). The persistent XLA compile cache
+    (--compile-cache) keeps the per-phase recompiles cheap."""
+    if COMPILE_CACHE and argv[0] in ("train", "evaluate"):
+        argv = argv + ["--compile-cache", COMPILE_CACHE]
+    if ISOLATE:
+        proc = subprocess.run(
+            [sys.executable, "-m", "tell_tpu.commands"] + argv,
+            capture_output=True, text=True, cwd=REPO,
+            env=os.environ.copy())
+        assert proc.returncode == 0, (
+            f"tnt {argv} -> rc {proc.returncode}\n--- stdout:\n"
+            f"{proc.stdout[-4000:]}\n--- stderr:\n{proc.stderr[-4000:]}")
+        out = proc.stdout.strip()
+    else:
+        from tell_tpu.commands.__main__ import main
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0, f"tnt {argv} -> rc {rc}\n{buf.getvalue()}"
+        out = buf.getvalue().strip()
     return json.loads(out[out.index("{"):]) if "{" in out else {}
 
 
@@ -123,7 +147,17 @@ def main() -> int:
                     "(e.g. redirect serialization_dir/shards_dir)")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the run + shards dirs first")
+    ap.add_argument("--isolate", action="store_true",
+                    help="run each tnt phase in its own subprocess so "
+                    "device memory is released between phases (required "
+                    "for the flagship config on a single 16 GB chip)")
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compile-cache dir passed to "
+                    "every train/evaluate phase")
     args = ap.parse_args()
+    global ISOLATE, COMPILE_CACHE
+    ISOLATE = args.isolate
+    COMPILE_CACHE = args.compile_cache
 
     def merged(extra: dict) -> list[str]:
         base = json.loads(args.overrides) if args.overrides else {}
