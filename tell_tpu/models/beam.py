@@ -28,9 +28,19 @@ import jax
 import jax.numpy as jnp
 
 from ..config import CaptionerConfig
+from ..ops.kernels.dispatch import env_flag
 from .captioner import build_contexts
 from .decoder import (decode_vocab_table, decoder_step, decoder_top_k,
                       init_decode_state)
+
+
+def _env_backtrack() -> bool:
+    """Parent-pointer path bookkeeping (reconstruct token paths once after
+    the loop) instead of re-gathering the [B, K, T+1] path buffer through
+    the parent permutation every step. Exact — same outputs either way
+    (pinned by tests); TELL_TPU_BEAM_BACKTRACK=0 restores the in-loop
+    path gather."""
+    return env_flag("TELL_TPU_BEAM_BACKTRACK", default=True)
 
 
 def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
@@ -75,8 +85,23 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
     finished = (jnp.zeros((B, K), bool) if finished0 is None
                 else jnp.broadcast_to(finished0[:, None], (B, K)))
     lengths = jnp.zeros((B, K), jnp.int32)  # emitted tokens incl. EOS
-    paths0 = jnp.full((B, K, gen_len + 1), pad_id, jnp.int32)
-    paths0 = paths0.at[:, :, 0].set(bos_id)
+    backtrack = _env_backtrack()
+    if backtrack:
+        # Parent-pointer bookkeeping: the loop records only (parent, tok)
+        # [B, K] per step; full paths are reconstructed ONCE after the loop
+        # by backtracking the ancestry (standard beam-search trick). The
+        # alternative below re-gathers and rewrites the whole [B, K, T+1]
+        # path buffer through the parent permutation every step.
+        # Init: identity parents + <pad> tokens, so steps never executed
+        # (early_stop exit) backtrack as a no-op pad continuation —
+        # identical to the path buffer's untouched tail.
+        parents_buf0 = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, None, :], (gen_len, B, K))
+        toks_buf0 = jnp.full((gen_len, B, K), pad_id, jnp.int32)
+        paths0 = (parents_buf0, toks_buf0)
+    else:
+        paths0 = jnp.full((B, K, gen_len + 1), pad_id, jnp.int32)
+        paths0 = paths0.at[:, :, 0].set(bos_id)
 
     parent0 = jnp.arange(B * K, dtype=jnp.int32)
 
@@ -113,9 +138,16 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
         new_finished = g(finished) | (tok == eos_id)
         was_finished = g(finished)
         new_lengths = g(lengths) + (~was_finished).astype(jnp.int32)
-        new_paths = g(paths)
-        new_paths = new_paths.at[:, :, t + 1].set(
-            jnp.where(was_finished, pad_id, tok))
+        tok = jnp.where(was_finished, pad_id, tok)
+        if backtrack:
+            parents_buf, toks_buf = paths
+            new_paths = (
+                jax.lax.dynamic_update_index_in_dim(parents_buf, parent,
+                                                    t, 0),
+                jax.lax.dynamic_update_index_in_dim(toks_buf, tok, t, 0))
+        else:
+            new_paths = g(paths)
+            new_paths = new_paths.at[:, :, t + 1].set(tok)
 
         # per-row model state: [B*K, ...] gather via flattened indices
         flat_parent = (parent
@@ -123,7 +155,6 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
         if not fused_reorder:
             new_state = reorder_fn(new_state, flat_parent)
 
-        tok = jnp.where(was_finished, pad_id, tok)
         return (tok, top_scores, new_finished, new_lengths, new_paths,
                 new_state, flat_parent), None
 
@@ -149,9 +180,27 @@ def beam_search_core(step_fn: Callable, reorder_fn: Callable, state0,
         ranked = scores / norm
     else:
         ranked = scores
-    order = jnp.argsort(-ranked, axis=1)
+    order = jnp.argsort(-ranked, axis=1).astype(jnp.int32)
+    if backtrack:
+        parents_buf, toks_buf = paths
+
+        def bstep(idx, pt):
+            par_t, tok_t = pt                      # [B, K] at one step
+            tok = jnp.take_along_axis(tok_t, idx, axis=1)
+            return jnp.take_along_axis(par_t, idx, axis=1), tok
+
+        # reverse scan: ancestry indices flow T-1 -> 0; ys stack in
+        # forward time order. Seeding idx with `order` reconstructs the
+        # paths directly best-first, so no final path gather is needed.
+        _, toks_fwd = jax.lax.scan(bstep, order, (parents_buf, toks_buf),
+                                   reverse=True)
+        token_ids = jnp.concatenate(
+            [jnp.full((B, K, 1), bos_id, jnp.int32),
+             jnp.moveaxis(toks_fwd, 0, 2)], axis=2)
+    else:
+        token_ids = jnp.take_along_axis(paths, order[:, :, None], axis=1)
     return {
-        "token_ids": jnp.take_along_axis(paths, order[:, :, None], axis=1),
+        "token_ids": token_ids,
         "scores": jnp.take_along_axis(ranked, order, axis=1),
         "finished": jnp.take_along_axis(finished, order, axis=1),
     }

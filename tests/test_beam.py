@@ -152,6 +152,27 @@ def test_beam_core_early_exit_stops_stepping():
     assert (np.asarray(es_out["token_ids"])[:, :, 3:] == 1).all()
 
 
+def test_backtrack_matches_path_gather(monkeypatch):
+    """TELL_TPU_BEAM_BACKTRACK=1 (parent-pointer path reconstruction after
+    the loop) must be bit-identical to the in-loop [B, K, T+1] path-buffer
+    gather it replaces, in both early-stop modes. Integer bookkeeping only
+    — no float tolerance needed."""
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    batch = make_batch(jax.random.PRNGKey(1))
+    outs = {}
+    for bt in ("0", "1"):
+        monkeypatch.setenv("TELL_TPU_BEAM_BACKTRACK", bt)
+        for es in (True, False):
+            outs[(bt, es)] = beam_search(params, CFG, batch, beam_size=3,
+                                         early_stop=es)
+    for es in (True, False):
+        a, b = outs[("0", es)], outs[("1", es)]
+        for k in ("token_ids", "scores", "finished"):
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]),
+                                          err_msg=f"{k} early_stop={es}")
+
+
 def test_row_live_prefinishes_filler_rows():
     """Serving pads micro-batches to max_batch; row_live=False rows start
     finished (pad-only output) and real rows decode unchanged."""
