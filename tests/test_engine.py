@@ -98,10 +98,15 @@ def test_engine_idle_tick():
     assert eng.stats["chunks"] == 0
 
 
-def test_engine_fuzz_random_schedules():
+@pytest.mark.parametrize("conv_ring", ["0", "1"])
+def test_engine_fuzz_random_schedules(conv_ring, monkeypatch):
     """Property check of slot isolation: random engine geometry and a
     random interleaving of submissions and ticks must still reproduce
-    every one-shot beam_search bit-for-bit (seeded, 3 rounds)."""
+    every one-shot beam_search bit-for-bit (seeded, 3 rounds). Run in
+    both conv-state layouts — the time-slot ring's ancestor-table
+    lineage under random slot reuse is exactly the case hand-written
+    schedules can miss."""
+    monkeypatch.setenv("TELL_TPU_CONV_RING", conv_ring)
     rng = np.random.RandomState(1234)
     for round_i in range(3):
         gen_len = int(rng.randint(4, 9))
