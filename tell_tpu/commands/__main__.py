@@ -280,7 +280,13 @@ def cmd_train(args) -> int:
     trainer = Trainer(exp.model, exp.trainer, train_batches, val_batches,
                       frozen=_frozen_towers(exp), adapter=_adapter(exp))
     if args.recover:
-        trainer.recover()
+        # fail fast like the reference (allennlp train --recover errors when
+        # there is nothing to recover): a silent fresh run mislabeled as a
+        # resume poisons downstream artifacts (quality_loop journals)
+        if not trainer.recover():
+            print(f"train -r: no checkpoint to recover in "
+                  f"{exp.trainer.serialization_dir}", file=sys.stderr)
+            return 1
     result = trainer.train()
     print(json.dumps(result))
     return 0

@@ -20,11 +20,17 @@ The synonym and paraphrase stages need data tables the jar ships with;
 they are LOADABLE here (load_synonyms / load_paraphrases /
 load_function_words, or MeteorConfig.from_data_dir pointing at a
 directory with synonyms.tsv / paraphrases.tsv / function_words.txt).
-Without them only the exact+stem stages run, and callers MUST report the
-result under the key "meteor_exact_stem" — scores from the reduced stage
-set are not comparable to published jar METEOR numbers. When both tables
-are loaded the stage configuration matches the jar's and the score is
-reported as "meteor".
+A curated small table pair ships with the package (SHIPPED_DATA_DIR,
+provenance in data/meteor/README.md) so from_data_dir() runs the full
+stage set with zero egress; $TELL_TPU_METEOR_DATA points at bigger
+regenerated tables (tools/build_meteor_tables.py) or "none" to disable.
+Without tables only the exact+stem stages run, and callers MUST report
+the result under the key "meteor_exact_stem" — scores from the reduced
+stage set are not comparable to published jar METEOR numbers. When both
+tables are loaded the stage configuration matches the jar's and the
+score is reported as "meteor" (with curated-small tables its absolute
+value is a lower bound on what the jar's full data would give; `tnt
+score` reports both keys side by side).
 
 Alignment follows the jar's Aligner scheme: enumerate ALL possible
 matches across the four modules, then resolve a one-to-one
@@ -46,6 +52,12 @@ from dataclasses import dataclass
 
 _STEMMER = None
 _STEM_CACHE: dict = {}
+
+# Curated small synonym/paraphrase tables shipped with the package so the
+# full four-stage pipeline runs with zero egress (provenance + caveats:
+# data/meteor/README.md). $TELL_TPU_METEOR_DATA overrides.
+SHIPPED_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "data", "meteor")
 
 # A standard English closed-class word list (articles, conjunctions,
 # prepositions, pronouns, auxiliaries, common adverbial particles). The
@@ -118,10 +130,18 @@ class MeteorConfig:
     @classmethod
     def from_data_dir(cls, path: str | None = None, **kw) -> "MeteorConfig":
         """Build a config from a data directory holding any of
-        synonyms.tsv, paraphrases.tsv, function_words.txt. Defaults to
-        $TELL_TPU_METEOR_DATA. Missing files leave that stage off."""
+        synonyms.tsv, paraphrases.tsv, function_words.txt. Resolution:
+        explicit arg > $TELL_TPU_METEOR_DATA > the curated tables shipped
+        in tell_tpu/evalm/data/meteor (small, hand-curated — see its
+        README for the honesty caveats vs the jar's WordNet/PPDB data).
+        Missing files leave that stage off. $TELL_TPU_METEOR_DATA=none
+        disables tables entirely (exact+stem only)."""
         path = path or os.environ.get("TELL_TPU_METEOR_DATA")
-        if not path or not os.path.isdir(path):
+        if path and path.lower() == "none":
+            return cls(**kw)
+        if not path:
+            path = SHIPPED_DATA_DIR
+        if not os.path.isdir(path):
             return cls(**kw)
         syn_p = os.path.join(path, "synonyms.tsv")
         par_p = os.path.join(path, "paraphrases.tsv")

@@ -208,6 +208,10 @@ def test_preprocess_train_evaluate_score(exp_yaml, capsys):
     assert main(["evaluate", cfg, "-s", "valid"]) == 0
     metrics = json.loads(capsys.readouterr().out)
     assert metrics["n_samples"] == 10
+    # steady-state throughput (compile attributed to the first batch) is
+    # reported alongside total-wall throughput and can only be faster
+    assert (metrics["captions_per_sec_steady"]
+            >= metrics["captions_per_sec"] * 0.99)
     gen_path = os.path.join(root, "run", "generations-valid.jsonl")
     with open(gen_path) as f:
         rows = [json.loads(l) for l in f]
@@ -219,3 +223,17 @@ def test_preprocess_train_evaluate_score(exp_yaml, capsys):
     scored = json.loads(capsys.readouterr().out)
     assert set(scored) >= {"bleu-1", "rouge-l", "meteor_exact_stem",
                            "cider"}
+
+
+def test_train_recover_fails_fast_without_checkpoint(exp_yaml, tmp_path,
+                                                     capsys):
+    """`tnt train -r` with nothing to recover must error, not silently
+    start a fresh run mislabeled as a resume (the reference's allennlp
+    train --recover likewise errors; round-3 ADVICE finding)."""
+    cfg, root = exp_yaml
+    assert main(["preprocess", cfg, "-s", "train"]) == 0
+    assert main(["preprocess", cfg, "-s", "valid"]) == 0
+    capsys.readouterr()
+    ov = json.dumps({"trainer": {"serialization_dir":
+                                 str(tmp_path / "empty_run")}})
+    assert main(["train", cfg, "-r", "-o", ov]) == 1

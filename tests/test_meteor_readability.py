@@ -263,14 +263,38 @@ def test_ttr_family():
 
 def test_score_generations_includes_meteor(tmp_path, monkeypatch):
     from tell_tpu.commands.evaluate import score_generations
-    # without tables: honest reduced-stage key
+    # tables disabled: honest reduced-stage key only
+    monkeypatch.setenv("TELL_TPU_METEOR_DATA", "none")
     m = score_generations(["the cat sat"], [["the cat sat"]])
     assert "meteor" not in m
     assert m["meteor_exact_stem"] > 90
     assert m["bleu-1"] > 99
-    # with a full table dir: jar-matching stage config -> "meteor" key
+    # with a full table dir: jar-matching stage config -> "meteor" key,
+    # with meteor_exact_stem still reported side by side
     (tmp_path / "synonyms.tsv").write_text("cat\tfeline\n")
     (tmp_path / "paraphrases.tsv").write_text("passed away\tdied\n")
     monkeypatch.setenv("TELL_TPU_METEOR_DATA", str(tmp_path))
     m2 = score_generations(["the cat sat"], [["the cat sat"]])
     assert m2["meteor"] > 90
+    assert m2["meteor_exact_stem"] > 90
+
+
+def test_shipped_tables_default_and_full_stage_pinned(monkeypatch):
+    """The curated shipped tables (evalm/data/meteor) load by default and
+    unlock the full four-stage pipeline; pin a corpus-level score so the
+    committed tables' behavior is machine-checked. 'passed away'/'died'
+    (paraphrase, weight 0.6) and 'automobile'/'car' (synonym, weight 0.8)
+    must match; the full score strictly exceeds exact+stem."""
+    from tell_tpu.commands.evaluate import score_generations
+    monkeypatch.delenv("TELL_TPU_METEOR_DATA", raising=False)
+    cfg = MeteorConfig.from_data_dir()
+    assert cfg.full_stages, "shipped tables failed to load"
+    cands = ["the man passed away at his home",
+             "an automobile hit the big bridge"]
+    refs = [["the man died at his home"],
+            ["a car hit the large bridge"]]
+    m = score_generations(cands, refs)
+    assert m["meteor"] > m["meteor_exact_stem"]
+    # pinned (tolerances allow table growth, not behavioral regression)
+    assert m["meteor"] == pytest.approx(54.7, abs=2.0)
+    assert m["meteor_exact_stem"] == pytest.approx(28.9, abs=2.0)

@@ -1,0 +1,50 @@
+"""Machine-check the committed round-3 quality evidence.
+
+QUALITY_r03.json's headline claim — the train->decode->score loop moves
+CIDEr from ~0 to the identity maximum on the committed corpus — is backed
+by generation files now committed under tests/fixtures/quality/r03/.
+Re-score them with the real scorer (`tnt score`'s score_file) so the
+evidence in git history cannot silently rot or be swapped for something
+that doesn't support the claim.
+"""
+import json
+import os
+
+from tell_tpu.commands.evaluate import score_file
+
+R03 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "fixtures", "quality", "r03")
+
+
+def test_before_generations_score_near_zero():
+    m = score_file(os.path.join(R03, "generations-before.jsonl"))
+    assert m["cider"] < 50, m
+    assert m["bleu-4"] < 10, m
+
+
+def test_after_generations_score_near_max():
+    for name in ("generations-after-greedy.jsonl",
+                 "generations-after-beam5.jsonl"):
+        m = score_file(os.path.join(R03, name))
+        assert m["cider"] > 800, (name, m)
+        assert m["bleu-4"] > 90, (name, m)
+        assert m["rouge-l"] > 90, (name, m)
+
+
+def test_after_reproduces_training_captions_exactly():
+    path = os.path.join(R03, "generations-after-beam5.jsonl")
+    rows = [json.loads(l) for l in open(path, encoding="utf-8")]
+    assert len(rows) == 32
+    assert all(r["generation"] == r["caption"] for r in rows)
+
+
+def test_fixture_matches_committed_artifact():
+    """The committed QUALITY_r03.json and the committed generation files
+    must tell the same story (the artifact was assembled from these)."""
+    repo = os.path.abspath(os.path.join(R03, "..", "..", "..", ".."))
+    with open(os.path.join(repo, "QUALITY_r03.json"),
+              encoding="utf-8") as f:
+        q = json.load(f)
+    assert q["after_beam"]["caption_reproduction_exact"] == 1.0
+    m = score_file(os.path.join(R03, "generations-after-beam5.jsonl"))
+    assert abs(m["cider"] - q["after_beam"]["cider"]) < 1.0

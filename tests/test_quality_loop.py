@@ -53,3 +53,23 @@ def test_quality_loop_overfit_small(tmp_path):
     assert abs(q["score_rescore_beam"]["cider"] - after["cider"]) < 1.0
     # scores are attributed to the decode numerics that produced them
     assert after["kv_cache_mode"] in ("fp", "int8", "int4")
+
+    # --resume on the finished run dir: the journaled phases (preprocess /
+    # before / train) are skipped — their numbers come from
+    # <run_dir>/quality-phases.json — while evaluation re-runs against the
+    # final checkpoint and reproduces the same story. This is the path
+    # that replaced the round-3 one-off quality_continue.py.
+    journal = json.loads(
+        (tmp_path / "run" / "quality-phases.json").read_text())
+    assert {"preprocess", "before", "train"} <= set(journal)
+    out2 = tmp_path / "quality-resume.json"
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "quality_loop.py"),
+         "--expt", os.path.join(ROOT, "expt/quality/overfit_small.yaml"),
+         "--out", str(out2), "--overrides", json.dumps(ov), "--resume"],
+        capture_output=True, text=True, timeout=2700, env=env, cwd=ROOT)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    q2 = json.loads(out2.read_text())
+    assert q2["before"] == q["before"]          # journaled, not re-trained
+    assert q2["train"] == q["train"]
+    assert q2["after_beam"]["caption_reproduction_normalized"] >= 0.9

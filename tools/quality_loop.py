@@ -18,9 +18,16 @@ Entity P/R uses the corpus gazetteer (entities.json) as the NER — spaCy
 is unavailable in this image; on the synthetic corpus the gazetteer IS
 the ground-truth entity inventory.
 
+Interrupted runs resume: each completed phase (preprocess / before /
+train) journals its outputs to <run_dir>/quality-phases.json, and
+`--resume` skips journaled phases — train continues from the latest
+checkpoint via `tnt train -r`, evaluation always re-runs (it is the
+product). This replaces the round-3 one-off tools/quality_continue.py.
+
 Usage:
   python tools/quality_loop.py --expt expt/quality/overfit_flagship.yaml \
-      --out QUALITY_r03.json
+      --isolate --compile-cache /tmp/xla_cache --out QUALITY_r04.json
+  python tools/quality_loop.py ... --resume   # continue an interrupted run
   JAX_PLATFORMS=cpu python tools/quality_loop.py \
       --expt expt/quality/overfit_small.yaml --out /tmp/q.json
 """
@@ -147,6 +154,11 @@ def main() -> int:
                     "(e.g. redirect serialization_dir/shards_dir)")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the run + shards dirs first")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run: phases journaled in "
+                    "<run_dir>/quality-phases.json are skipped; train "
+                    "resumes from the latest checkpoint; evaluation "
+                    "re-runs")
     ap.add_argument("--isolate", action="store_true",
                     help="run each tnt phase in its own subprocess so "
                     "device memory is released between phases (required "
@@ -188,28 +200,74 @@ def main() -> int:
                          "beam": args.beam}}
     gen_path = os.path.join(run_dir, "generations-train.jsonl")
 
-    t0 = time.time()
-    _tnt(["preprocess", args.expt, "-s", "train"] + merged({}))
-    n = _tnt(["preprocess", args.expt, "-s", "valid"] + merged({}))
-    result["corpus"]["n_examples"] = n.get("examples")
-    result["preprocess_seconds"] = round(time.time() - t0, 1)
+    # phase journal: lets --resume continue an interrupted run without
+    # repeating finished phases (and without a hand-driven one-off script)
+    journal_path = os.path.join(run_dir, "quality-phases.json")
+    journal: dict = {}
+    if args.resume and os.path.exists(journal_path):
+        with open(journal_path, encoding="utf-8") as jf:
+            journal = json.load(jf)
+
+    def save_phase(name: str, payload: dict) -> None:
+        journal[name] = payload
+        os.makedirs(run_dir, exist_ok=True)
+        tmp = journal_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as jf:
+            json.dump(journal, jf, indent=2)
+        os.replace(tmp, journal_path)
+
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+
+    def assert_resumable(phase: str) -> None:
+        assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir), (
+            f"{phase}: no checkpoint in {ckpt_dir} to resume from "
+            "(tnt train -r would fail; run without --resume / --fresh "
+            "to start over)")
+
+    if "preprocess" in journal:
+        result["corpus"]["n_examples"] = journal["preprocess"]["examples"]
+        result["preprocess_seconds"] = journal["preprocess"]["seconds"]
+    else:
+        t0 = time.time()
+        _tnt(["preprocess", args.expt, "-s", "train"] + merged({}))
+        n = _tnt(["preprocess", args.expt, "-s", "valid"] + merged({}))
+        result["corpus"]["n_examples"] = n.get("examples")
+        result["preprocess_seconds"] = round(time.time() - t0, 1)
+        save_phase("preprocess", {"examples": n.get("examples"),
+                                  "seconds": result["preprocess_seconds"]})
 
     # ---- before: a nearly-untrained checkpoint ----
-    t0 = time.time()
-    _tnt(["train", args.expt]
-         + merged({"trainer": {"num_epochs": args.before_epochs,
-                               "checkpoint_every": 1}}))
-    before = _tnt(["evaluate", args.expt, "-s", "train"] + merged({}))
-    before.update(reproduction_and_entities(gen_path, entities))
-    shutil.copy(gen_path, os.path.join(run_dir, "generations-before.jsonl"))
-    result["before"] = before
-    result["before_seconds"] = round(time.time() - t0, 1)
+    if "before" in journal:
+        result["before"] = journal["before"]["metrics"]
+        result["before_seconds"] = journal["before"]["seconds"]
+    else:
+        t0 = time.time()
+        _tnt(["train", args.expt]
+             + merged({"trainer": {"num_epochs": args.before_epochs,
+                                   "checkpoint_every": 1}}))
+        before = _tnt(["evaluate", args.expt, "-s", "train"] + merged({}))
+        before.update(reproduction_and_entities(gen_path, entities))
+        shutil.copy(gen_path,
+                    os.path.join(run_dir, "generations-before.jsonl"))
+        result["before"] = before
+        result["before_seconds"] = round(time.time() - t0, 1)
+        save_phase("before", {"metrics": before,
+                              "seconds": result["before_seconds"]})
+
+    before = result["before"]
 
     # ---- after: the full overfit run (resumes the same checkpoints) ----
-    t0 = time.time()
-    train_res = _tnt(["train", args.expt, "-r"] + merged({}))
-    result["train"] = train_res
-    result["train_seconds"] = round(time.time() - t0, 1)
+    if "train" in journal:
+        result["train"] = journal["train"]["result"]
+        result["train_seconds"] = journal["train"]["seconds"]
+    else:
+        assert_resumable("train")
+        t0 = time.time()
+        train_res = _tnt(["train", args.expt, "-r"] + merged({}))
+        result["train"] = train_res
+        result["train_seconds"] = round(time.time() - t0, 1)
+        save_phase("train", {"result": train_res,
+                             "seconds": result["train_seconds"]})
 
     t0 = time.time()
     after_greedy = _tnt(["evaluate", args.expt, "-s", "train"] + merged({}))
