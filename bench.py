@@ -1,29 +1,44 @@
 """Benchmark: flagship-captioner generation throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-The headline metric stays captions/sec; the same line also carries the
-serving-relevant companions so every driver run records them:
+The HEADLINE metric is encode-INCLUSIVE end-to-end throughput: tokenized
+BPE ids -> frozen windowed RoBERTa-large article encode (25-layer
+weighted sum) -> full-length beam decode, two XLA programs dispatched
+back-to-back. That is the like-for-like number against the reference's
+2.8 captions/sec, whose wall-clock includes its article encode
+(README.md:168-169, the eval loop encodes inside
+tell/models/transformer_faces_objects.py:311-397). The same line carries:
+  decode_only_captions_per_sec  the context-features-precomputed decode
+                             rate (rounds 1-3's headline; the serving
+                             engine sees this when articles are encoded
+                             once and reused across requests)
+  train_ms_per_batch_*       slope-timed full train step at the reference
+                             batch shape, captured per-round in a
+                             subprocess (device memory isolation);
+                             BENCH_TRAIN_BUDGET_S caps its wall-clock
   p50_caption_latency_ms_*   slope-timed beam micro-batch latency
                              (BASELINE.json names p50 latency alongside
                              throughput)
   engine_sustained_*         continuous-batching engine under a steady
                              arrival stream: sustained captions/s and
                              per-request p50 latency (submit -> result)
+  engine_max_*               saturated engine capacity (all requests
+                             queued upfront) at gen_len=100 — the
+                             reference's caption cap
   kv_cache_mode / topk_mode  machine-checked A/Bs of the TPU-default
   + *_token_agreement        numerics levers (int8 K/V cache, approximate
                              per-cluster top-k) vs the exact fp path at
-                             serving shapes; below BENCH_KV8_MIN /
-                             BENCH_TOPK_MIN the bench FALLS BACK to the
-                             exact path for the measurement and says so
+                             serving shapes, MIN over 3 batch seeds;
+                             below BENCH_KV8_MIN / BENCH_TOPK_MIN the
+                             bench FALLS BACK to the exact path for the
+                             measurement and says so
 Disable companions with BENCH_EXTRAS=0 (throughput-only line).
 
 Baseline: the reference generates the NYTimes800k test set at ~2.8
 captions/sec on a Titan V (greedy, batch 16; README.md:168-169, see
-BASELINE.md). We measure the same work: full-length greedy decode
-(gen_len=100 steps — no early exit, conservative) of the 4-context
-transformer_faces_objects-sized decoder, context features precomputed
-(the reference also encodes contexts once per article before its decode
-loop).
+BASELINE.md) — tower-inclusive wall-clock. Decode work is conservative:
+full-length decode (gen_len=100 steps, no early exit) of the 4-context
+transformer_faces_objects-sized decoder.
 """
 from __future__ import annotations
 
@@ -192,7 +207,14 @@ def numerics_agreement_gate(params, cfg, dtype) -> dict:
     number deployments care about — is measured by the offline quality
     loop (QUALITY_r03.json ab_* entries, 1.00 at the overfit checkpoint)
     and per-deployment by `tnt serve --numerics-ab` with the shipped
-    weights. Runs at serving shapes (B=16, len 32, production dims)."""
+    weights. Runs at serving shapes (B=16, len 32, production dims).
+
+    Seed hardening: the measured margin over the 0.95 floor is thin at
+    random weights (0.9785 in round 3), so the gate takes the MIN forced
+    agreement over BENCH_GATE_SEEDS independent batches (keys 5/6/7...) —
+    a borderline regression can't slip under the floor on one lucky batch.
+    One ref-decode compile + one forced-decode compile per lever serve all
+    seeds (same shapes), so the extra seeds cost only execution time."""
     import dataclasses
 
     from tell_tpu.models.captioner import generate, predict_forced
@@ -200,8 +222,9 @@ def numerics_agreement_gate(params, cfg, dtype) -> dict:
 
     B = min(16, BATCH)
     L = min(32, GEN_LEN)
+    n_seeds = int(os.environ.get("BENCH_GATE_SEEDS", "3"))
     gcfg = dataclasses.replace(cfg, gen_len=L)
-    batch = _make_batch(B, 512, dtype, key=5)
+    batches = [_make_batch(B, 512, dtype, key=5 + i) for i in range(n_seeds)]
     from tell_tpu.models.decoder import kv_cache_mode
     from tell_tpu.ops.adaptive import topk_mode
 
@@ -210,21 +233,30 @@ def numerics_agreement_gate(params, cfg, dtype) -> dict:
     try:
         for v in levers:                  # exact fp reference decode
             os.environ[v] = "0"
-        ref = np.asarray(jax.jit(lambda p, b: generate(
-            p, gcfg, b, early_stop=False)["token_ids"])(params, batch))
-        tgt = ref[:, 1:]
-        live = tgt != gcfg.decoder.pad_id   # finished rows emit <pad>
-        if not live.any():                  # degenerate: all rows EOS at t=0
-            live = np.ones_like(live)
+        # one jitted program per phase: the env levers are read at trace
+        # time, so the ref fn must be created (and first called) with both
+        # levers off, and each forced fn with exactly its lever on
+        ref_fn = jax.jit(lambda p, b: generate(
+            p, gcfg, b, early_stop=False)["token_ids"])
+        refs = [np.asarray(ref_fn(params, b)) for b in batches]
+        lives = []
+        for ref in refs:
+            live = ref[:, 1:] != gcfg.decoder.pad_id  # finished rows: <pad>
+            if not live.any():           # degenerate: all rows EOS at t=0
+                live = np.ones_like(live)
+            lives.append(live)
 
         def forced_agreement(var):
             os.environ[var] = "1"
             try:
-                preds = np.asarray(jax.jit(lambda p, b, t: predict_forced(
-                    p, gcfg, b, t))(params, batch, ref))
+                fn = jax.jit(lambda p, b, t: predict_forced(p, gcfg, b, t))
+                per_seed = [
+                    float((np.asarray(fn(params, b, ref)) == ref[:, 1:])
+                          [live].mean())
+                    for b, ref, live in zip(batches, refs, lives)]
             finally:
                 os.environ[var] = "0"
-            return float((preds == tgt)[live].mean())
+            return per_seed
 
         agree = {var: forced_agreement(var) for var in levers}
     finally:
@@ -234,8 +266,11 @@ def numerics_agreement_gate(params, cfg, dtype) -> dict:
             else:
                 os.environ[v] = prev[v]
 
-    res = {}
-    kv8_agree = agree["TELL_TPU_KV8"]
+    res = {"gate_note": "token agreements are the MIN over %d batch seeds"
+                        % n_seeds}
+    kv8_agree = min(agree["TELL_TPU_KV8"])
+    res["kv8_agreement_per_seed"] = [round(a, 4)
+                                     for a in agree["TELL_TPU_KV8"]]
     kv8_min = float(os.environ.get("BENCH_KV8_MIN", "0.95"))
     mode, fell_back = kv_cache_mode(), False
     if mode == "int8" and kv8_agree < kv8_min:
@@ -246,7 +281,9 @@ def numerics_agreement_gate(params, cfg, dtype) -> dict:
                 "kv_cache_mode": mode,
                 "kv8_auto_fallback": fell_back})
 
-    tk_agree = agree["TELL_TPU_APPROX_TOPK"]
+    tk_agree = min(agree["TELL_TPU_APPROX_TOPK"])
+    res["topk_agreement_per_seed"] = [round(a, 4)
+                                      for a in agree["TELL_TPU_APPROX_TOPK"]]
     tk_min = float(os.environ.get("BENCH_TOPK_MIN", "0.95"))
     tmode, t_fell_back = topk_mode(), False
     if tmode == "approx" and tk_agree < tk_min:
@@ -359,6 +396,140 @@ def bench_engine(params, cfg, dtype) -> dict:
         "engine_config": "slots%d_beam%d_len%d_arrival%.0fms" % (
             slots, max(BEAM, 2), L, arrival * 1e3),
     }
+
+
+def bench_engine_saturated(params, cfg, dtype) -> dict:
+    """Saturated engine capacity at the reference's caption cap
+    (gen_len=100, transformer_faces_objects.py:407): ALL requests queued
+    upfront so the measurement is compute-capped, not arrival-capped —
+    this is the engine's max sustained captions/s. The steady-arrival
+    numbers above measure latency under a specific offered load; this one
+    answers "how much load can one chip absorb". Full curve (arrival
+    sweep, slot sweep, overload behavior): tools/engine_capacity.py,
+    docs/serving.md."""
+    import dataclasses
+
+    from tell_tpu.serving.engine import DecodeEngine
+
+    slots = int(os.environ.get("BENCH_ENGINE_CAP_SLOTS", "32"))
+    L = int(os.environ.get("BENCH_ENGINE_CAP_LEN", "100"))
+    n = int(os.environ.get("BENCH_ENGINE_CAP_N", str(4 * slots)))
+    ecfg = dataclasses.replace(cfg, gen_len=L)
+    eng = DecodeEngine(params, ecfg, slots=slots, beam=max(BEAM, 2),
+                       chunk_steps=8, dtype=dtype)
+    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in
+             _make_batch(4, 512, dtype, key=9).items()} for i in range(n)]
+    f = eng.submit(reqs[0])     # warm every compiled program
+    eng.run_until_drained()
+    f.result(timeout=600)
+
+    t0 = time.perf_counter()
+    futs = [eng.submit(r) for r in reqs]
+    eng.run_until_drained()
+    for f in futs:
+        f.result(timeout=600)
+    wall = time.perf_counter() - t0
+    return {
+        "engine_max_captions_per_sec_len%d" % L: round(n / wall, 2),
+        "engine_max_config": "slots%d_beam%d_len%d_n%d_saturated" % (
+            slots, max(BEAM, 2), L, n),
+    }
+
+
+def bench_e2e(params, cfg, dtype) -> dict:
+    """Encode-INCLUSIVE throughput: tokenized BPE ids -> frozen windowed
+    RoBERTa-large encode -> beam decode, the pipeline a fresh request
+    actually pays (models/captioner.py::encode_contexts runs the article
+    encode on-device; serving/server.py feeds it per request). Two XLA
+    programs, exactly like `tnt evaluate`'s split (commands/evaluate.py):
+    the 25-layer weighted sum folds into the encode program so only the
+    mixed [B,S,1024] features cross between them, and encode of batch n+1
+    is dispatched before decode of batch n is fetched (async dispatch —
+    no host gap; on one chip the programs serialize on-device).
+    Slope-timed like the decode-only path. Towers are random-init
+    (pretrained weights unreachable offline); weight values don't change
+    the compute cost."""
+    from tell_tpu.models.backbones.roberta import (RobertaConfig,
+                                                   init_roberta,
+                                                   roberta_encode_windowed)
+    from tell_tpu.models.captioner import weighted_layer_sum
+
+    B = int(os.environ.get("BENCH_E2E_BATCH", str(BATCH)))
+    S = 512
+    rcfg = RobertaConfig.large()
+    roberta = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        init_roberta(jr.PRNGKey(9), rcfg))
+    ids = jr.randint(jr.PRNGKey(10), (B, S), 4, rcfg.vocab_size)
+    rest = {k: v for k, v in _make_batch(B, S, dtype, key=11).items()
+            if k not in ("article", "article_mask")}
+
+    def encode(fr, p, ids_, bump):
+        hid = roberta_encode_windowed(fr, rcfg, ids_,
+                                      return_all_hiddens=cfg.weigh_bert)
+        art = weighted_layer_sum(p, hid) if cfg.weigh_bert else hid
+        return (art + bump.astype(art.dtype),
+                ids_ == rcfg.pad_id)
+
+    encode_j = jax.jit(encode)
+    if BEAM <= 1:
+        decode_j = jax.jit(lambda p, b: generate(
+            p, cfg, b, early_stop=False)["log_probs"].sum())
+    else:
+        from tell_tpu.models.beam import beam_search
+        decode_j = jax.jit(lambda p, b: beam_search(
+            p, cfg, b, beam_size=BEAM,
+            early_stop=False)["scores"].sum())
+
+    def run_k(k):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            # decode output chains into the next encode's bump: forced
+            # serialization, fixed dispatch overheads cancel in the slope
+            art, mask = encode_j(roberta, params, ids, acc * 1e-9)
+            acc = acc + decode_j(params, {**rest, "article": art,
+                                          "article_mask": mask})
+        return float(acc)
+
+    run_k(1)  # compile + warm
+    k_lo, k_hi = 1, 1 + max(REPS, 2)
+    lo = min(_t(run_k, k_lo) for _ in range(2))
+    hi = min(_t(run_k, k_hi) for _ in range(2))
+    dt = (hi - lo) / (k_hi - k_lo)
+    return {"e2e_captions_per_sec": B / dt, "e2e_batch": B}
+
+
+def bench_train_subprocess() -> dict:
+    """Per-round train-step capture: run BENCH_TRAIN=1 in a subprocess
+    (its params + optimizer state + fwd/bwd programs never share device
+    memory with the decode benches) and merge its numbers into the main
+    line. Runs BEFORE this process creates its own TPU client: the axon
+    tunnel is nominally single-session, so the child must be the sole
+    claimer while it lives. The child's own device watchdog (default
+    900 s) is kept below BENCH_TRAIN_BUDGET_S (default 1200) so a wedged
+    tunnel makes the child exit itself rather than be killed mid-claim
+    (which can wedge the chip grant). On timeout/error the line records
+    that instead of silently omitting the number (VERDICT r3 weak #4:
+    opt-in train benches regress silently)."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "1200"))
+    env = {**os.environ, "BENCH_TRAIN": "1"}
+    env.setdefault("BENCH_DEVICE_TIMEOUT", "900")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=budget)
+    except subprocess.TimeoutExpired:
+        return {"train_bench": "timeout after %.0fs" % budget}
+    if proc.returncode != 0:
+        return {"train_bench": "failed rc=%d: %s" % (
+            proc.returncode, proc.stderr.strip()[-300:])}
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    return {d["metric"]: d["value"],
+            "train_tokens_per_sec": d.get("tokens_per_sec"),
+            "train_vs_baseline": d.get("vs_baseline")}
 
 
 def bench_vision():
@@ -528,6 +699,13 @@ def bench_vision():
 
 def main():
     import dataclasses
+    extras = {}
+    if (os.environ.get("BENCH_TRAIN") != "1"
+            and os.environ.get("BENCH_VISION") != "1"
+            and os.environ.get("BENCH_EXTRAS", "1") != "0"):
+        # capture the train-step number FIRST, in a subprocess, while no
+        # TPU client exists in this process (single-session tunnel)
+        extras.update(bench_train_subprocess())
     armed = _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
                                                   "900")))
     jax.devices()      # blocks here if the tunnel is wedged
@@ -546,7 +724,6 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
 
-    extras = {}
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         extras.update(numerics_agreement_gate(params, cfg, dtype))
 
@@ -585,16 +762,29 @@ def main():
     dt = (hi - lo) / (k_hi - k_lo)
     cps = B / dt
 
+    # encode-inclusive end-to-end: the apples-to-apples headline (the
+    # reference's 2.8/s wall-clock includes its article encode)
+    e2e = bench_e2e(params, cfg, dtype)
+    e2e_cps = e2e.pop("e2e_captions_per_sec")
+
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         extras.update(bench_latency(params, cfg, dtype))
         extras.update(bench_engine(params, cfg, dtype))
+        extras.update(bench_engine_saturated(params, cfg, dtype))
+        extras.update(bench_train_subprocess())
 
     mode = "beam%d" % BEAM if BEAM > 1 else "greedy"
     print(json.dumps({
-        "metric": "captions_per_sec_%s_b%d_len%d" % (mode, B, GEN_LEN),
-        "value": round(cps, 2),
-        "unit": "captions/sec/chip",
-        "vs_baseline": round(cps / BASELINE_CAPTIONS_PER_SEC, 2),
+        "metric": "captions_per_sec_e2e_%s_b%d_len%d" % (
+            mode, e2e["e2e_batch"], GEN_LEN),
+        "value": round(e2e_cps, 2),
+        "unit": "captions/sec/chip (RoBERTa-large article encode + %s "
+                "decode, both on-chip)" % mode,
+        "vs_baseline": round(e2e_cps / BASELINE_CAPTIONS_PER_SEC, 2),
+        "decode_only_captions_per_sec": round(cps, 2),
+        "decode_only_config": "%s_b%d_len%d (context features precomputed)"
+                              % (mode, B, GEN_LEN),
+        "decode_only_vs_baseline": round(cps / BASELINE_CAPTIONS_PER_SEC, 2),
         **extras,
     }))
 
