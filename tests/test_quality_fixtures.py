@@ -38,6 +38,28 @@ def test_after_reproduces_training_captions_exactly():
     assert all(r["generation"] == r["caption"] for r in rows)
 
 
+def test_r04_unattended_run_evidence():
+    """Round 4's fully-unattended turnkey re-run (fixtures/quality/r04):
+    same story as r03, produced by one quality_loop.py invocation with no
+    hand-driven continuation; the committed phase journal proves every
+    phase ran through the runner."""
+    r04 = os.path.join(os.path.dirname(R03), "r04")
+    m_before = score_file(os.path.join(r04, "generations-before.jsonl"))
+    assert m_before["cider"] < 50, m_before
+    m_after = score_file(os.path.join(r04, "generations-after-beam5.jsonl"))
+    assert m_after["cider"] > 800, m_after
+    assert m_after["bleu-4"] > 90, m_after
+    rows = [json.loads(l) for l in open(
+        os.path.join(r04, "generations-after-beam5.jsonl"),
+        encoding="utf-8")]
+    assert len(rows) == 32
+    assert sum(r["generation"] == r["caption"] for r in rows) >= 29
+    journal = json.load(open(os.path.join(r04, "quality-phases.json"),
+                             encoding="utf-8"))
+    assert {"preprocess", "before", "train"} <= set(journal)
+    assert journal["train"]["result"]["epochs"] == 200
+
+
 def test_fixture_matches_committed_artifact():
     """The committed QUALITY_r03.json and the committed generation files
     must tell the same story (the artifact was assembled from these)."""
