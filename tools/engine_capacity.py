@@ -129,6 +129,13 @@ def main():
     from tell_tpu.config import CaptionerConfig
     from tell_tpu.models import init_captioner
 
+    cache = os.environ.get("CACHE_DIR", "/tmp/tell_tpu_bench_cache")
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     dtype = jnp.bfloat16
     if os.environ.get("TINY") == "1":   # CPU wiring smoke run
         from tell_tpu.config import small_test_config
