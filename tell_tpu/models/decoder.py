@@ -250,14 +250,12 @@ def kv_cache_mode() -> str:
     return "int8" if _kv8_enabled() else "fp"
 
 
-def conv_ring_enabled() -> bool:
-    """Time-slot ring conv decode state (TELL_TPU_CONV_RING) — EXACT
-    alternative to the shifting-window buffers: one [R, C] slot write per
-    step instead of a full [R, K-1, C] rewrite, beam lineage resolved at
-    read time through an ancestor-row table. See init_decode_state and
-    ops/dynamic_conv.py::init_conv_ring. Opt-in pending TPU measurement."""
-    from ..ops.kernels.dispatch import env_flag
-    return env_flag("TELL_TPU_CONV_RING", default=False)
+# A time-slot ring conv decode state (TELL_TPU_CONV_RING) — one [R, C]
+# slot write per step, beam lineage resolved at read time through an
+# ancestor table — was built as an exact alternative to the shifting
+# window and REMOVED after round-4 A/Bs measured it slower on both the
+# micro-batch and engine paths (see ops/dynamic_conv.py's note for the
+# numbers and why).
 
 
 def _quantize_kv(t: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -685,14 +683,9 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
     cuts the dominant per-step HBM traffic (article K/V reads) by the beam
     factor versus the reference-style tiled layout.
 
-    Conv state comes in two exact-equivalent layouts (TELL_TPU_CONV_RING):
-    a shifting window [R, K-1, C] rewritten wholesale every step, or a
-    time-slot ring written one [R, C] slot per step plus a shared
-    [R, maxK-1] ancestor-row table ("anc") and a global phase counter
-    ("gstep") that resolve beam lineage at read time (ops/dynamic_conv.py
-    ::init_conv_ring). The ring drops ~68 MB/step of window rewrites at
-    flagship decode shapes and turns the serving engine's post-selection
-    conv reorder into an int32 table gather.
+    Conv state is a shifting window [R, K-1, C] rewritten each step (a
+    one-slot-per-step time-slot ring alternative measured slower and was
+    removed — ops/dynamic_conv.py's note).
     """
     R = batch * beam
     state = {
@@ -704,19 +697,9 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
             padding_idx=cfg.embed_padding_idx,
             scale_embeds=cfg.scale_embeds).astype(dtype),
         "step": jnp.zeros((), jnp.int32),
+        "conv": [init_conv_state(R, cfg.conv_dim, k, dtype)
+                 for k in cfg.kernel_sizes],
     }
-    if conv_ring_enabled():
-        from ..ops.dynamic_conv import init_conv_ring
-        state["conv"] = [init_conv_ring(R, cfg.conv_dim, k, dtype)
-                         for k in cfg.kernel_sizes]
-        state["anc"] = jnp.broadcast_to(
-            jnp.arange(R, dtype=jnp.int32)[:, None],
-            (R, max(max(cfg.kernel_sizes) - 1, 1))) + jnp.zeros(
-                (), jnp.int32)  # materialize (broadcast views break donation)
-        state["gstep"] = jnp.zeros((), jnp.int32)
-    else:
-        state["conv"] = [init_conv_state(R, cfg.conv_dim, k, dtype)
-                         for k in cfg.kernel_sizes]
     return state
 
 
@@ -742,21 +725,6 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     pos = sinusoidal_embed(table, tokens[:, None], cfg.pad_id,
                            state["step"])[:, 0]
     x = tok_embed + pos.astype(tok_embed.dtype)       # [R, E]
-    ring_mode = "anc" in state
-    if ring_mode:
-        # advance the ancestor table ONCE for all layers: row r's new
-        # lineage is [this step's parent, the parent's previous lineage].
-        # The shift happens WITH the parent application: here for the
-        # fused-reorder beam path (row_gather = previous step's parent);
-        # in the engine's _dyn_reorder (which applies the parent AFTER
-        # the step) — so with row_gather=None the table is read as-is,
-        # which is also the greedy case (identity lineage, never shifts).
-        anc = state["anc"]
-        if row_gather is not None:
-            anc = jnp.concatenate(
-                [row_gather[:, None].astype(jnp.int32),
-                 jnp.take(anc, row_gather, axis=0)[:, :-1]], axis=1)
-        gstep = state["gstep"]
     new_conv = []
     all_attns = []
     for i, (lp, k) in enumerate(zip(params["layers"], cfg.kernel_sizes)):
@@ -765,21 +733,12 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
         h = gehring_linear(lp["linear1"], x)
         if cfg.glu:
             h = glu(h)
-        if ring_mode:
-            from ..ops.dynamic_conv import (dynamic_conv_step_ring,
-                                            lightweight_conv_step_ring)
-            ring_fn = (dynamic_conv_step_ring if cfg.conv_type == "dynamic"
-                       else lightweight_conv_step_ring)
-            h, buf = ring_fn(lp["conv"], h, state["conv"][i], anc, gstep,
-                             kernel_size=k, num_heads=cfg.num_heads,
-                             weight_softmax=cfg.weight_softmax)
-        else:
-            step_fn = (dynamic_conv_step if cfg.conv_type == "dynamic"
-                       else lightweight_conv_step)
-            h, buf = step_fn(lp["conv"], h, state["conv"][i], kernel_size=k,
-                             num_heads=cfg.num_heads,
-                             weight_softmax=cfg.weight_softmax,
-                             row_gather=row_gather)
+        step_fn = (dynamic_conv_step if cfg.conv_type == "dynamic"
+                   else lightweight_conv_step)
+        h, buf = step_fn(lp["conv"], h, state["conv"][i], kernel_size=k,
+                         num_heads=cfg.num_heads,
+                         weight_softmax=cfg.weight_softmax,
+                         row_gather=row_gather)
         new_conv.append(buf)
         h = gehring_linear(lp["linear2"], h)
         h = layer_norm(lp["conv_ln"], residual + h)
@@ -794,7 +753,4 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     new_state = {"conv": new_conv, "kv": state["kv"],
                  "embed_table": state["embed_table"],
                  "step": state["step"] + 1}
-    if ring_mode:
-        new_state["anc"] = anc
-        new_state["gstep"] = gstep + 1
     return x, new_state, all_attns

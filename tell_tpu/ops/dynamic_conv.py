@@ -132,9 +132,9 @@ def dynamic_conv_step(params: dict, x_t: jax.Array, state: jax.Array, *,
     gather+rewrite of the whole ring buffer after beam selection.
     Measured NEUTRAL end-to-end on v5e (304 vs 305 captions/s): XLA
     materializes the gathered buffer anyway, so HBM traffic is
-    unchanged — kept because it is exact, drops the separate
-    reorder_fn dispatch, and is the prerequisite for a true ring-
-    buffer conv state (write one slot instead of the full window).
+    unchanged — kept because it is exact and drops the separate
+    reorder_fn dispatch. (A true ring-buffer layout built on it was
+    measured SLOWER and removed — see the note below.)
     """
     B, C = x_t.shape
     K, H = kernel_size, num_heads
@@ -153,91 +153,17 @@ def dynamic_conv_step(params: dict, x_t: jax.Array, state: jax.Array, *,
     return out, new_state
 
 
-def init_conv_ring(batch: int, conv_dim: int, kernel_size: int,
-                   dtype=jnp.float32) -> jax.Array:
-    """Time-slot ring of the last K-1 inputs: [B, K-1, C], zero-init.
-
-    Unlike the shifting window of init_conv_state (whose whole [B, K-1, C]
-    buffer is rewritten every step), the ring is written ONE time-slot per
-    step at phase `gstep mod (K-1)`; beam reordering never touches it —
-    lineage is resolved at READ time through an ancestor-row table (see
-    decoder.py::decoder_step ring mode). At flagship decode shapes the
-    window rewrite is ~68 MB/step of pure HBM writes across the 4 layers
-    (and the serving engine's separate post-selection window re-gather is
-    another read+write of the same bytes); the ring writes ~5 MB/step and
-    the engine reorder becomes a [B*K, maxK-1] int32 ancestor gather."""
-    return jnp.zeros((batch, max(kernel_size - 1, 0), conv_dim), dtype)
-
-
-def _ring_window(x_t: jax.Array, ring: jax.Array, anc: jax.Array,
-                 gstep: jax.Array, kernel_size: int
-                 ) -> tuple[jax.Array, jax.Array]:
-    """Gather the causal window [B, K, C] (oldest first, x_t last) from the
-    time-slot ring and write x_t into phase `gstep mod (K-1)`.
-
-    anc: [B, >=K-2] int32 ancestor rows — anc[r, i] is the physical row
-    that held step `gstep-1-i`'s input for row r's beam lineage (identity
-    when there is no reordering). Correctness of the zero prefill: a read
-    of age `a` targets slot (gstep-a) mod (K-1), whose latest write was at
-    step gstep-a when gstep-a >= 0 and which is provably untouched (still
-    zero-init, or zeroed at slot admission in the engine) when gstep-a
-    precedes the row's first step — see the derivation in
-    tests/test_decoder.py::test_conv_ring_matches_window."""
-    B, C = x_t.shape
-    K = kernel_size
-    if K <= 1:
-        return x_t[:, None, :], ring
-    Km1 = K - 1
-    ages = jnp.arange(Km1, 0, -1)                      # [K-1], oldest first
-    slots = jnp.mod(gstep - ages, Km1)                 # [K-1]
-    # ages-1 indexes anc: age 1 -> anc[:, 0], age K-1 -> anc[:, K-2]
-    rows = anc[:, K - 2::-1]                           # [B, K-1] oldest first
-    idx = rows * Km1 + slots[None, :]
-    past = jnp.take(ring.reshape(B * Km1, C), idx.reshape(-1),
-                    axis=0).reshape(B, Km1, C)
-    window = jnp.concatenate([past, x_t[:, None, :]], axis=1)
-    new_ring = jax.lax.dynamic_update_slice(
-        ring, x_t[:, None, :].astype(ring.dtype),
-        (jnp.int32(0), jnp.mod(gstep, Km1).astype(jnp.int32), jnp.int32(0)))
-    return window, new_ring
-
-
-def dynamic_conv_step_ring(params: dict, x_t: jax.Array, ring: jax.Array,
-                           anc: jax.Array, gstep: jax.Array, *,
-                           kernel_size: int, num_heads: int,
-                           weight_softmax: bool = True
-                           ) -> tuple[jax.Array, jax.Array]:
-    """dynamic_conv_step over a time-slot ring + ancestor table (exact —
-    same outputs as the shifting-window step, pinned by tests)."""
-    B, C = x_t.shape
-    K, H = kernel_size, num_heads
-    R = C // H
-    w = linear(params["weight_linear"], x_t).reshape(B, H, K)
-    if weight_softmax:
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x_t.dtype)
-    window, new_ring = _ring_window(x_t, ring, anc, gstep, K)
-    wh = window.reshape(B, K, H, R)
-    out = jnp.einsum("bhk,bkhr->bhr", w, wh).reshape(B, C)
-    if "conv_bias" in params:
-        out = out + params["conv_bias"]
-    return out, new_ring
-
-
-def lightweight_conv_step_ring(params: dict, x_t: jax.Array,
-                               ring: jax.Array, anc: jax.Array,
-                               gstep: jax.Array, *, kernel_size: int,
-                               num_heads: int, weight_softmax: bool = True
-                               ) -> tuple[jax.Array, jax.Array]:
-    B, C = x_t.shape
-    K, H = kernel_size, num_heads
-    R = C // H
-    w = _lightweight_weights(params, weight_softmax).astype(x_t.dtype)
-    window, new_ring = _ring_window(x_t, ring, anc, gstep, K)
-    wh = window.reshape(B, K, H, R)
-    out = jnp.einsum("hk,bkhr->bhr", w, wh).reshape(B, C)
-    if "conv_bias" in params:
-        out = out + params["conv_bias"]
-    return out, new_ring
+# Negative finding (round 4, measured on v5e-1): a time-slot ring conv
+# state (write ONE [B, C] slot per step at phase gstep mod (K-1), resolve
+# beam lineage at read time through an ancestor-row table) was built and
+# A/B'd against the shifting window above. It LOST both arms — micro-batch
+# beam-5 B=128 len=100: 302.9 vs 336.0 captions/s; engine saturated
+# capacity slots=16 len=32: 105.0 vs 108.1 captions/s — because the
+# per-step [B*(K-1), C] jnp.take lineage gather costs more than the ~68
+# MB/step of window rewrites it saves, and the decode roofline shows the
+# step is not HBM-write-bound (ARCHITECTURE.md "Decode roofline"). The
+# layout was removed (git history: TELL_TPU_CONV_RING) so decode carries
+# exactly one conv-state layout.
 
 
 # ---------------------------------------------------------------------------

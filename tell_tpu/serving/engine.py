@@ -209,23 +209,12 @@ class DecodeEngine:
                                          contexts, beam=self.beam)
 
     def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
-        """Zero slot b's rows of the per-row dynamic state. In conv-ring
-        mode, zeroing ALL time slots of the admitted rows is what makes
-        pre-admission ages read as the zero prefill (the ring phase is
-        engine-global, so a stale slot is provably never rewritten before
-        the new occupant's own lifetime covers it); the ancestor rows are
-        reset to in-slot identity."""
+        """Zero slot b's rows of the per-row dynamic state (conv window
+        buffers)."""
         B, K = self.slots, self.beam
-        out = {"conv": [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
-                          ).reshape(buf.shape)
-                        for buf in state["conv"]]}
-        if "anc" in state:
-            ident = ((b * K + jnp.arange(K, dtype=jnp.int32))[:, None]
-                     + jnp.zeros((1, state["anc"].shape[1]), jnp.int32))
-            out["anc"] = w(state["anc"].reshape(B, K, -1), ident, b
-                           ).reshape(state["anc"].shape)
-            out["gstep"] = state["gstep"]
-        return out
+        return {"conv": [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
+                           ).reshape(buf.shape)
+                         for buf in state["conv"]]}
 
     def _model_step(self, params: dict, aux: dict, state: dict,
                     step_rows: jax.Array
@@ -234,39 +223,18 @@ class DecodeEngine:
         cand ids [R, K], new dynamic state)."""
         dyn = {"conv": state["conv"], "kv": state["kv"],
                "embed_table": aux["embed_table"], "step": step_rows}
-        if "anc" in state:
-            dyn["anc"], dyn["gstep"] = state["anc"], state["gstep"]
         feats, dstate, _ = decoder_step(
             params["decoder"], self.dcfg,
             state["tokens"].reshape(self.slots * self.beam), dyn)
         lp, ids = decoder_top_k(params["decoder"], self.dcfg, feats,
                                 self.beam, vocab_table=aux["vocab_table"])
-        new_dyn = {"conv": dstate["conv"]}
-        if "anc" in state:
-            new_dyn["anc"], new_dyn["gstep"] = dstate["anc"], dstate["gstep"]
-        return lp, ids, new_dyn
+        return lp, ids, {"conv": dstate["conv"]}
 
     def _dyn_reorder(self, dyn: dict, parent: jax.Array) -> dict:
         """Reorder per-row dynamic state by parent beam WITHIN each slot —
         a [B, K] take_along_axis (shard-local on a slot-sharded mesh),
-        never a flat gather across the whole B*K axis. In conv-ring mode
-        the rings are physical time-slot storage and never move: only the
-        ancestor table is permuted (decoder_step already prepended the
-        identity row, so gathering by parent yields
-        [parent, parent's previous lineage])."""
+        never a flat gather across the whole B*K axis."""
         B, K = self.slots, self.beam
-        if "anc" in dyn:
-            # shift-and-gather: mid[q] = [q, q's previous lineage] states
-            # that step t's input was written at row q (pre-selection);
-            # gathering mid by parent yields the selected beams' lineage
-            R = B * K
-            mid = jnp.concatenate(
-                [jnp.arange(R, dtype=jnp.int32)[:, None],
-                 dyn["anc"][:, :-1]], axis=1)
-            anc = jnp.take_along_axis(
-                mid.reshape(B, K, -1),
-                parent[:, :, None], axis=1).reshape(dyn["anc"].shape)
-            return {"conv": dyn["conv"], "anc": anc, "gstep": dyn["gstep"]}
         conv = [jnp.take_along_axis(
                     buf.reshape((B, K) + buf.shape[1:]),
                     parent.reshape((B, K) + (1,) * (buf.ndim - 1)),

@@ -346,39 +346,3 @@ def test_int4_kv_decode_parity(monkeypatch):
     lp_ref = np.asarray(ref["log_probs"]).sum(-1)
     lp_q = np.asarray(q4["log_probs"]).sum(-1)
     np.testing.assert_allclose(lp_q, lp_ref, rtol=0.15, atol=1.0)
-
-
-def test_conv_ring_matches_window(monkeypatch):
-    """TELL_TPU_CONV_RING=1 (time-slot ring conv state + ancestor-table
-    lineage) must reproduce the shifting-window decode exactly: greedy
-    generate and beam search, both early-stop modes. Zero-prefill
-    correctness: a read of age `a` at global step `t` targets ring slot
-    (t-a) mod (K-1); writes to that slot happen at steps s = t-a + m(K-1),
-    and for t-a < 0 the smallest non-negative candidate is
-    t + (K-1-a) >= t, i.e. still in the future — so the slot provably
-    holds its zero init, matching the window's zero padding."""
-    import dataclasses
-
-    from tell_tpu.models.beam import beam_search
-
-    cfg = dataclasses.replace(CFG, gen_len=8)
-    params = init_captioner(jax.random.PRNGKey(0), cfg)
-    batch = make_batch(jax.random.PRNGKey(1))
-    outs = {}
-    for ring in ("0", "1"):
-        monkeypatch.setenv("TELL_TPU_CONV_RING", ring)
-        for es in (True, False):
-            outs[("g", ring, es)] = generate(params, cfg, batch,
-                                             early_stop=es)
-            outs[("b", ring, es)] = beam_search(params, cfg, batch,
-                                                beam_size=3, early_stop=es)
-    for mode in ("g", "b"):
-        for es in (True, False):
-            a, b = outs[(mode, "0", es)], outs[(mode, "1", es)]
-            np.testing.assert_array_equal(
-                np.asarray(a["token_ids"]), np.asarray(b["token_ids"]),
-                err_msg=f"{mode} early_stop={es}")
-            key = "log_probs" if mode == "g" else "scores"
-            np.testing.assert_allclose(
-                np.asarray(a[key]), np.asarray(b[key]), atol=1e-5,
-                err_msg=f"{mode} early_stop={es}")

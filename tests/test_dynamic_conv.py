@@ -105,34 +105,3 @@ def test_lightweight_conv_step_matches_full():
     np.testing.assert_allclose(np.asarray(full),
                                np.asarray(jnp.swapaxes(outs, 0, 1)),
                                atol=1e-5)
-
-
-@pytest.mark.parametrize("K", [2, 3, 7, 15])
-def test_ring_step_matches_window_step(K):
-    """Time-slot ring decode state (dynamic_conv_step_ring) == the shifting
-    window step, over a scanned sequence with identity lineage (the greedy
-    case; beam lineage is covered end-to-end in test_decoder/test_engine).
-    Also pins the zero-prefill property: ages reaching before t=0 read the
-    ring's untouched zero slots."""
-    from tell_tpu.ops.dynamic_conv import (dynamic_conv_step_ring,
-                                           init_conv_ring)
-    B, T, C, H = 3, 12, 32, 4
-    params = init_dynamic_conv(jax.random.PRNGKey(0), C, K, H)
-    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
-    full = dynamic_conv(params, x, kernel_size=K, num_heads=H)
-
-    anc = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
-                           (B, max(K - 1, 1)))
-
-    def step(carry, x_t):
-        ring, gstep = carry
-        out, ring = dynamic_conv_step_ring(params, x_t, ring, anc, gstep,
-                                           kernel_size=K, num_heads=H)
-        return (ring, gstep + 1), out
-
-    ring0 = init_conv_ring(B, C, K)
-    _, outs = jax.lax.scan(step, (ring0, jnp.zeros((), jnp.int32)),
-                           jnp.swapaxes(x, 0, 1))
-    np.testing.assert_allclose(np.asarray(full),
-                               np.asarray(jnp.swapaxes(outs, 0, 1)),
-                               atol=1e-5)

@@ -98,15 +98,10 @@ def test_engine_idle_tick():
     assert eng.stats["chunks"] == 0
 
 
-@pytest.mark.parametrize("conv_ring", ["0", "1"])
-def test_engine_fuzz_random_schedules(conv_ring, monkeypatch):
+def test_engine_fuzz_random_schedules():
     """Property check of slot isolation: random engine geometry and a
     random interleaving of submissions and ticks must still reproduce
-    every one-shot beam_search bit-for-bit (seeded, 3 rounds). Run in
-    both conv-state layouts — the time-slot ring's ancestor-table
-    lineage under random slot reuse is exactly the case hand-written
-    schedules can miss."""
-    monkeypatch.setenv("TELL_TPU_CONV_RING", conv_ring)
+    every one-shot beam_search bit-for-bit (seeded, 3 rounds)."""
     rng = np.random.RandomState(1234)
     for round_i in range(3):
         gen_len = int(rng.randint(4, 9))
@@ -327,25 +322,3 @@ def test_engine_poison_fails_futures_fast():
     f_late = eng.submit(req)
     with pytest.raises(RuntimeError, match="tick loop died"):
         f_late.result(timeout=1)
-
-
-def test_engine_conv_ring_matches_one_shot(monkeypatch):
-    """TELL_TPU_CONV_RING=1 through the continuous-batching engine: slot
-    reuse + staggered admission over the ring conv state (rings are
-    engine-global time-slot storage; admission zeroes a slot's rows across
-    all time slots and resets its ancestor rows) must still reproduce
-    every request's one-shot beam_search exactly."""
-    monkeypatch.setenv("TELL_TPU_CONV_RING", "1")
-    cfg, params = _setup()
-    reqs = [_request(cfg, s) for s in (8, 9, 10, 11)]
-    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
-
-    eng = DecodeEngine(params, cfg, slots=2, beam=2, chunk_steps=2)
-    futs = [eng.submit(reqs[0]), eng.submit(reqs[1])]
-    eng.tick()                        # r0/r1 advance mid-decode
-    futs.append(eng.submit(reqs[2]))  # queued; admitted into a reused slot
-    futs.append(eng.submit(reqs[3]))
-    eng.run_until_drained()
-    for fut, ref in zip(futs, refs):
-        _check(fut.result(timeout=0), ref)
-    assert sorted(eng.free) == [0, 1]
