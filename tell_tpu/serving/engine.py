@@ -472,19 +472,32 @@ class DecodeEngine:
                 self.stats["chunks"] += 1
                 if len(self._reports) > self.max_lag:
                     self._drain_reports(block_first=True)
-            return bool(self.pending) or bool(self._reports)
+                    # the blocking drain may have freed finished slots:
+                    # refill them now so the next chunk runs full
+                    self._admit_queued()
+            # queued-but-unadmitted requests are in-flight work too: the
+            # backpressure drain above can harvest EVERY report (pending
+            # and _reports both empty) while the queue still holds
+            # requests — reporting "drained" then strands them
+            # (run_until_drained exits, futures never resolve)
+            return (bool(self.pending) or bool(self._reports)
+                    or not self.queue.empty())
 
     def run_until_drained(self):
-        """Convenience for offline use: tick until queue + slots empty."""
+        """Convenience for offline use: tick until queue + slots empty.
+
+        No forced blocking drain when saturated: tick() already bounds
+        in-flight reports at max_lag and blocks on the oldest past that,
+        which both frees finished slots and caps dead-work chunks. An
+        earlier version force-drained the oldest report on every loop
+        iteration whenever all slots were busy with requests queued —
+        measured to HALVE saturated throughput on the tunneled chip
+        (43.6 vs 98.4 captions/s at slots=32 beam-5 len=100): each
+        blocking fetch serialized the host with the device instead of
+        letting the async report pipeline run max_lag deep."""
         while not self.queue.empty() or self.pending or self._reports:
-            live = self.tick()
-            if not live:
+            if not self.tick():
                 break
-            if self.pending and not self.free and self.queue.qsize():
-                # all slots busy: force the oldest report through so
-                # finished slots free up instead of spinning chunks
-                with self._lock:
-                    self._drain_reports(block_first=True)
 
 
 class LLMDecodeEngine(DecodeEngine):
