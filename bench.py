@@ -671,13 +671,29 @@ def bench_vision():
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
     batch = _make_batch(1, 512, dtype, key=8)
 
-    def cap_fn(grid1):
-        b = dict(batch)
-        b["image_grid"] = grid1[None].astype(dtype)
-        return beam_search(params, cfg, b, beam_size=5,
-                           early_stop=False)["scores"]
+    # params and batch must be jit ARGUMENTS, not closures: closed-over
+    # arrays bake into the HLO as constants and overflow the remote-compile
+    # transport (HTTP 413) at captioner dims
+    jcap = jax.jit(lambda p, b, grid1, s: jnp.sum(beam_search(
+        p, cfg, {**b, "image_grid": (grid1 + s * 1e-9)[None].astype(dtype)},
+        beam_size=5, early_stop=False)["scores"].astype(jnp.float32))
+        * 1e-12)
+    grid0 = jnp.zeros((49, 2048), jnp.float32)
 
-    caption_ms = slope_time(cap_fn, np.zeros((49, 2048), np.float32))
+    def cap_run_k(k):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            acc = jcap(params, batch, grid0, acc)
+        return float(acc)
+
+    def cap_timed(k):
+        t0 = time.perf_counter()
+        cap_run_k(k)
+        return time.perf_counter() - t0
+
+    cap_run_k(1)   # compile + warm
+    caption_ms = min((cap_timed(6) - cap_timed(1)) / 5
+                     for _ in range(3)) * 1e3
 
     total_ms = host_ms + grid_ms + faces_ms + objects_ms + caption_ms
     print(json.dumps({
