@@ -363,8 +363,9 @@ def bench_engine(params, cfg, dtype) -> dict:
     ecfg = dataclasses.replace(cfg, gen_len=L)
     eng = DecodeEngine(params, ecfg, slots=slots, beam=max(BEAM, 2),
                        chunk_steps=4, dtype=dtype)
-    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in
-             _make_batch(4, 512, dtype, key=7).items()} for i in range(n)]
+    base = _make_batch(4, 512, dtype, key=7)
+    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in base.items()}
+            for i in range(n)]
     f = eng.submit(reqs[0])     # warm every compiled program
     eng.run_until_drained()
     f.result(timeout=600)
@@ -417,8 +418,9 @@ def bench_engine_saturated(params, cfg, dtype) -> dict:
     ecfg = dataclasses.replace(cfg, gen_len=L)
     eng = DecodeEngine(params, ecfg, slots=slots, beam=max(BEAM, 2),
                        chunk_steps=8, dtype=dtype)
-    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in
-             _make_batch(4, 512, dtype, key=9).items()} for i in range(n)]
+    base = _make_batch(4, 512, dtype, key=9)
+    reqs = [{k: v[i % 4:i % 4 + 1] for k, v in base.items()}
+            for i in range(n)]
     f = eng.submit(reqs[0])     # warm every compiled program
     eng.run_until_drained()
     f.result(timeout=600)
@@ -525,11 +527,17 @@ def bench_train_subprocess() -> dict:
     if proc.returncode != 0:
         return {"train_bench": "failed rc=%d: %s" % (
             proc.returncode, proc.stderr.strip()[-300:])}
-    line = proc.stdout.strip().splitlines()[-1]
-    d = json.loads(line)
-    return {d["metric"]: d["value"],
-            "train_tokens_per_sec": d.get("tokens_per_sec"),
-            "train_vs_baseline": d.get("vs_baseline")}
+    try:
+        line = proc.stdout.strip().splitlines()[-1]
+        d = json.loads(line)
+        return {d["metric"]: d["value"],
+                "train_tokens_per_sec": d.get("tokens_per_sec"),
+                "train_vs_baseline": d.get("vs_baseline")}
+    except (IndexError, KeyError, ValueError):
+        # rc=0 but no parseable metric line: record it, don't abort the
+        # whole bench (the docstring's contract)
+        return {"train_bench": "unparseable child stdout: %r"
+                               % proc.stdout.strip()[-200:]}
 
 
 def bench_vision():
@@ -735,8 +743,13 @@ def main():
             and os.environ.get("BENCH_VISION") != "1"
             and os.environ.get("BENCH_EXTRAS", "1") != "0"):
         # capture the train-step number FIRST, in a subprocess, while no
-        # TPU client exists in this process (single-session tunnel)
-        extras.update(bench_train_subprocess())
+        # TPU client exists in this process (single-session tunnel).
+        # BENCH_TRAIN_EXTRA=0 skips it (tiny-shape contract runs) but
+        # records the skip so the omission is visible in the line.
+        if os.environ.get("BENCH_TRAIN_EXTRA", "1") != "0":
+            extras.update(bench_train_subprocess())
+        else:
+            extras["train_bench"] = "skipped (BENCH_TRAIN_EXTRA=0)"
     armed = _device_watchdog(float(os.environ.get("BENCH_DEVICE_TIMEOUT",
                                                   "900")))
     jax.devices()      # blocks here if the tunnel is wedged
@@ -808,7 +821,6 @@ def main():
         extras.update(bench_latency(params, cfg, dtype))
         extras.update(bench_engine(params, cfg, dtype))
         extras.update(bench_engine_saturated(params, cfg, dtype))
-        extras.update(bench_train_subprocess())
 
     mode = "beam%d" % BEAM if BEAM > 1 else "greedy"
     if e2e is None:

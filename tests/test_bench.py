@@ -19,7 +19,13 @@ def test_bench_prints_one_json_line():
                # tiny companion-metric shapes so the CPU run stays fast
                BENCH_LAT_B="2", BENCH_LAT_LEN="4",
                BENCH_ENGINE_SLOTS="2", BENCH_ENGINE_N="4",
-               BENCH_ENGINE_LEN="4")
+               BENCH_ENGINE_LEN="4",
+               BENCH_ENGINE_CAP_SLOTS="2", BENCH_ENGINE_CAP_LEN="4",
+               BENCH_ENGINE_CAP_N="4",
+               # flagship-dims stages can't run at CPU test scale: the
+               # e2e stage skips (headline falls back to decode-only,
+               # labeled) and the train subprocess records its skip
+               BENCH_E2E="0", BENCH_TRAIN_EXTRA="0")
     out = subprocess.run([sys.executable, os.path.join(ROOT, "bench.py")],
                          capture_output=True, text=True, timeout=540,
                          env=env)
@@ -35,6 +41,8 @@ def test_bench_prints_one_json_line():
     assert rec["p50_caption_latency_ms_beam1_b2_len4"] > 0
     assert rec["engine_p50_latency_ms"] > 0
     assert rec["engine_sustained_captions_per_sec"] > 0
+    assert rec["engine_max_captions_per_sec_len4"] > 0
+    assert rec["train_bench"] == "skipped (BENCH_TRAIN_EXTRA=0)"
     assert 0.0 <= rec["kv8_token_agreement"] <= 1.0
     assert rec["kv_cache_mode"] in ("fp", "int8", "int4")
     assert 0.0 <= rec["approx_topk_token_agreement"] <= 1.0

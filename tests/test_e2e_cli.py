@@ -209,9 +209,12 @@ def test_preprocess_train_evaluate_score(exp_yaml, capsys):
     metrics = json.loads(capsys.readouterr().out)
     assert metrics["n_samples"] == 10
     # steady-state throughput (compile attributed to the first batch) is
-    # reported alongside total-wall throughput and can only be faster
+    # reported alongside total-wall throughput. It is usually faster but
+    # NOT strictly so: later bucketed batch shapes compile inside the
+    # steady window, so only assert presence and sanity here
+    assert metrics["captions_per_sec_steady"] > 0
     assert (metrics["captions_per_sec_steady"]
-            >= metrics["captions_per_sec"] * 0.99)
+            >= metrics["captions_per_sec"] * 0.5)
     gen_path = os.path.join(root, "run", "generations-valid.jsonl")
     with open(gen_path) as f:
         rows = [json.loads(l) for l in f]

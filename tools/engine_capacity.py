@@ -22,6 +22,12 @@ its generation cap is 100 tokens (transformer_faces_objects.py:407).
 Usage (one real chip, ~2-4 min compile per config):
   env -u XLA_FLAGS python tools/engine_capacity.py
   SLOTS=16,32,64 GEN_LENS=16,100 N_MULT=4 python tools/engine_capacity.py
+
+Known duplication: drive_stream here, bench.py::bench_engine's arrival
+loop, and tools/engine_bench.py's run_engine are three variants of the
+same submit/tick/latency driver with deliberately different contracts
+(capacity probing vs one-line driver metric vs micro-batch A/B). When
+touching the callback/arrival bookkeeping in one, check the other two.
 """
 from __future__ import annotations
 
