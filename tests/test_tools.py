@@ -180,3 +180,27 @@ def test_build_meteor_tables(tmp_path):
     assert "feline" in cfg.synonyms["cat"]
     assert ("passed", "away") in cfg.paraphrases
     assert "the" in cfg.function_words and "rareword" not in cfg.function_words
+
+
+def test_engine_capacity_tool_tiny(tmp_path):
+    """tools/engine_capacity.py wiring smoke (TINY shapes on CPU): the
+    sweep produces capacity / 80%-load / overload numbers for each
+    (slots, gen_len) config. Keeps the capacity-curve tool (the source of
+    docs/serving.md's table) from rotting."""
+    import subprocess
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env.update(JAX_PLATFORMS="cpu", TINY="1", SLOTS="2", GEN_LENS="4",
+               BEAM="2", N_MULT="2", CHUNK="2", CACHE_DIR="")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "engine_capacity.py")],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    sweep = json.loads(r.stdout.strip().splitlines()[-1])["sweep"]
+    assert len(sweep) == 1
+    row = sweep[0]
+    assert row["slots"] == 2 and row["gen_len"] == 4
+    for k in ("capacity_captions_per_sec", "load80_captions_per_sec",
+              "load80_p95_ms", "overload_captions_per_sec"):
+        assert row[k] > 0, row
