@@ -158,6 +158,7 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
         # (evaluate.py:131-162: model(**batch) then write_to_json per batch)
         pending = None
         t_first, n_first = None, 0  # end of the first realized batch
+        batches_done = 0
         for batch in bucket_batches(ds.epoch(lazy=True, shuffle=False, limit=limit),
                                     exp.bucketing, include_meta=True):
             real = batch.pop("real", np.ones(len(batch["caption_ids"]),
@@ -168,12 +169,14 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
             gen_dev = decode(params, batch)   # async dispatch
             if pending is not None:
                 emit(np.asarray(pending[0]), *pending[1:])
+                batches_done += 1
                 if t_first is None:
                     t_first, n_first = time.time(), n
             pending = (gen_dev, real, captions, hashes, urls,
                        batch["caption_ids"])
         if pending is not None:
             emit(np.asarray(pending[0]), *pending[1:])
+            batches_done += 1
             if t_first is None:
                 t_first, n_first = time.time(), n
     dt = time.time() - t0
@@ -192,10 +195,16 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     # ~100x the per-batch run cost), which under-reports what the hardware
     # sustains. Attribute compile to the first batch and report the
     # post-first-batch rate alongside; equal to the total-wall number when
-    # the split fit in one batch (no steady window to measure).
+    # the split is too small to hold a steady window. The window needs at
+    # least TWO post-first batches: the pipeline dispatches batch k+1's
+    # decode before t_first is stamped, so a one-batch "window" starts
+    # with device time already partially elapsed and reads high (ADVICE
+    # r4) — with >=2 batches the window fully contains at least one
+    # dispatched-inside-the-window batch and the bias amortizes.
     steady_dt = dt - (t_first - t0) if t_first is not None else 0.0
     metrics["captions_per_sec_steady"] = (
-        (n - n_first) / steady_dt if n > n_first and steady_dt > 0
+        (n - n_first) / steady_dt
+        if n > n_first and steady_dt > 0 and batches_done - 1 >= 2
         else metrics["captions_per_sec"])
     # attribute the scores to the decode numerics they were produced with
     # (the int8 K/V cache and approximate top-k are default-on on TPU and
@@ -227,11 +236,14 @@ def score_generations(cands: list[str], refs: list[list[str]],
     #                      to published jar METEOR
     #   meteor             full four-stage set using the loaded tables
     #                      (curated shipped pair by default; bigger tables
-    #                      via TELL_TPU_METEOR_DATA); always >= the
+    #                      via TELL_TPU_METEOR_DATA); typically >= the
     #                      reduced score (extra matches enter at weight
-    #                      0.8/0.6 only where exact/stem fail), and with
-    #                      the curated-small tables a lower bound on the
-    #                      jar's value (evalm/data/meteor/README.md)
+    #                      0.8/0.6 where exact/stem fail — though the
+    #                      fragmentation penalty can in principle drop a
+    #                      score when an added match raises the chunk
+    #                      ratio), and with the curated-small tables
+    #                      approximately a lower bound on the jar's value
+    #                      (see evalm/data/meteor/README.md's honesty note)
     sc = [strip(c) for c in cands]
     sr = [[strip(r) for r in rs] for rs in refs]
     mcfg = MeteorConfig.from_data_dir()

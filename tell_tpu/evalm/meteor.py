@@ -142,6 +142,13 @@ class MeteorConfig:
         if not path:
             path = SHIPPED_DATA_DIR
         if not os.path.isdir(path):
+            # visible fallback: an install that lost the shipped tables
+            # (package-data omitted from a wheel) silently degrades to
+            # exact+stem and the 'meteor' key disappears — say so once
+            import logging
+            logging.getLogger("tell_tpu.evalm").warning(
+                "METEOR data dir %s missing; falling back to exact+stem "
+                "stages only (no 'meteor' key)", path)
             return cls(**kw)
         syn_p = os.path.join(path, "synonyms.tsv")
         par_p = os.path.join(path, "paraphrases.tsv")

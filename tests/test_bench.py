@@ -40,7 +40,8 @@ def test_bench_prints_one_json_line():
     # p50 latency, engine sustained latency, and the int8-KV A/B guard
     assert rec["p50_caption_latency_ms_beam1_b2_len4"] > 0
     assert rec["engine_p50_latency_ms"] > 0
-    assert rec["engine_sustained_captions_per_sec"] > 0
+    assert rec["engine_latency_probe_captions_per_sec"] > 0
+    assert rec["engine_offered_load_captions_per_sec"] > 0
     assert rec["engine_max_captions_per_sec_len4"] > 0
     assert rec["train_bench"] == "skipped (BENCH_TRAIN_EXTRA=0)"
     assert 0.0 <= rec["kv8_token_agreement"] <= 1.0

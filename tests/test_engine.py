@@ -91,6 +91,30 @@ def test_engine_slot_reuse():
     assert eng.stats["requests"] == 4
 
 
+def test_engine_queued_not_stranded_after_backpressure_drain():
+    """Regression (ADVICE r4): with a tiny report pipeline (max_lag=1) a
+    backpressure drain inside tick() can harvest EVERY in-flight report —
+    pending and _reports both empty — while the queue still holds
+    requests. tick() must keep reporting in-flight work (and
+    run_until_drained must keep going) so those queued requests are
+    admitted and their futures resolve, rather than being stranded by an
+    early "drained" verdict."""
+    cfg, params = _setup()
+    reqs = [_request(cfg, 20 + s) for s in range(6)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+
+    # chunk_steps >= gen_len: every admitted request finishes within one
+    # chunk, so the single allowed in-flight report (max_lag=1) resolves
+    # ALL pending slots at once — the exact state the fix guards.
+    eng = DecodeEngine(params, cfg, slots=2, beam=2,
+                       chunk_steps=cfg.gen_len, max_lag=1)
+    futs = [eng.submit(r) for r in reqs]
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+    assert eng.stats["requests"] == len(reqs)
+
+
 def test_engine_idle_tick():
     cfg, params = _setup()
     eng = DecodeEngine(params, cfg, slots=2, beam=2)

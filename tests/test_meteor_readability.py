@@ -163,6 +163,34 @@ def test_meteor_paraphrase_stage():
     assert st.chunks == 0  # both sides fully covered, contiguous
 
 
+def test_meteor_shipped_tables_material_delta():
+    """Fixture pinning VERDICT-r4 weak #6: on a news-flavored corpus whose
+    candidate/reference pairs differ through synonym and paraphrase
+    substitutions, the SHIPPED tables must produce a materially higher
+    `meteor` than `meteor_exact_stem` — if table loading regresses (lost
+    package data, loader break) the two keys collapse together and this
+    trips. Thresholds are loose on purpose: pin the mechanism, not the
+    curated tables' exact contents."""
+    cands = [
+        "the premier visited the quake zone after the tremor",
+        "police detained the suspect after the blast",
+        "the film star passed away at his residence",
+        "lawmakers backed the agreement in the house of representatives",
+    ]
+    refs = [
+        ["the prime minister toured the earthquake area after the tremor"],
+        ["officers arrested the suspect after the explosion"],
+        ["the movie actor died at his home"],
+        ["legislators supported the accord in the house"],
+    ]
+    full_cfg = MeteorConfig.from_data_dir()
+    assert full_cfg.full_stages, "shipped tables failed to load"
+    full = corpus_meteor(cands, refs, full_cfg)
+    reduced = corpus_meteor(
+        cands, refs, MeteorConfig(function_words=full_cfg.function_words))
+    assert full > reduced + 0.05, (full, reduced)
+
+
 def test_meteor_metric_key_and_stage_config():
     assert MeteorConfig().metric_key == "meteor_exact_stem"
     full = MeteorConfig(synonyms={}, paraphrases={})
