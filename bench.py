@@ -129,8 +129,13 @@ def bench_train():
     dcfg = cfg.decoder
 
     rcfg = RobertaConfig.large()
-    frozen = {"roberta": init_roberta(jr.PRNGKey(0), rcfg),
-              "roberta_cfg": rcfg}
+    from tell_tpu.ops.quant import maybe_quantize_frozen
+    frozen = maybe_quantize_frozen(
+        {"roberta": jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            init_roberta(jr.PRNGKey(0), rcfg)),
+         "roberta_cfg": rcfg})
     params = init_captioner(jr.PRNGKey(1), cfg)
     optimizer = bert_adam(t_total=437600)
     opt_state = optimizer.init(params)
@@ -445,6 +450,108 @@ def bench_engine_saturated(params, cfg, dtype) -> dict:
     }
 
 
+def bench_engine_e2e(params, cfg, dtype, use_enc8: bool) -> dict:
+    """ENCODE-INCLUSIVE engine capacity: N raw-token-id requests flow
+    through the batched article encode (serving/encode_batcher.py, the
+    serving path's encode coalescing) into the saturated continuous-
+    batching engine, wall-clocked end to end. This is the number the
+    serving deployment actually sustains per chip when every request pays
+    its own RoBERTa-large encode — the honest counterpart of
+    engine_max_* (which assumes pre-encoded features). The encode batches
+    overlap the engine's decode chunks at the device queue (one chip:
+    programs interleave; a disaggregated encode/decode mesh runs them on
+    separate submeshes — __graft_entry__.dryrun_multichip's split-role
+    leg). Reference: the worker's inline per-request encode,
+    /root/reference/tell/tasks/captioner.py:146-176."""
+    import dataclasses
+    import threading
+
+    from tell_tpu.models.backbones.roberta import (RobertaConfig,
+                                                   init_roberta,
+                                                   roberta_encode_windowed)
+    from tell_tpu.models.captioner import weighted_layer_sum
+    from tell_tpu.serving.encode_batcher import EncodeBatcher
+    from tell_tpu.serving.engine import DecodeEngine
+
+    slots = int(os.environ.get("BENCH_ENGINE_E2E_SLOTS",
+                               os.environ.get("BENCH_ENGINE_CAP_SLOTS",
+                                              "32")))
+    L = int(os.environ.get("BENCH_ENGINE_E2E_LEN", "100"))
+    n = int(os.environ.get("BENCH_ENGINE_E2E_N", str(4 * slots)))
+    enc_b = int(os.environ.get("BENCH_ENGINE_E2E_ENCODE_BATCH", "8"))
+    S = 512
+    rcfg = RobertaConfig.large()
+    roberta = jax.tree.map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        init_roberta(jr.PRNGKey(30), rcfg))
+    if use_enc8:
+        from tell_tpu.ops.quant import quantize_roberta
+        roberta = quantize_roberta(roberta)
+
+    ecfg = dataclasses.replace(cfg, gen_len=L)
+    eng = DecodeEngine(params, ecfg, slots=slots, beam=max(BEAM, 2),
+                       chunk_steps=8, dtype=dtype)
+
+    def encode_many(fr, p, batch):
+        hid = roberta_encode_windowed(fr, rcfg, batch["context_ids"],
+                                      return_all_hiddens=cfg.weigh_bert)
+        art = weighted_layer_sum(p, hid) if cfg.weigh_bert else hid
+        return {"article": art,
+                "article_mask": batch["context_ids"] == rcfg.pad_id,
+                **{k: v for k, v in batch.items() if k != "context_ids"}}
+
+    encode_j = jax.jit(encode_many)
+    batcher = EncodeBatcher(
+        lambda b: encode_j(roberta, params, b), eng.submit,
+        max_batch=enc_b, max_wait_ms=2.0)
+
+    import numpy as np
+    base = _make_batch(4, S, dtype, key=31)
+    rest_np = {k: np.asarray(v) for k, v in base.items()
+               if k not in ("article", "article_mask")}
+    ids = np.asarray(jr.randint(jr.PRNGKey(32), (4, S), 4,
+                                rcfg.vocab_size), np.int32)
+    reqs = [{"context_ids": ids[i % 4:i % 4 + 1],
+             **{k: v[i % 4:i % 4 + 1] for k, v in rest_np.items()}}
+            for i in range(n)]
+
+    stop = threading.Event()
+
+    def tick_loop():
+        while not stop.is_set():
+            if not eng.tick():
+                time.sleep(0.001)
+
+    t = threading.Thread(target=tick_loop, daemon=True)
+    t.start()
+    try:
+        # warm every compiled program: all encode-ladder rungs + admit +
+        # chunk (submit one full ladder burst, then wait for it)
+        warm = [batcher.submit(reqs[i]) for i in range(min(enc_b, n))]
+        for wf in warm:
+            ef, _ = wf.result(timeout=900)
+            ef.result(timeout=900)
+
+        t0 = time.perf_counter()
+        outer = [batcher.submit(r) for r in reqs]
+        eng_futs = [of.result(timeout=900)[0] for of in outer]
+        for f in eng_futs:
+            f.result(timeout=900)
+        wall = time.perf_counter() - t0
+    finally:
+        stop.set()
+        t.join(timeout=10)
+        batcher.shutdown()
+    return {
+        "engine_e2e_captions_per_sec_len%d" % L: round(n / wall, 2),
+        "engine_e2e_config": "slots%d_beam%d_len%d_n%d_encb%d_saturated"
+                             % (slots, max(BEAM, 2), L, n, enc_b),
+        "engine_e2e_note": "encode-INCLUSIVE: every request pays its "
+                           "RoBERTa-large article encode through the "
+                           "serving encode batcher",
+    }
+
+
 def bench_e2e(params, cfg, dtype) -> dict:
     """Encode-INCLUSIVE throughput: tokenized BPE ids -> frozen windowed
     RoBERTa-large encode -> beam decode, the pipeline a fresh request
@@ -481,6 +588,26 @@ def bench_e2e(params, cfg, dtype) -> dict:
                 ids_ == rcfg.pad_id)
 
     encode_j = jax.jit(encode)
+
+    # TELL_TPU_ENC8: int8 (w8a8) frozen encoder. Gated exactly like the
+    # decode levers — teacher-forced per-step argmax agreement of a
+    # decode over int8-encoded article features vs the bf16-encoded path
+    # (decode numerics held fixed, so the number isolates the encoder) —
+    # with auto-fallback below BENCH_ENC8_MIN.
+    enc8_extras: dict = {}
+    from tell_tpu.ops.quant import enc8_enabled, quantize_roberta
+    if enc8_enabled():
+        agree = _enc8_agreement(params, cfg, roberta, rcfg, encode, dtype)
+        enc8_min = float(os.environ.get("BENCH_ENC8_MIN", "0.95"))
+        use_int8 = agree >= enc8_min
+        enc8_extras = {"enc8_token_agreement": round(agree, 4),
+                       "enc8_gate_min": enc8_min,
+                       "encoder_mode": "int8" if use_int8 else "bf16",
+                       "enc8_auto_fallback": not use_int8}
+        if use_int8:
+            roberta = quantize_roberta(roberta)
+    else:
+        enc8_extras = {"encoder_mode": "bf16"}
     if BEAM <= 1:
         decode_j = jax.jit(lambda p, b: generate(
             p, cfg, b, early_stop=False)["log_probs"].sum())
@@ -505,7 +632,60 @@ def bench_e2e(params, cfg, dtype) -> dict:
     lo = min(_t(run_k, k_lo) for _ in range(2))
     hi = min(_t(run_k, k_hi) for _ in range(2))
     dt = (hi - lo) / (k_hi - k_lo)
-    return {"e2e_captions_per_sec": B / dt, "e2e_batch": B}
+
+    # encode-only ms/article (the tax the e2e line adds over decode-only;
+    # with TELL_TPU_ENC8 this is the number the int8 encoder moves)
+    def enc_k(k):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(k):
+            art, _ = encode_j(roberta, params, ids, acc * 1e-9)
+            acc = art.astype(jnp.float32).ravel()[0]
+        return float(acc)
+
+    enc_k(1)
+    e_lo = min(_t(enc_k, k_lo) for _ in range(2))
+    e_hi = min(_t(enc_k, k_hi) for _ in range(2))
+    enc_dt = (e_hi - e_lo) / (k_hi - k_lo)
+    return {"e2e_captions_per_sec": B / dt, "e2e_batch": B,
+            "encode_ms_per_article": round(enc_dt / B * 1e3, 3),
+            **enc8_extras}
+
+
+def _enc8_agreement(params, cfg, roberta, rcfg, encode, dtype) -> float:
+    """Teacher-forced per-step argmax agreement of greedy decode over
+    int8-encoded article features vs the bf16-encoded reference path.
+    Decode numerics (K/V cache, top-k) are whatever is active for the
+    measured run — both decodes share them, isolating the encoder lever.
+    Same forced-agreement methodology as numerics_agreement_gate (a
+    free-running comparison would cascade one near-tie flip into the
+    whole suffix)."""
+    import dataclasses
+
+    import numpy as np
+    from tell_tpu.models.captioner import generate, predict_forced
+    from tell_tpu.ops.quant import quantize_roberta
+
+    B, L, S = 16, 32, 512
+    gcfg = dataclasses.replace(cfg, gen_len=L)
+    ids = jr.randint(jr.PRNGKey(21), (B, S), 4, rcfg.vocab_size)
+    rest = {k: v for k, v in _make_batch(B, S, dtype, key=22).items()
+            if k not in ("article", "article_mask")}
+    encode_j = jax.jit(encode)
+    zero = jnp.zeros((), jnp.float32)
+
+    art, mask = encode_j(roberta, params, ids, zero)
+    batch_fp = {**rest, "article": art, "article_mask": mask}
+    ref = np.asarray(jax.jit(lambda p, b: generate(
+        p, gcfg, b, early_stop=False)["token_ids"])(params, batch_fp))
+
+    art_q, _ = encode_j(quantize_roberta(roberta), params, ids, zero)
+    batch_q = {**rest, "article": art_q, "article_mask": mask}
+    preds = np.asarray(jax.jit(lambda p, b, t: predict_forced(
+        p, gcfg, b, t))(params, batch_q, ref))
+    live = ref[:, 1:] != gcfg.decoder.pad_id
+    if not live.any():
+        live = np.ones_like(live)
+    return float((preds == ref[:, 1:])[live].mean())
 
 
 def bench_train_subprocess() -> dict:
@@ -821,6 +1001,8 @@ def main():
     if os.environ.get("BENCH_E2E", "1") != "0":
         e2e = bench_e2e(params, cfg, dtype)
         e2e_cps = e2e.pop("e2e_captions_per_sec")
+        # companion keys (encode ms/article, enc8 gate) ride the line
+        extras.update({k: v for k, v in e2e.items() if k != "e2e_batch"})
     else:
         e2e = None
 
@@ -828,6 +1010,10 @@ def main():
         extras.update(bench_latency(params, cfg, dtype))
         extras.update(bench_engine(params, cfg, dtype))
         extras.update(bench_engine_saturated(params, cfg, dtype))
+        if e2e is not None:   # needs the tower; skipped under BENCH_E2E=0
+            extras.update(bench_engine_e2e(
+                params, cfg, dtype,
+                use_enc8=extras.get("encoder_mode") == "int8"))
 
     mode = "beam%d" % BEAM if BEAM > 1 else "greedy"
     if e2e is None:

@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--engine-length-penalty", type=float, default=0.0,
                     help="GNMT length penalty for --engine-slots ranking "
                     "(0 = raw log-prob, as in the reference)")
+    sv.add_argument("--encode-batch", type=int, default=8,
+                    help="coalesce up to this many concurrent requests' "
+                    "article encodes into one tower pass before engine "
+                    "admission (1 = per-request encode)")
     sv.add_argument("--warmup", action="store_true",
                     help="compile every decode shape before accepting "
                     "traffic (first-request latency -> startup time)")
@@ -305,7 +309,9 @@ def cmd_evaluate(args) -> int:
     # every batch (frozen holds non-array cfg leaves — transfer arrays only)
     put = lambda tree: jax.tree.map(  # noqa: E731
         lambda x: jax.device_put(x) if hasattr(x, "shape") else x, tree)
-    metrics = evaluate_split(exp, put(params), put(_frozen_towers(exp)),
+    from ..ops.quant import maybe_quantize_frozen  # TELL_TPU_ENC8 lever
+    metrics = evaluate_split(exp, put(params),
+                             put(maybe_quantize_frozen(_frozen_towers(exp))),
                              _tokenizer(exp), split=args.split,
                              beam_size=args.beam, limit=args.limit,
                              adapter=adapter)
@@ -356,7 +362,8 @@ def cmd_serve(args) -> int:
                              engine_slots=args.engine_slots,
                              engine_beam=args.engine_beam,
                              engine_length_penalty=args.engine_length_penalty,
-                             engine_buckets=args.engine_buckets)
+                             engine_buckets=args.engine_buckets,
+                             encode_batch=args.encode_batch)
     if args.warmup:
         w = service.warmup()
         print(f"warmed decode shapes {w['compiled']} "

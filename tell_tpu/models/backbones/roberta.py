@@ -101,6 +101,9 @@ def _apply_ln(p, x, eps):
 
 
 def _lin(p, x):
+    if "q8" in p:   # int8-quantized frozen tower (ops/quant.py)
+        from ...ops.quant import int8_linear
+        return int8_linear(p, x)
     return (jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
             + p["b"]).astype(x.dtype)
 

@@ -42,11 +42,17 @@ class CaptionService:
                  adapter=None, mesh=None,
                  engine_slots: int = 0, engine_beam: int = 5,
                  engine_length_penalty: float = 0.0,
-                 engine_buckets: bool = False):
+                 engine_buckets: bool = False,
+                 encode_batch: int = 8):
         """engine_slots > 0 switches decode to the continuous-batching beam
         engine (serving/engine.py): requests join and leave a resident
         slot-based beam search at chunk boundaries instead of decoding in
-        lock-step micro-batches. Flagship captioner only (adapter=None)."""
+        lock-step micro-batches. Flagship captioner only (adapter=None).
+
+        encode_batch: concurrent requests' article encodes coalesce into
+        one jitted tower pass of up to this many rows before engine
+        admission (serving/encode_batcher.py) — the round-4 B=1 per-
+        request encode is the encode_batch=1 degenerate case."""
         from ..models.captioner import encode_contexts, generate
 
         # model registry adapter (pointer/LSTM/modern models serve through
@@ -120,7 +126,8 @@ class CaptionService:
         # numpy) would re-transfer host->device on every micro-batch
         as_dev = lambda t: jax.tree.map(  # noqa: E731
             lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, t)
-        self._frozen = as_dev(frozen)
+        from ..ops.quant import maybe_quantize_frozen
+        self._frozen = as_dev(maybe_quantize_frozen(frozen))
         self._params = as_dev(params)
         self.max_batch = max_batch
         def spec_of(name):
@@ -194,6 +201,37 @@ class CaptionService:
                 for w in widths}
             self.engine = self.engines[max(widths)]
             self._encode1 = jax.jit(encode)
+
+            # Batched + overlapped article encode in front of the engine:
+            # concurrent requests coalesce into one tower pass (power-of-
+            # two row ladder, one compile per occupied rung), and the
+            # encode dispatch overlaps the engine's decode chunks. With
+            # weigh_bert the 25-layer weighted sum folds INTO the encode
+            # program so only mixed [*, S, 1024] features reach admission
+            # (the per-request _encode1 used to hand the engine the whole
+            # [1, S, 25, 1024] hidden stack).
+            weigh = adapter is None and getattr(cap_cfg, "weigh_bert",
+                                                False)
+
+            def encode_many(fr, p, batch):
+                out = encode(fr, batch)
+                if weigh and "article_hiddens" in out:
+                    from ..models.captioner import weighted_layer_sum
+                    out = {**out,
+                           "article": weighted_layer_sum(
+                               p, out["article_hiddens"])}
+                    out.pop("article_hiddens")
+                return {k: v for k, v in out.items() if k != "context_ids"}
+
+            self._encode_many = jax.jit(encode_many)
+            from .encode_batcher import EncodeBatcher
+            self.enc_batchers = {
+                w: EncodeBatcher(
+                    lambda b: self._encode_many(self._frozen, self._params,
+                                                b),
+                    self.engines[w].submit,
+                    max_batch=max(1, encode_batch))
+                for w in widths}
             if need_attention:
                 # attention maps come from a teacher-forced replay of the
                 # winning caption (models/captioner.py:replay_attention),
@@ -366,6 +404,10 @@ class CaptionService:
             if self._closed:
                 return
             if self.engine is not None:
+                # stop the encode batchers FIRST: queued-but-unencoded
+                # payloads fail fast instead of racing the engine drain
+                for b in getattr(self, "enc_batchers", {}).values():
+                    b.shutdown()
                 engines = list(self.engines.values())
                 deadline = time.time() + drain_s
                 while time.time() < deadline:
@@ -413,10 +455,21 @@ class CaptionService:
                 batch, _ = self._pack([{"context": "warmup request"}],
                                       width=w)
                 batch.pop("proper_masks", None)
-                enc = self._encode1(self._frozen, batch)
-                enc = {k: v for k, v in enc.items() if k != "context_ids"}
-                eng.submit(enc).result(timeout=600)
-                compiled.append(f"engine@{w}")
+                # compile every encode-ladder rung live traffic can hit
+                # (a cold rung compile mid-burst stalls that burst on a
+                # tunneled chip), then drive one request through the full
+                # batcher -> engine path
+                batcher = self.enc_batchers[w]
+                for size in batcher.warmup_sizes():
+                    stacked = {k: np.repeat(np.asarray(v), size, axis=0)
+                               for k, v in batch.items()}
+                    enc = self._encode_many(self._frozen, self._params,
+                                            stacked)
+                    np.asarray(next(iter(enc.values())))  # force execution
+                eng_fut, _ = batcher(batch)
+                eng_fut.result(timeout=600)
+                compiled.append(
+                    f"engine@{w}xenc{batcher.warmup_sizes()}")
             if self.need_attention:   # replay compiles per width on demand
                 self._caption_continuous({"context": "warmup request"})
         else:
@@ -580,11 +633,13 @@ class CaptionService:
             return {"caption": "", "token_ids": [], "score": 0.0,
                     "error": errors[0]}
         width = batch["context_ids"].shape[1]
-        eng = self.engines.get(width, self.engine)
         batch.pop("proper_masks", None)
-        enc = self._encode1(self._frozen, batch)
-        enc = {k: v for k, v in enc.items() if k != "context_ids"}
-        out = eng.submit(enc).result(timeout=600)
+        # batched encode + engine admission: blocks until this request's
+        # encode batch ran, returns the ENGINE future + our feature slice
+        batcher = self.enc_batchers.get(
+            width, self.enc_batchers[max(self.enc_batchers)])
+        eng_fut, enc = batcher(batch)
+        out = eng_fut.result(timeout=600)
         token_ids = np.asarray(out["token_ids"][0])  # best beam
         result = {"caption": self.tokenizer.decode(token_ids),
                   "token_ids": token_ids.tolist(),

@@ -46,7 +46,10 @@ def make_train_step(cfg: CaptionerConfig,
     def _cast(tree):
         if compute_dtype != "bfloat16":
             return tree
-        return jax.tree.map(
+        # int8-quantized frozen-tower leaves (TELL_TPU_ENC8) keep their
+        # fp32 scales through the blanket bf16 cast
+        from ..ops.quant import map_tree_preserving_quant
+        return map_tree_preserving_quant(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 

@@ -108,6 +108,12 @@ class Trainer:
                 return jnp.asarray(x)
 
             frozen = jax.tree.map(_prep, frozen)
+            # TELL_TPU_ENC8: int8-quantize the frozen RoBERTa ONCE here,
+            # after the dtype cast (so the f32 quant scales are not
+            # themselves downcast). The tower is frozen — no gradient
+            # path — and the encode dispatches on the leaf structure.
+            from ..ops.quant import maybe_quantize_frozen
+            frozen = maybe_quantize_frozen(frozen)
         self.frozen = frozen
         self.hooks = hooks or []
         self.optimizer = bert_adam(
