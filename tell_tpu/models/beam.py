@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..config import CaptionerConfig
 from ..ops.kernels.dispatch import env_flag
 from .captioner import build_contexts
-from .decoder import (decode_vocab_table, decoder_step, decoder_top_k,
+from .decoder import (decode_softmax_quant, decode_step_quant,
+                      decode_vocab_table, decoder_step, decoder_top_k,
                       init_decode_state)
 
 
@@ -222,6 +223,8 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
     kv = state.pop("kv")  # constant during decode: closed over, not carried
     embed_table = state.pop("embed_table")
     vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
+    quant_sm = decode_softmax_quant(params["decoder"], dcfg)
+    step_quant = decode_step_quant(params["decoder"], dcfg)
 
     def step_fn(tokens, dyn, row_gather):
         # fused reorder: the previous step's parent permutation rides the
@@ -230,11 +233,12 @@ def beam_search(params: dict, cfg: CaptionerConfig, batch: dict,
         feats, new_state, _ = decoder_step(
             params["decoder"], dcfg, tokens,
             {**dyn, "kv": kv, "embed_table": embed_table},
-            row_gather=row_gather)
+            row_gather=row_gather, quant=step_quant)
         new_state = {k: v for k, v in new_state.items()
                      if k not in ("kv", "embed_table")}
         cand_lp, cand_ids = decoder_top_k(params["decoder"], dcfg, feats, K,
-                                          vocab_table=vocab_table)
+                                          vocab_table=vocab_table,
+                                          quant_sm=quant_sm)
         return cand_lp, cand_ids, new_state
 
     finished0 = ~batch["row_live"] if "row_live" in batch else None

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..config import CaptionerConfig
 from .decoder import (
-    decode_vocab_table, decoder_loss, decoder_step, decoder_top_k,
+    decode_softmax_quant, decode_step_quant, decode_vocab_table,
+    decoder_loss, decoder_step, decoder_top_k,
     init_decode_state,
     init_decoder,
 )
@@ -164,6 +165,8 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
     kv = state.pop("kv")
     embed_table = state.pop("embed_table")
     vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
+    quant_sm = decode_softmax_quant(params["decoder"], dcfg)
+    step_quant = decode_step_quant(params["decoder"], dcfg)
     seed = jnp.full((B,), dcfg.bos_id, jnp.int32)
     # rows padded into the batch for shape stability (serving packs every
     # micro-batch to max_batch) start out finished, so the early-exit
@@ -180,12 +183,13 @@ def generate(params: dict, cfg: CaptionerConfig, batch: dict,
         feats, state, attns = decoder_step(
             params["decoder"], dcfg, tokens,
             {**dyn, "kv": kv, "embed_table": embed_table},
-            need_weights=need_weights)
+            need_weights=need_weights, quant=step_quant)
         state = {k: v for k, v in state.items()
                  if k not in ("kv", "embed_table")}
         topk_lp, topk_idx = decoder_top_k(params["decoder"], dcfg, feats,
                                           cfg.sampling_topk,
-                                          vocab_table=vocab_table)
+                                          vocab_table=vocab_table,
+                                          quant_sm=quant_sm)
         if cfg.sampling_topk == 1:
             choice = jnp.zeros((B,), jnp.int32)
             sel_lp = topk_lp[:, 0]
@@ -265,15 +269,18 @@ def predict_forced(params: dict, cfg: CaptionerConfig, batch: dict,
     kv = state.pop("kv")
     embed_table = state.pop("embed_table")
     vocab_table = decode_vocab_table(params["decoder"], dcfg, feat0.dtype)
+    quant_sm = decode_softmax_quant(params["decoder"], dcfg)
+    step_quant = decode_step_quant(params["decoder"], dcfg)
 
     def step(dyn, tok):
         feats, st, _ = decoder_step(
             params["decoder"], dcfg, tok,
-            {**dyn, "kv": kv, "embed_table": embed_table})
+            {**dyn, "kv": kv, "embed_table": embed_table},
+            quant=step_quant)
         st = {k: v for k, v in st.items()
               if k not in ("kv", "embed_table")}
         _, idx = decoder_top_k(params["decoder"], dcfg, feats, 1,
-                               vocab_table=vocab_table)
+                               vocab_table=vocab_table, quant_sm=quant_sm)
         return st, idx[:, 0]
 
     _, preds = jax.lax.scan(step, state,

@@ -521,13 +521,14 @@ def _attn_group(lp: dict, cfg: DecoderConfig, x: jax.Array,
 
 
 def _attn_and_ffn_cat(lp: dict, cfg: DecoderConfig, x: jax.Array,
-                      cats: list[dict], need_weights: bool
-                      ) -> tuple[jax.Array, list]:
+                      cats: list[dict], need_weights: bool,
+                      q8: dict | None = None) -> tuple[jax.Array, list]:
     """Decode-step equivalent of _attn_and_ffn over grouped stacked KV.
 
     x: [B, G, E] (G = beam or 1). Deterministic (no dropout) — decode only.
-    Numerics match the per-context path exactly: same projections, fp32
-    segment softmax, same LN/FFN."""
+    Numerics match the per-context path exactly when q8 is None: same
+    projections, fp32 segment softmax, same LN/FFN. q8 (decode_step_quant
+    layer entry) switches the context_fc/FFN matmuls to int8."""
     B, G, E = x.shape
     groups = context_groups(cfg)
     by_index: dict[int, jax.Array] = {}
@@ -539,11 +540,11 @@ def _attn_and_ffn_cat(lp: dict, cfg: DecoderConfig, x: jax.Array,
         attns.append(attn)
     ordered = [by_index[i] for i in range(len(cfg.contexts))]
     h = jnp.concatenate(ordered, axis=-1)                           # [B,G,ME]
-    h = gehring_linear(lp["context_fc"], h)
+    h = _step_lin(lp, q8, "context_fc", h)
 
     residual = h
-    h = jax.nn.relu(gehring_linear(lp["fc1"], h))
-    h = gehring_linear(lp["fc2"], h)
+    h = jax.nn.relu(_step_lin(lp, q8, "fc1", h))
+    h = _step_lin(lp, q8, "fc2", h)
     h = layer_norm(lp["final_ln"], residual + h)
     return h, attns
 
@@ -627,16 +628,70 @@ def decoder_log_probs(params: dict, cfg: DecoderConfig,
 
 
 def decoder_top_k(params: dict, cfg: DecoderConfig, feats: jax.Array,
-                  k: int, vocab_table: jax.Array | None = None
+                  k: int, vocab_table: jax.Array | None = None,
+                  quant_sm: dict | None = None
                   ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k next-token log-probs from step features [B, E] — the
     decode hot path (never materializes the [B, V] distribution).
     vocab_table: optional decode_vocab_table() — collapses the per-step
-    head/tail chain into one matmul (see merged_decode_table)."""
+    head/tail chain into one matmul (see merged_decode_table).
+    quant_sm: optional decode_softmax_quant() — int8 cluster matmuls."""
     return adaptive_top_k(params["adaptive_softmax"], params["embed"],
                           feats, cfg.full_cutoffs, k,
                           padding_idx=cfg.embed_padding_idx,
-                          vocab_table=vocab_table)
+                          vocab_table=vocab_table, quant_sm=quant_sm)
+
+
+def decode_softmax_quant(params: dict, cfg: DecoderConfig) -> dict | None:
+    """int8 decode softmax tables (ops/adaptive.py::
+    quantize_softmax_tables), computed once per generate/beam/engine call
+    and closed over like the KV — active under TELL_TPU_DEC8_SM."""
+    from ..ops.adaptive import dec8_sm_enabled, quantize_softmax_tables
+    if not dec8_sm_enabled():
+        return None
+    return quantize_softmax_tables(params["adaptive_softmax"],
+                                   params["embed"], cfg.full_cutoffs,
+                                   padding_idx=cfg.embed_padding_idx)
+
+
+def dec8_step_enabled() -> bool:
+    """int8 decode-step projections — OPT-IN (TELL_TPU_DEC8=1): quantize
+    the per-step decoder matmuls (linear1/linear2/context_fc/fc1/fc2,
+    w8a8 dynamic) whose 640-row bf16 chain measures ~0.67 ms/step at 61%
+    MXU efficiency. Gated like every other decode-numerics lever."""
+    from ..ops.kernels.dispatch import env_flag
+    return env_flag("TELL_TPU_DEC8")
+
+
+def decode_step_quant(params: dict, cfg: DecoderConfig) -> list | None:
+    """Per-layer int8 tables for the decode-step projections, computed
+    once per decode call (weight-norm materialized via gehring_weight,
+    then per-out-channel int8). None when TELL_TPU_DEC8 is off."""
+    if not dec8_step_enabled():
+        return None
+    from ..ops.linear import gehring_weight
+    from ..ops.quant import quantize_weight_int8
+    names = ("linear1", "linear2", "context_fc", "fc1", "fc2")
+    out = []
+    for lp in params["layers"]:
+        layer = {}
+        for n in names:
+            q = quantize_weight_int8(gehring_weight(lp[n]))
+            if "b" in lp[n]:
+                q["b"] = jnp.asarray(lp[n]["b"], jnp.float32)
+            layer[n] = q
+        out.append(layer)
+    return out
+
+
+def _step_lin(lp: dict, q8: dict | None, name: str, x: jax.Array
+              ) -> jax.Array:
+    """Decode-step dense dispatch: int8 (precomputed decode_step_quant
+    tables) or the exact gehring path."""
+    if q8 is not None:
+        from ..ops.quant import int8_linear
+        return int8_linear(q8[name], x)
+    return gehring_linear(lp[name], x)
 
 
 def decode_vocab_table(params: dict, cfg: DecoderConfig,
@@ -703,9 +758,23 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
     return state
 
 
+def _onehot_gather_enabled() -> bool:
+    """Beam-parent conv-state gather as a one-hot MXU contraction —
+    OPT-IN (TELL_TPU_ONEHOT_GATHER=1). The per-step jnp.take of the
+    [R, K-1, C] window buffers through the parent permutation streams
+    ~136 MB/step through the gather unit (~0.34 ms measured via the
+    identity-reorder ablation); a [B, K, K] one-hot einsum moves the same
+    bytes through the MXU instead. BIT-EXACT (multiplying by 1.0 and
+    summing one nonzero term is exact in any float dtype) — parity is
+    pinned by tests, so this is a pure perf A/B lever."""
+    from ..ops.kernels.dispatch import env_flag
+    return env_flag("TELL_TPU_ONEHOT_GATHER")
+
+
 def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
                  state: dict, need_weights: bool = False,
-                 row_gather: jax.Array | None = None
+                 row_gather: jax.Array | None = None,
+                 quant: list | None = None
                  ) -> tuple[jax.Array, dict, list[dict]]:
     """One decode step. tokens: [B*beam] -> (features [B*beam, E], state',
     attns). beam is inferred from tokens vs KV row counts.
@@ -716,6 +785,9 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     ring buffers AT READ TIME (fused into the window concat) instead of a
     separate post-selection gather+rewrite — see beam_search_core's fused
     mode. KV is per-batch (shared by beams) and never needs gathering.
+
+    quant: optional decode_step_quant() per-layer int8 tables for the
+    projection/FFN matmuls (TELL_TPU_DEC8).
     """
     R = tokens.shape[0]
     B = state["kv"][0][0]["k"].shape[0]
@@ -725,12 +797,21 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     pos = sinusoidal_embed(table, tokens[:, None], cfg.pad_id,
                            state["step"])[:, 0]
     x = tok_embed + pos.astype(tok_embed.dtype)       # [R, E]
+    # one-hot parent gather: row_gather is flat parent + slot-base
+    # (beam_search_core), so parent-within-slot = row_gather % K
+    gather_onehot = None
+    if (row_gather is not None and K > 1 and R == B * K
+            and _onehot_gather_enabled()):
+        p_local = (row_gather % K).reshape(B, K)
+        gather_onehot = (p_local[:, :, None]
+                         == jnp.arange(K)[None, None, :]).astype(x.dtype)
+        row_gather = None
     new_conv = []
     all_attns = []
     for i, (lp, k) in enumerate(zip(params["layers"], cfg.kernel_sizes)):
         # conv block, single step (row-wise)
         residual = x
-        h = gehring_linear(lp["linear1"], x)
+        h = _step_lin(lp, quant[i] if quant else None, "linear1", x)
         if cfg.glu:
             h = glu(h)
         step_fn = (dynamic_conv_step if cfg.conv_type == "dynamic"
@@ -738,14 +819,16 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
         h, buf = step_fn(lp["conv"], h, state["conv"][i], kernel_size=k,
                          num_heads=cfg.num_heads,
                          weight_softmax=cfg.weight_softmax,
-                         row_gather=row_gather)
+                         row_gather=row_gather,
+                         row_gather_onehot=gather_onehot)
         new_conv.append(buf)
-        h = gehring_linear(lp["linear2"], h)
+        h = _step_lin(lp, quant[i] if quant else None, "linear2", h)
         h = layer_norm(lp["conv_ln"], residual + h)
         # attention + FFN on [B, beam, E] against shared per-batch KV —
         # all context branches in one stacked op chain (_attn_and_ffn_cat)
         h, attns = _attn_and_ffn_cat(lp, cfg, h.reshape(B, K, -1),
-                                     state["kv"][i], need_weights)
+                                     state["kv"][i], need_weights,
+                                     q8=quant[i] if quant else None)
         x = h.reshape(R, -1)
         all_attns.append(attns)
     if "final_ln" in params:

@@ -325,6 +325,56 @@ def merged_decode_table(sm: dict, emb: dict, cutoffs: tuple[int, ...],
     return w if dtype is None else w.astype(dtype)
 
 
+def dec8_sm_enabled() -> bool:
+    """int8 decode softmax tables — OPT-IN (TELL_TPU_DEC8_SM=1). The
+    per-step cluster matmuls ([640, 1024] x [1024, 5000/15000/30265] at
+    the flagship beam shape) are MXU-bound (~0.34 ms/step of the decode
+    profile); the v5e runs int8 x int8 contractions at ~2.3x its bf16
+    rate (measured, tools/dec8_probe), so quantizing the tables halves
+    that term AND the ~103 MB/step of table reads. NOT bit-exact (int8
+    rounding perturbs logits ~1e-2 relative, which can flip near-tie
+    top-k candidates), so the lever is gated exactly like the int8 K/V
+    cache: teacher-forced agreement in bench.py (dec8 gate) and the
+    quality loop before any default flip."""
+    from .kernels.dispatch import env_flag
+    return env_flag("TELL_TPU_DEC8_SM")
+
+
+def quantize_softmax_tables(sm: dict, emb: dict, cutoffs: tuple[int, ...],
+                            padding_idx: int = 0) -> dict:
+    """Precompute int8 decode softmax tables, ONCE per decode call (the
+    closure pattern of decode_vocab_table / merged_embed_table).
+
+    Layout mirrors the default split chain so the sort-overlap pipelining
+    that made the merged monolith lose stays intact:
+      head:  band-0 table^T [D, c0] int8 + per-col scales
+      tails: each tail's COLLAPSED projection chain P_i @ T_i^T
+             [D, band_i] int8 + per-col scales (exact up to float
+             reassociation, same collapse as merged_decode_table)
+      class: fp32 class_proj (tiny [D, n_tails] — not worth quantizing)
+    Padding columns are baked to zero exactly as _pad_col_mask does."""
+    ranges = band_ranges(cutoffs)
+    c0 = ranges[0][1]
+    from .quant import quantize_weight_int8
+
+    def q(table_t, pad_ok):
+        w = quantize_weight_int8(table_t)
+        if pad_ok and 0 <= padding_idx < table_t.shape[1]:
+            # zero the padding COLUMN via its scale (0 * anything = 0)
+            w["scale"] = w["scale"].at[padding_idx].set(0.0)
+        return w
+
+    head = q(emb["bands"][0]["embed"].T.astype(jnp.float32), True)
+    tails = []
+    for i in range(len(ranges) - 1):
+        t = jnp.dot(sm["tail_projs"][i]["w"],
+                    emb["bands"][i + 1]["embed"].T,
+                    preferred_element_type=jnp.float32)
+        tails.append(q(t, True))
+    return {"head": head, "tails": tails,
+            "class_w": sm["class_proj"]["w"].astype(jnp.float32)}
+
+
 def _approx_topk_enabled() -> bool:
     """Approximate per-cluster decode top-k — DEFAULT ON on TPU (disable
     with TELL_TPU_APPROX_TOPK=0): swaps each cluster's exact sort for the
@@ -353,7 +403,8 @@ def topk_mode() -> str:
 def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
                    cutoffs: tuple[int, ...], k: int,
                    padding_idx: int = 0,
-                   vocab_table: jax.Array | None = None
+                   vocab_table: jax.Array | None = None,
+                   quant_sm: dict | None = None
                    ) -> tuple[jax.Array, jax.Array]:
     """Top-k of the full factored distribution WITHOUT materializing
     [N, V] log-probs — the decode-loop hot path.
@@ -384,7 +435,8 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # (XLA's sort overlaps the matmul better than the in-kernel k-pass
     # extraction), so it is opt-in: TELL_TPU_TOPK=1.
     from .kernels.dispatch import env_flag
-    if (vocab_table is None and env_flag("TELL_TPU_TOPK") and k <= 8
+    if (vocab_table is None and quant_sm is None
+            and env_flag("TELL_TPU_TOPK") and k <= 8
             and x.shape[0] * 2048 * 4 < 8 * 2**20):
         return _adaptive_top_k_fused(sm, emb, x, ranges, k, padding_idx)
     # top_k on RAW logits (order-preserving), log-softmax applied only to
@@ -393,7 +445,20 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     # (A bf16-logits variant — halving the [N, V] stream the sort reads —
     # measured SLOWER end-to-end: 258.7 vs 266.9 captions/s; see the
     # findings log in tools/topk_variants.py.)
-    if vocab_table is not None:
+    xq = sx = None
+    if quant_sm is not None and vocab_table is None:
+        # int8 cluster matmuls (quantize_softmax_tables): ONE activation
+        # quant serves the head and every tail's matmul; the class
+        # logits stay fp (tiny). Split-chain structure preserved.
+        from .quant import quantize_act_int8
+        xq, sx = quantize_act_int8(x)
+        word = (jnp.dot(xq, quant_sm["head"]["q8"],
+                        preferred_element_type=jnp.int32)
+                .astype(jnp.float32) * sx * quant_sm["head"]["scale"])
+        cls = jnp.dot(x.astype(jnp.float32), quant_sm["class_w"],
+                      preferred_element_type=jnp.float32)
+        head_logits = jnp.concatenate([word, cls], axis=-1)
+    elif vocab_table is not None:
         logits_all = jnp.dot(x, vocab_table,
                              preferred_element_type=jnp.float32)
         head_logits = logits_all[:, :c0 + n_tails]
@@ -420,7 +485,11 @@ def adaptive_top_k(sm: dict, emb: dict, x: jax.Array,
     all_vals = [vals - head_lse[:, None]]
     all_ids = [ids]
     for i, (lo, hi) in enumerate(ranges[1:]):
-        if vocab_table is not None:
+        if xq is not None:
+            t8 = quant_sm["tails"][i]
+            tl = (jnp.dot(xq, t8["q8"], preferred_element_type=jnp.int32)
+                  .astype(jnp.float32) * sx * t8["scale"])
+        elif vocab_table is not None:
             tl = logits_all[:, tail_off:tail_off + (hi - lo)]
             tail_off += hi - lo
         else:

@@ -51,7 +51,8 @@ import numpy as np
 
 from ..config import CaptionerConfig
 from ..models.captioner import build_contexts
-from ..models.decoder import (decode_vocab_table, decoder_step,
+from ..models.decoder import (decode_softmax_quant, decode_step_quant,
+                              decode_vocab_table, decoder_step,
                               decoder_top_k, init_decode_state,
                               precompute_context_kv_cat)
 
@@ -198,7 +199,13 @@ class DecodeEngine:
                                    self.slots, beam=self.beam, dtype=dtype)
         aux = {"embed_table": dstate.pop("embed_table"),
                "vocab_table": decode_vocab_table(params["decoder"],
-                                                 self.dcfg, dtype)}
+                                                 self.dcfg, dtype),
+               # int8 decode levers (TELL_TPU_DEC8 / _DEC8_SM): quantized
+               # once here, closed over by every chunk like the KV
+               "quant_sm": decode_softmax_quant(params["decoder"],
+                                                self.dcfg),
+               "step_quant": decode_step_quant(params["decoder"],
+                                               self.dcfg)}
         dstate.pop("step")  # replaced by the per-slot counter
         return aux, dstate.pop("kv"), dstate
 
@@ -225,9 +232,11 @@ class DecodeEngine:
                "embed_table": aux["embed_table"], "step": step_rows}
         feats, dstate, _ = decoder_step(
             params["decoder"], self.dcfg,
-            state["tokens"].reshape(self.slots * self.beam), dyn)
+            state["tokens"].reshape(self.slots * self.beam), dyn,
+            quant=aux.get("step_quant"))
         lp, ids = decoder_top_k(params["decoder"], self.dcfg, feats,
-                                self.beam, vocab_table=aux["vocab_table"])
+                                self.beam, vocab_table=aux["vocab_table"],
+                                quant_sm=aux.get("quant_sm"))
         return lp, ids, {"conv": dstate["conv"]}
 
     def _dyn_reorder(self, dyn: dict, parent: jax.Array) -> dict:
