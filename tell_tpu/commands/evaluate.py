@@ -209,10 +209,12 @@ def evaluate_split(exp: ExperimentConfig, params: dict, frozen: dict,
     # attribute the scores to the decode numerics they were produced with
     # (the int8 K/V cache and approximate top-k are default-on on TPU and
     # change decode output vs the exact fp path)
+    from ..models.backbones.roberta import fast_gelu_mode
     from ..models.decoder import kv_cache_mode
     from ..ops.adaptive import topk_mode
     metrics["kv_cache_mode"] = kv_cache_mode()
     metrics["topk_mode"] = topk_mode()
+    metrics["gelu_mode"] = fast_gelu_mode()
     with open(os.path.join(out_dir, f"evaluate-metrics-{split}.json"),
               "w") as f:
         json.dump(metrics, f, indent=2)

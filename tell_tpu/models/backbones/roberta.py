@@ -131,15 +131,48 @@ def _flash_ok(cfg: RobertaConfig, S: int, dtype) -> bool:
             and (cfg.dim // cfg.num_heads) % 64 == 0)
 
 
-def _flash_block_sizes(S: int):
+def _flash_block_sizes(S: int, B: int = 0):
     """512-wide q/k blocks (measured fastest at S=512..2048 on v5e; the
-    library defaults lose 6x at these lengths)."""
+    library defaults lose 6x at these lengths) and the largest
+    power-of-two batch block <= 8 dividing B (fewer grid cells: 388.6 ->
+    377.9 ms for the 128-article encode at block_b=8; the per-cell
+    pipeline overhead dominates flash at these small-S shapes).
+    TELL_TPU_FLASH_BLOCK / TELL_TPU_FLASH_BLOCK_B override for A/Bs
+    (tools/enc_variants.py)."""
+    import os
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
-    b = min(S, 512)
+    b = int(os.environ.get("TELL_TPU_FLASH_BLOCK", "0")) or min(S, 512)
+    b = min(b, S)
+    bb = int(os.environ.get("TELL_TPU_FLASH_BLOCK_B", "0"))
+    if not bb:
+        bb = next((c for c in (8, 4, 2, 1) if B % c == 0), 1) if B else 1
     return BlockSizes(
-        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q=b, block_k_major=b, block_k=b, block_b=bb,
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
         block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+
+
+def fast_gelu_mode() -> str:
+    """Frozen-encoder GELU variant: "erf" (HF-parity exact erf) or "tanh"
+    (tanh approximation). DEFAULT tanh ON TPU, erf elsewhere — the exact
+    erf measures 4.0 ms vs tanh's 1.7 ms on the [65536, 4096] FFN
+    activation, ~65 ms of a 454 ms 128-article encode
+    (tools/enc_profile.py / enc_variants.py, v5e). NOT bit-exact
+    (|erf - tanh| ~ 1e-3 relative on activations), so the default is
+    gated exactly like the int8 K/V cache: bench.py measures
+    teacher-forced decode agreement over tanh-encoded vs erf-encoded
+    article features (fast_gelu_token_agreement) with auto-fallback, and
+    `tnt serve --numerics-ab` A/Bs it with deployed weights. CPU keeps
+    erf so parity tests against HF RoBERTa stay exact.
+    TELL_TPU_FAST_GELU=erf|tanh overrides."""
+    import os
+    mode = os.environ.get("TELL_TPU_FAST_GELU")
+    if mode in ("erf", "tanh"):
+        return mode
+    if mode in ("0", "1"):          # boolean-style spelling
+        return "tanh" if mode == "1" else "erf"
+    import jax as _jax
+    return "tanh" if _jax.default_backend() == "tpu" else "erf"
 
 
 def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
@@ -181,7 +214,7 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
                 v.transpose(0, 2, 1, 3),
                 segment_ids=SegmentIds(q=seg, kv=seg),
                 sm_scale=hd ** -0.5,
-                block_sizes=_flash_block_sizes(S))
+                block_sizes=_flash_block_sizes(S, B))
             o = o.transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k,
@@ -193,7 +226,8 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
         o = _lin(lp["attn_out"], o.reshape(B, S, cfg.dim).astype(x.dtype))
         x = _apply_ln(lp["attn_ln"], x + o, cfg.ln_eps)
         h = jax.nn.gelu(_lin(lp["fc1"], x).astype(jnp.float32),
-                        approximate=False).astype(x.dtype)
+                        approximate=fast_gelu_mode() == "tanh"
+                        ).astype(x.dtype)
         h = _lin(lp["fc2"], h)
         x = _apply_ln(lp["ffn_ln"], x + h, cfg.ln_eps)
         hiddens.append(x)

@@ -655,10 +655,15 @@ def decode_softmax_quant(params: dict, cfg: DecoderConfig) -> dict | None:
 
 
 def dec8_step_enabled() -> bool:
-    """int8 decode-step projections — OPT-IN (TELL_TPU_DEC8=1): quantize
-    the per-step decoder matmuls (linear1/linear2/context_fc/fc1/fc2,
-    w8a8 dynamic) whose 640-row bf16 chain measures ~0.67 ms/step at 61%
-    MXU efficiency. Gated like every other decode-numerics lever."""
+    """int8 decode-step projections — OPT-IN (TELL_TPU_DEC8=1): w8a8 for
+    the per-step linear1/linear2/context_fc/fc1/fc2 chain. Measured
+    round 5 (tools/dec8_ab.py, v5e-1): THROUGHPUT-NEUTRAL — 335.8 (solo)
+    / 336.8 (with DEC8_SM) vs 334.7 captions/s — the decode step is
+    bound by its serial dependent op chain (attention kernel at its DMA
+    bound + sorts + per-op overhead), not by MXU matmul throughput, so
+    halving matmul time moves nothing. Kept as a memory lever (halves
+    ~120 MB/step of weight reads and the resident copies). Gated like
+    every other decode-numerics lever."""
     from ..ops.kernels.dispatch import env_flag
     return env_flag("TELL_TPU_DEC8")
 
@@ -758,17 +763,13 @@ def init_decode_state(params: dict, cfg: DecoderConfig, contexts: dict,
     return state
 
 
-def _onehot_gather_enabled() -> bool:
-    """Beam-parent conv-state gather as a one-hot MXU contraction —
-    OPT-IN (TELL_TPU_ONEHOT_GATHER=1). The per-step jnp.take of the
-    [R, K-1, C] window buffers through the parent permutation streams
-    ~136 MB/step through the gather unit (~0.34 ms measured via the
-    identity-reorder ablation); a [B, K, K] one-hot einsum moves the same
-    bytes through the MXU instead. BIT-EXACT (multiplying by 1.0 and
-    summing one nonzero term is exact in any float dtype) — parity is
-    pinned by tests, so this is a pure perf A/B lever."""
-    from ..ops.kernels.dispatch import env_flag
-    return env_flag("TELL_TPU_ONEHOT_GATHER")
+# Negative finding (round 5, v5e-1): routing the beam-parent conv-state
+# gather through the MXU as a [B, K, K] one-hot einsum (bit-exact, same
+# bytes) measured 272.6 vs 334.7 captions/s at the flagship beam shape —
+# the gather unit beats the einsum's extra reshape/materialization
+# traffic decisively. The lever (TELL_TPU_ONEHOT_GATHER) was removed so
+# decode carries exactly one gather path (same discipline as the round-4
+# conv-ring deletion); git history has the implementation.
 
 
 def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
@@ -797,15 +798,6 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
     pos = sinusoidal_embed(table, tokens[:, None], cfg.pad_id,
                            state["step"])[:, 0]
     x = tok_embed + pos.astype(tok_embed.dtype)       # [R, E]
-    # one-hot parent gather: row_gather is flat parent + slot-base
-    # (beam_search_core), so parent-within-slot = row_gather % K
-    gather_onehot = None
-    if (row_gather is not None and K > 1 and R == B * K
-            and _onehot_gather_enabled()):
-        p_local = (row_gather % K).reshape(B, K)
-        gather_onehot = (p_local[:, :, None]
-                         == jnp.arange(K)[None, None, :]).astype(x.dtype)
-        row_gather = None
     new_conv = []
     all_attns = []
     for i, (lp, k) in enumerate(zip(params["layers"], cfg.kernel_sizes)):
@@ -819,8 +811,7 @@ def decoder_step(params: dict, cfg: DecoderConfig, tokens: jax.Array,
         h, buf = step_fn(lp["conv"], h, state["conv"][i], kernel_size=k,
                          num_heads=cfg.num_heads,
                          weight_softmax=cfg.weight_softmax,
-                         row_gather=row_gather,
-                         row_gather_onehot=gather_onehot)
+                         row_gather=row_gather)
         new_conv.append(buf)
         h = _step_lin(lp, quant[i] if quant else None, "linear2", h)
         h = layer_norm(lp["conv_ln"], residual + h)

@@ -326,16 +326,18 @@ def merged_decode_table(sm: dict, emb: dict, cutoffs: tuple[int, ...],
 
 
 def dec8_sm_enabled() -> bool:
-    """int8 decode softmax tables — OPT-IN (TELL_TPU_DEC8_SM=1). The
-    per-step cluster matmuls ([640, 1024] x [1024, 5000/15000/30265] at
-    the flagship beam shape) are MXU-bound (~0.34 ms/step of the decode
-    profile); the v5e runs int8 x int8 contractions at ~2.3x its bf16
-    rate (measured, tools/dec8_probe), so quantizing the tables halves
-    that term AND the ~103 MB/step of table reads. NOT bit-exact (int8
-    rounding perturbs logits ~1e-2 relative, which can flip near-tie
-    top-k candidates), so the lever is gated exactly like the int8 K/V
-    cache: teacher-forced agreement in bench.py (dec8 gate) and the
-    quality loop before any default flip."""
+    """int8 decode softmax tables — OPT-IN (TELL_TPU_DEC8_SM=1).
+    Measured round 5 (tools/dec8_ab.py, v5e-1, flagship beam shape):
+    THROUGHPUT-NEUTRAL — 335.1 vs 334.7 captions/s — because the cluster
+    matmuls already hide under the VPU top-k sorts (the same mechanism
+    that keeps the fused top-k kernel and the merged vocab table opt-in).
+    Kept as a MEMORY lever: it halves the resident softmax tables
+    (103 -> 52 MB) and their per-step reads, which matters when HBM is
+    tight (many-slot engines, long contexts) — the int4 K/V precedent.
+    NOT bit-exact (int8 rounding perturbs logits ~1e-2 relative, which
+    can flip near-tie top-k candidates), so any use is gated like the
+    int8 K/V cache: teacher-forced agreement, quality loop before a
+    default flip."""
     from .kernels.dispatch import env_flag
     return env_flag("TELL_TPU_DEC8_SM")
 

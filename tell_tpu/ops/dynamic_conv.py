@@ -118,27 +118,15 @@ def init_conv_state(batch: int, conv_dim: int, kernel_size: int,
     return jnp.zeros((batch, max(kernel_size - 1, 0), conv_dim), dtype)
 
 
-def _apply_row_gather(state: jax.Array, row_gather, row_gather_onehot
-                      ) -> jax.Array:
-    """Beam-parent permutation of the window buffer, fused into the read:
-    either a flat jnp.take (row_gather [B] int32) or a one-hot MXU
-    contraction (row_gather_onehot [Bq, Kb, Kb], TELL_TPU_ONEHOT_GATHER —
-    bit-exact: 1.0 * v + 0.0 * ... sums exactly one nonzero term)."""
-    if row_gather_onehot is not None:
-        Bq, Kb, _ = row_gather_onehot.shape
-        flat = state.reshape(Bq, Kb, -1)
-        return jnp.einsum("bij,bjx->bix", row_gather_onehot,
-                          flat).reshape(state.shape)
-    if row_gather is not None:
-        return jnp.take(state, row_gather, axis=0)
-    return state
+# Round-5 negative finding (see models/decoder.py): a one-hot MXU einsum
+# variant of the row_gather below measured 272.6 vs 334.7 captions/s at
+# the flagship beam shape and was removed — jnp.take stays the one path.
 
 
 def dynamic_conv_step(params: dict, x_t: jax.Array, state: jax.Array, *,
                       kernel_size: int, num_heads: int,
                       weight_softmax: bool = True,
-                      row_gather: jax.Array | None = None,
-                      row_gather_onehot: jax.Array | None = None
+                      row_gather: jax.Array | None = None
                       ) -> tuple[jax.Array, jax.Array]:
     """One decode step. x_t: [B, C], state: [B, K-1, C] -> (out [B, C], state').
 
@@ -159,7 +147,8 @@ def dynamic_conv_step(params: dict, x_t: jax.Array, state: jax.Array, *,
     w = linear(params["weight_linear"], x_t).reshape(B, H, K)
     if weight_softmax:
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x_t.dtype)
-    state = _apply_row_gather(state, row_gather, row_gather_onehot)
+    if row_gather is not None:
+        state = jnp.take(state, row_gather, axis=0)
     window = jnp.concatenate([state, x_t[:, None, :]], axis=1)  # [B, K, C]
     wh = window.reshape(B, K, H, R)
     out = jnp.einsum("bhk,bkhr->bhr", w, wh).reshape(B, C)
@@ -221,14 +210,14 @@ def lightweight_conv(params: dict, x: jax.Array, *, kernel_size: int,
 def lightweight_conv_step(params: dict, x_t: jax.Array, state: jax.Array, *,
                           kernel_size: int, num_heads: int,
                           weight_softmax: bool = True,
-                          row_gather: jax.Array | None = None,
-                          row_gather_onehot: jax.Array | None = None
+                          row_gather: jax.Array | None = None
                           ) -> tuple[jax.Array, jax.Array]:
     B, C = x_t.shape
     K, H = kernel_size, num_heads
     R = C // H
     w = _lightweight_weights(params, weight_softmax).astype(x_t.dtype)
-    state = _apply_row_gather(state, row_gather, row_gather_onehot)
+    if row_gather is not None:
+        state = jnp.take(state, row_gather, axis=0)
     window = jnp.concatenate([state, x_t[:, None, :]], axis=1)
     wh = window.reshape(B, K, H, R)
     out = jnp.einsum("hk,bkhr->bhr", w, wh).reshape(B, C)

@@ -116,9 +116,16 @@ def map_tree_preserving_quant(fn, tree):
 
 def enc8_enabled() -> bool:
     """TELL_TPU_ENC8=1 turns on the int8 frozen-encoder path in bench /
-    serving / training tower builds. OPT-IN (default off) until the
-    measured agreement gate and throughput numbers justify a TPU default
-    (the int8 K/V cache went through the same promotion in round 2)."""
+    serving / training tower builds. OPT-IN, and measured round 5 to be
+    a THROUGHPUT LOSS at the production encode shapes (v5e-1, B=128
+    x 512): 3.89 vs 3.54 ms/article bf16, train step 74.7 vs 74.1
+    ms/batch — the per-row dynamic activation-quant chain (~0.35 ms per
+    [65536, 1024] pass, tools/dec8_probe) costs more than the int8 MXU
+    saves at K=1024 (bf16 already runs those matmuls at ~200 TF/s; int8
+    only wins on the 1024x4096 leg). The accuracy gate PASSES (forced
+    agreement 0.9785, BENCH_r05), so the lever remains available as a
+    memory lever (halves the resident tower, 710 -> ~360 MB) for
+    HBM-tight deployments; it is not a speed lever on this hardware."""
     from .kernels.dispatch import env_flag
     return env_flag("TELL_TPU_ENC8")
 

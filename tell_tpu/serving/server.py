@@ -507,14 +507,20 @@ class CaptionService:
                   + [{"context": ""}] * (self.max_batch - 1))
         batch, _ = self._pack(padded, width=self.article_len)
         batch["row_live"] = np.arange(self.max_batch) < 1
+        from ..models.backbones.roberta import fast_gelu_mode
         from ..models.decoder import kv_cache_mode
         from ..ops.adaptive import topk_mode
         report = {"kv_cache_mode": kv_cache_mode(),
                   "topk_mode": topk_mode(),
+                  "gelu_mode": fast_gelu_mode(),
                   "method": ("forced_per_step" if self._forced_fn
                              else "free_running")}
         levers = (("kv8_token_agreement", "TELL_TPU_KV8"),
-                  ("approx_topk_token_agreement", "TELL_TPU_APPROX_TOPK"))
+                  ("approx_topk_token_agreement", "TELL_TPU_APPROX_TOPK"),
+                  # tanh-GELU frozen-encoder default (TPU, round 5): the
+                  # decode_fn re-encodes the canned article per trace, so
+                  # the forced A/B isolates the encoder lever too
+                  ("fast_gelu_token_agreement", "TELL_TPU_FAST_GELU"))
         prev = {var: os.environ.get(var) for _, var in levers}
         try:
             for _, var in levers:
@@ -675,6 +681,11 @@ def _topk_mode() -> str:
     return topk_mode()
 
 
+def _gelu_mode() -> str:
+    from ..models.backbones.roberta import fast_gelu_mode
+    return fast_gelu_mode()
+
+
 class _Handler(BaseHTTPRequestHandler):
     service: CaptionService = None  # set by serve()
 
@@ -706,6 +717,7 @@ class _Handler(BaseHTTPRequestHandler):
                     "need_attention": self.service.need_attention,
                     "kv_cache_mode": _kv_cache_mode(),
                     "topk_mode": _topk_mode(),
+                    "gelu_mode": _gelu_mode(),
                 },
             }
             if self.service.ab_report is not None:

@@ -38,31 +38,8 @@ def _setup(gen_len=8):
     return cfg, params
 
 
-def test_onehot_gather_bit_exact(monkeypatch):
-    """TELL_TPU_ONEHOT_GATHER must reproduce beam_search BIT-exactly:
-    the one-hot einsum gathers the same rows the jnp.take does."""
-    cfg, params = _setup()
-    batch = _batch(cfg)
-    ref = beam_search(params, cfg, batch, beam_size=3, early_stop=False)
-    monkeypatch.setenv("TELL_TPU_ONEHOT_GATHER", "1")
-    out = beam_search(params, cfg, batch, beam_size=3, early_stop=False)
-    np.testing.assert_array_equal(np.asarray(out["token_ids"]),
-                                  np.asarray(ref["token_ids"]))
-    np.testing.assert_allclose(np.asarray(out["scores"]),
-                               np.asarray(ref["scores"]), rtol=0, atol=0)
-
-
-def test_onehot_gather_unit_matches_take():
-    from tell_tpu.ops.dynamic_conv import _apply_row_gather
-    B, K, W, C = 4, 5, 6, 16
-    state = jr.normal(jr.PRNGKey(1), (B * K, W, C))
-    parent = jr.randint(jr.PRNGKey(2), (B, K), 0, K)
-    flat = (parent + jnp.arange(B)[:, None] * K).reshape(B * K)
-    onehot = (parent[:, :, None] == jnp.arange(K)[None, None, :]
-              ).astype(state.dtype)
-    ref = _apply_row_gather(state, flat, None)
-    out = _apply_row_gather(state, None, onehot)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+# (a one-hot-gather lever was A/B'd on the chip, lost decisively, and was
+# removed — see models/decoder.py's round-5 negative-finding note)
 
 
 @pytest.mark.parametrize("lever", ["TELL_TPU_DEC8_SM", "TELL_TPU_DEC8"])
@@ -85,8 +62,7 @@ def test_int8_decode_levers_run_and_stay_close(monkeypatch, lever):
     assert agree > 0.7, agree    # broken kernel would be ~1/vocab
 
 
-@pytest.mark.parametrize("lever", ["TELL_TPU_DEC8_SM", "TELL_TPU_DEC8",
-                                   "TELL_TPU_ONEHOT_GATHER"])
+@pytest.mark.parametrize("lever", ["TELL_TPU_DEC8_SM", "TELL_TPU_DEC8"])
 def test_engine_matches_one_shot_under_lever(monkeypatch, lever):
     """Slot isolation must hold under every decode lever: the engine's
     captions equal one-shot beam_search WITH THE SAME LEVER active."""

@@ -84,6 +84,32 @@ def test_maybe_quantize_frozen_lever(monkeypatch):
     assert out["roberta_cfg"] is cfg
 
 
+def test_fast_gelu_lever(monkeypatch):
+    """CPU default stays erf (HF parity); tanh stays close (the TPU
+    default is gated on-chip by bench.py's forced-agreement gate)."""
+    from tell_tpu.models.backbones.roberta import (RobertaConfig,
+                                                   fast_gelu_mode,
+                                                   init_roberta,
+                                                   roberta_encode)
+    monkeypatch.delenv("TELL_TPU_FAST_GELU", raising=False)
+    assert fast_gelu_mode() == "erf"        # CPU backend
+    monkeypatch.setenv("TELL_TPU_FAST_GELU", "tanh")
+    assert fast_gelu_mode() == "tanh"
+    monkeypatch.setenv("TELL_TPU_FAST_GELU", "0")
+    assert fast_gelu_mode() == "erf"
+
+    cfg = RobertaConfig(vocab_size=120, dim=32, num_layers=2, num_heads=4,
+                        ffn_dim=64, max_positions=20)
+    params = init_roberta(jr.PRNGKey(11), cfg)
+    ids = jr.randint(jr.PRNGKey(12), (2, 10), 4, 120)
+    monkeypatch.setenv("TELL_TPU_FAST_GELU", "erf")
+    ref = roberta_encode(params, cfg, ids, return_all_hiddens=False)
+    monkeypatch.setenv("TELL_TPU_FAST_GELU", "tanh")
+    out = roberta_encode(params, cfg, ids, return_all_hiddens=False)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert 0 < rel < 0.02, rel
+
+
 def test_int8_linear_jit_grad_free_under_stop_gradient():
     """The tower is frozen (stop_gradient at the call sites): the int8
     path must be jittable and not blow up under a surrounding grad."""
