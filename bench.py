@@ -388,7 +388,8 @@ def bench_engine(params, cfg, dtype) -> dict:
     base = _make_batch(4, 512, dtype, key=7)
     reqs = [{k: v[i % 4:i % 4 + 1] for k, v in base.items()}
             for i in range(n)]
-    f = eng.submit(reqs[0])     # warm every compiled program
+    eng.warm(reqs[0])           # AOT: every admit rung + chunk
+    f = eng.submit(reqs[0])     # execution warm
     eng.run_until_drained()
     f.result(timeout=600)
 
@@ -439,7 +440,11 @@ def bench_engine_saturated(params, cfg, dtype) -> dict:
 
     from tell_tpu.serving.engine import DecodeEngine
 
-    slots = int(os.environ.get("BENCH_ENGINE_CAP_SLOTS", "32"))
+    # 128 slots x beam 5 = 640 rows, the micro-batch optimum shape; the
+    # round-5 batched-admission + two-tier-harvest fixes made capacity
+    # rise monotonically to there (31 -> 217.5 captions/s at 128 slots,
+    # docs/serving.md)
+    slots = int(os.environ.get("BENCH_ENGINE_CAP_SLOTS", "128"))
     L = int(os.environ.get("BENCH_ENGINE_CAP_LEN", "100"))
     n = int(os.environ.get("BENCH_ENGINE_CAP_N", str(4 * slots)))
     ecfg = dataclasses.replace(cfg, gen_len=L)
@@ -448,7 +453,8 @@ def bench_engine_saturated(params, cfg, dtype) -> dict:
     base = _make_batch(4, 512, dtype, key=9)
     reqs = [{k: v[i % 4:i % 4 + 1] for k, v in base.items()}
             for i in range(n)]
-    f = eng.submit(reqs[0])     # warm every compiled program
+    eng.warm(reqs[0])           # AOT: every admit rung + chunk
+    f = eng.submit(reqs[0])     # execution warm
     eng.run_until_drained()
     f.result(timeout=600)
 
@@ -545,12 +551,16 @@ def bench_engine_e2e(params, cfg, dtype, use_enc8: bool) -> dict:
     t = threading.Thread(target=tick_loop, daemon=True)
     t.start()
     try:
-        # warm every compiled program: all encode-ladder rungs + admit +
-        # chunk (submit one full ladder burst, then wait for it)
+        # warm every compiled program: all encode-ladder rungs + all
+        # admit rungs + chunk (one ladder burst through the batcher,
+        # then AOT-compile the engine's remaining rungs)
         warm = [batcher.submit(reqs[i]) for i in range(min(enc_b, n))]
+        enc1 = None
         for wf in warm:
-            ef, _ = wf.result(timeout=900)
+            ef, enc1 = wf.result(timeout=900)
             ef.result(timeout=900)
+        if enc1 is not None:
+            eng.warm(enc1)
 
         t0 = time.perf_counter()
         outer = [batcher.submit(r) for r in reqs]

@@ -8,9 +8,13 @@ requests join and leave at chunk boundaries (vLLM-style continuous
 batching, expressed the XLA way — all state surgery is `dynamic_update_slice`
 on a fixed pytree, never a shape change):
 
-* `admit` scatters a newly encoded request's context K/V into slot rows,
-  zeroes the slot's conv ring buffers, and resets its beam bookkeeping —
-  one compiled program, slot index traced;
+* `admit` scatters newly encoded requests' context K/V into slot rows,
+  zeroes those slots' conv ring buffers, and resets their beam
+  bookkeeping — admissions COALESCE: up to TELL_TPU_ADMIT_BATCH queued
+  requests ride one compiled program (power-of-two ladder), because an
+  admit program costs ~0.22 ms x total slots on-device however little it
+  writes (round-5 measurement — per-request admits were the many-slot
+  capacity collapse);
 * `chunk` advances ALL live slots by up to `chunk_steps` beam-search steps
   (the exact candidate math of `models/beam.py:beam_search_core`, with the
   global step counter replaced by a per-slot counter `t` — decode rows
@@ -19,15 +23,22 @@ on a fixed pytree, never a shape change):
   continuation, exactly the beam_search_core mechanism), are harvested on
   the host, and their slots take the next queued request.
 
-Harvest is PIPELINED: each chunk also emits two packed report arrays
-(int32 bookkeeping + float32 scores) whose device->host copy starts
-asynchronously; the host inspects a report only once it has arrived
-(`is_ready`), up to `max_lag` chunks later, so result transfer rides
-behind the next chunks' compute instead of stalling the decode loop. This
-matters doubly on remote/tunneled devices where a blocking fetch carries a
-large fixed cost. Reports are guarded by a per-slot admission generation:
-a report that predates a slot's re-admission can never resolve the new
-request with the old request's beams.
+Harvest is PIPELINED and TWO-TIERED: each chunk emits (a) a tiny status
+array ([slots, 1+beam]: step counters + finished flags) whose
+device->host copy starts asynchronously and is the ONLY thing the host
+reads every chunk, and (b) the packed full report (paths + lengths +
+scores), fetched lazily — only for chunks whose status shows a pending,
+generation-current slot finished. The host inspects a status once it has
+arrived (`is_ready`), up to `max_lag` chunks later, so transfers ride
+behind the next chunks' compute instead of stalling the decode loop.
+The lazy big fetch is what makes many-slot engines viable on
+remote/tunneled devices: the per-chunk [slots, beam*(gen_len+1)] paths
+transfer was 94% of the saturated wall at slots=128 (15.3 of 16.3 s —
+tools/engine_capacity.py phase timers, round 5) and is now paid ~once
+per finished generation instead of every chunk. Reports are guarded by a
+per-slot admission generation: a report that predates a slot's
+re-admission can never resolve the new request with the old request's
+beams.
 
 A slot's caption therefore NEVER depends on which other requests share the
 engine (asserted against one-shot `beam_search` in
@@ -59,7 +70,7 @@ from ..models.decoder import (decode_softmax_quant, decode_step_quant,
 
 def _mask_write(full: jax.Array, new, b: jax.Array) -> jax.Array:
     """Write `new` (broadcastable to one leading-axis row) into row b of
-    `full` via a masked where. Unlike a dynamic_update_slice this stays
+    `full` via a masked where. Unlike a scatter this stays
     collective-free when the leading axis is sharded over a mesh — every
     device rewrites only its own rows (the replicated `new` broadcasts) —
     at the cost of touching every row, so it is the mesh-only path."""
@@ -68,13 +79,32 @@ def _mask_write(full: jax.Array, new, b: jax.Array) -> jax.Array:
     return jnp.where(m, jnp.asarray(new).astype(full.dtype), full)
 
 
-def _row_write(full: jax.Array, new, b: jax.Array) -> jax.Array:
-    """Single-row dynamic_update_slice — the single-chip admit path (only
-    slot b's bytes move; ~10% more saturation throughput than the masked
-    where, which rewrites the whole resident KV per admission)."""
-    row = jnp.broadcast_to(jnp.asarray(new).astype(full.dtype),
-                           full.shape[1:])
-    return jax.lax.dynamic_update_slice_in_dim(full, row[None], b, axis=0)
+def _rows_write(full: jax.Array, new, bs: jax.Array) -> jax.Array:
+    """Batched row scatter — the single-chip admit path: rows `bs` [N]
+    of `full` take `new` (broadcastable to [N, ...]). One state pass
+    admits N requests: the round-5 capacity probes measured ~0.22 ms x
+    TOTAL slots per admit program regardless of how few bytes it writes
+    (a full-state pass per admission), which made per-request admits the
+    slots=128 collapse — 512 admits x 28.8 ms = the entire 16 s wall.
+    Duplicate ids in `bs` (shape-ladder padding) carry identical rows,
+    so last-writer-wins is benign."""
+    N = bs.shape[0]
+    rows = jnp.broadcast_to(jnp.asarray(new).astype(full.dtype),
+                            (N,) + full.shape[1:])
+    return full.at[bs].set(rows)
+
+
+def _rows_write_mesh(full: jax.Array, new, bs: jax.Array) -> jax.Array:
+    """Mesh-mode batched writer: N static masked writes inside ONE
+    program (collective-free on a slot-sharded leading axis; the scatter
+    in _rows_write would gather across shards)."""
+    N = bs.shape[0]
+    rows = jnp.broadcast_to(jnp.asarray(new).astype(full.dtype),
+                            (N,) + full.shape[1:])
+    out = full
+    for i in range(N):
+        out = _mask_write(out, rows[i], bs[i])
+    return out
 
 
 class DecodeEngine:
@@ -125,6 +155,18 @@ class DecodeEngine:
             "paths": jnp.full((B, K, L + 1), dcfg.pad_id, jnp.int32),
         }
 
+        # KV leaves are classified STRUCTURALLY, not by dim-0 value: a
+        # leaf whose shape is identical for B slots and for a single
+        # request carries no slot dim (segment ids etc.) and is SHARED —
+        # admissions must not touch it, and on a mesh it replicates. A
+        # [S] leaf whose length happens to equal B or B*K would otherwise
+        # silently misclassify.
+        zb1 = jax.tree.map(lambda x: x[:1], self._zero_batch(dtype))
+        kv1_s = jax.eval_shape(self._encode_kv, params, zb1)
+        self._kv_shared = jax.tree.map(
+            lambda full, s: tuple(full.shape) == tuple(s.shape),
+            self.state["kv"], kv1_s)
+
         if mesh is not None:
             # slot-major leaves shard over "data"; everything else (params,
             # aux constants, shared segment-id leaves) replicates. All
@@ -135,14 +177,6 @@ class DecodeEngine:
             row = NamedSharding(mesh, P("data"))
             rep = NamedSharding(mesh, P())
 
-            # KV leaves are classified STRUCTURALLY, not by dim-0 value: a
-            # leaf whose shape is identical for B slots and for a single
-            # request carries no slot dim (segment ids etc.) and must
-            # replicate — a [S] leaf whose length happens to equal B or
-            # B*K would otherwise silently shard and drag a gather into
-            # every chunk.
-            zb1 = jax.tree.map(lambda x: x[:1], self._zero_batch(dtype))
-            kv1_s = jax.eval_shape(self._encode_kv, params, zb1)
             kv = jax.tree.map(
                 lambda l, s: jax.device_put(
                     l, rep if l.shape == s.shape else row),
@@ -162,8 +196,17 @@ class DecodeEngine:
 
         # params/aux ride as call-time args — closure arrays would
         # be baked into the HLO as constants (see training/train_step.py)
-        self._admit = jax.jit(self._admit_impl, donate_argnums=1)
+        self._admit = jax.jit(self._admit_many_impl, donate_argnums=1)
         self._chunk = jax.jit(self._chunk_impl, donate_argnums=2)
+        # admission bursts coalesce up to this many requests into one
+        # admit program (power-of-two ladder, one compile per rung);
+        # the cap is floored to a power of two so burst padding and the
+        # warm() ladder enumerate exactly the same compiled shapes
+        import os as _os
+        cap = max(1, min(slots,
+                         int(_os.environ.get("TELL_TPU_ADMIT_BATCH",
+                                             "16"))))
+        self._admit_cap = 1 << (cap.bit_length() - 1)
 
         self.max_lag = max_lag
         self.free: list[int] = list(range(slots))
@@ -215,11 +258,11 @@ class DecodeEngine:
         return precompute_context_kv_cat(params["decoder"], self.dcfg,
                                          contexts, beam=self.beam)
 
-    def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
-        """Zero slot b's rows of the per-row dynamic state (conv window
-        buffers)."""
+    def _dyn_reset(self, state: dict, bs: jax.Array, w) -> dict:
+        """Zero slots `bs`'s rows of the per-row dynamic state (conv
+        window buffers)."""
         B, K = self.slots, self.beam
-        return {"conv": [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, b
+        return {"conv": [w(buf.reshape((B, K) + buf.shape[1:]), 0.0, bs
                            ).reshape(buf.shape)
                          for buf in state["conv"]]}
 
@@ -277,32 +320,36 @@ class DecodeEngine:
                 batch["obj_embeds"] = z(B, spec.max_len, spec.kv_dim)
         return batch
 
-    def _admit_impl(self, params: dict, state: dict, batch1: dict,
-                    b: jax.Array) -> dict:
-        """Encode one request's feature batch (leading dim 1) into context
-        KV and scatter it into slot b — one dispatch per admission."""
+    def _admit_many_impl(self, params: dict, state: dict, batchN: dict,
+                         bs: jax.Array) -> dict:
+        """Encode N requests' feature batches (stacked, leading dim N)
+        into context KV and scatter them into slots `bs` [N] — ONE
+        dispatch and one state pass for the whole admission burst.
+        Round-5 finding: a per-request admit program costs ~0.22 ms x
+        TOTAL slots on-device regardless of bytes written, so admission
+        bursts (every generation turnover under saturation) dominated
+        many-slot capacity — batched admission is what restored it
+        (tools/engine_capacity.py)."""
         K, L = self.beam, self.cfg.gen_len
         dcfg = self.dcfg
-        kv1 = self._encode_kv(params, batch1)
-
-        w = _mask_write if self.mesh is not None else _row_write
-
-        def put(full, new):
-            if full.shape == new.shape:   # shared leaves (segment ids)
-                return full
-            return w(full, new[0], b)
-
-        kv = jax.tree.map(put, state["kv"], kv1)
-        scores0 = jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32)
-        paths0 = jnp.full((K, L + 1), dcfg.pad_id,
-                          jnp.int32).at[:, 0].set(dcfg.bos_id)
-        return {**state, "kv": kv, **self._dyn_reset(state, b, w),
-                "t": w(state["t"], 0, b),
-                "tokens": w(state["tokens"], dcfg.bos_id, b),
-                "scores": w(state["scores"], scores0, b),
-                "finished": w(state["finished"], False, b),
-                "lengths": w(state["lengths"], 0, b),
-                "paths": w(state["paths"], paths0, b)}
+        kvN = self._encode_kv(params, batchN)
+        w = _rows_write_mesh if self.mesh is not None else _rows_write
+        kv = jax.tree.map(
+            lambda full, new, shared: full if shared else w(full, new, bs),
+            state["kv"], kvN, self._kv_shared)
+        N = bs.shape[0]
+        scores0 = jnp.broadcast_to(
+            jnp.asarray([0.0] + [-1e9] * (K - 1), jnp.float32), (N, K))
+        paths0 = jnp.broadcast_to(
+            jnp.full((K, L + 1), dcfg.pad_id, jnp.int32)
+            .at[:, 0].set(dcfg.bos_id), (N, K, L + 1))
+        return {**state, "kv": kv, **self._dyn_reset(state, bs, w),
+                "t": w(state["t"], 0, bs),
+                "tokens": w(state["tokens"], dcfg.bos_id, bs),
+                "scores": w(state["scores"], scores0, bs),
+                "finished": w(state["finished"], False, bs),
+                "lengths": w(state["lengths"], 0, bs),
+                "paths": w(state["paths"], paths0, bs)}
 
     def _step(self, params: dict, aux: dict, state: dict) -> dict:
         """One beam step over all slots — beam_search_core's candidate math
@@ -363,17 +410,46 @@ class DecodeEngine:
             return i + 1, self._step(params, aux, s)
 
         _, state = jax.lax.while_loop(cond, body, (0, state))
-        # pack everything harvest needs into two arrays so the host fetch
-        # is two transfers, started asynchronously by tick()
+        # TWO report tiers (round-5 fix of the slots=128 collapse): a
+        # TINY per-chunk status array — the only thing the host fetches
+        # every chunk — and the big paths report, whose host copy tick()
+        # starts ONLY for chunks where the status shows a pending slot
+        # actually finished. The per-chunk [B, K*(L+1)] paths fetch was
+        # 94% of the saturated wall at slots=128 (15.3 of 16.3 s,
+        # tools/engine_capacity.py phase timers): large host transfers
+        # ride a slow path on remote/tunneled devices, and finished-slot
+        # detection never needed them.
+        status = jnp.concatenate(
+            [state["t"][:, None], state["finished"].astype(jnp.int32)],
+            axis=1)
         report_i = jnp.concatenate(
             [state["t"][:, None], state["finished"].astype(jnp.int32),
              state["lengths"], state["paths"].reshape(B, K * (L + 1))],
             axis=1)
-        return state, report_i, state["scores"]
+        return state, status, report_i, state["scores"]
 
     # ------------------------------------------------------------------
     # host loop
     # ------------------------------------------------------------------
+
+    def warm(self, batch1: dict) -> None:
+        """Compile every admission-ladder rung and the chunk program
+        ahead of traffic (AOT lower/compile — no execution, no donated
+        buffers touched). With the persistent XLA compile cache this
+        makes the first real call at any rung a cache hit; without it a
+        cold rung compile would land inside someone's request (or a
+        capacity measurement — how the round-5 sweep first went wrong)."""
+        rung = 1
+        while True:
+            batchN = {k: jnp.concatenate([jnp.asarray(v)] * rung, axis=0)
+                      for k, v in batch1.items()}
+            bs = jnp.zeros((rung,), jnp.int32)
+            self._admit.lower(self.params, self.state, batchN,
+                              bs).compile()
+            if rung >= self._admit_cap:
+                break
+            rung = min(rung * 2, self._admit_cap)
+        self._chunk.lower(self.params, self._aux, self.state).compile()
 
     def submit(self, batch1: dict) -> Future:
         """batch1: feature dict with leading dim 1 (one request)."""
@@ -412,15 +488,34 @@ class DecodeEngine:
 
     def _admit_queued(self):
         while self.free and not self.queue.empty():
-            try:
-                batch1, fut = self.queue.get_nowait()
-            except _queue.Empty:
+            grabbed = []          # (slot, batch1, fut)
+            while self.free and len(grabbed) < self._admit_cap:
+                try:
+                    batch1, fut = self.queue.get_nowait()
+                except _queue.Empty:
+                    break
+                grabbed.append((self.free.pop(), batch1, fut))
+            if not grabbed:
                 return
-            b = self.free.pop()
-            self.state = self._admit(self.params, self.state, batch1,
-                                     jnp.int32(b))
-            self._gen[b] += 1
-            self.pending[b] = fut
+            n = len(grabbed)
+            padded = 1
+            while padded < n:
+                padded *= 2
+            bs = [b for b, _, _ in grabbed]
+            reqs = [r for _, r, _ in grabbed]
+            if padded > n:   # shape-pad to the ladder rung by DUPLICATING
+                # the last admission: same slot id, same rows — the
+                # duplicate scatter writes identical data (benign)
+                bs += [bs[-1]] * (padded - n)
+                reqs += [reqs[-1]] * (padded - n)
+            batchN = {k: jnp.concatenate(
+                [jnp.asarray(r[k]) for r in reqs], axis=0)
+                for k in reqs[0]}
+            self.state = self._admit(self.params, self.state, batchN,
+                                     jnp.asarray(bs, jnp.int32))
+            for b, _, fut in grabbed:
+                self._gen[b] += 1
+                self.pending[b] = fut
 
     def _harvest_report(self, report_i, report_f, gen):
         """Resolve futures from one arrived (host-side) report. `gen` is the
@@ -451,15 +546,23 @@ class DecodeEngine:
             self.free.append(b)
 
     def _drain_reports(self, block_first: bool = False):
-        """Harvest every in-flight report that has reached the host;
-        block_first forces the oldest through (used to bound the pipeline
-        and to flush at drain time)."""
+        """Inspect every in-flight STATUS that has reached the host;
+        harvest (one big paths fetch) only when a status shows a pending,
+        generation-current slot finished. block_first forces the oldest
+        status through (pipeline bound / drain-time flush)."""
+        K, L = self.beam, self.cfg.gen_len
         while self._reports:
-            report_i, report_f, gen = self._reports[0]
-            if not block_first and not report_i.is_ready():
+            status, report_i, report_f, gen = self._reports[0]
+            if not block_first and not status.is_ready():
                 return
             self._reports.popleft()
-            self._harvest_report(report_i, report_f, gen)
+            st = np.asarray(status)
+            t = st[:, 0]
+            fin = st[:, 1:1 + K].astype(bool)
+            done = fin.all(axis=1) | (t >= L)
+            if any(done[b] and gen[b] == self._gen[b]
+                   for b in self.pending):
+                self._harvest_report(report_i, report_f, gen)
             block_first = False
 
     def tick(self) -> bool:
@@ -473,11 +576,11 @@ class DecodeEngine:
                 self._reports.clear()
             self._admit_queued()
             if self.pending:
-                self.state, report_i, report_f = self._chunk(
+                self.state, status, report_i, report_f = self._chunk(
                     self.params, self._aux, self.state)
-                report_i.copy_to_host_async()
-                report_f.copy_to_host_async()
-                self._reports.append((report_i, report_f, self._gen.copy()))
+                status.copy_to_host_async()
+                self._reports.append((status, report_i, report_f,
+                                      self._gen.copy()))
                 self.stats["chunks"] += 1
                 if len(self._reports) > self.max_lag:
                     self._drain_reports(block_first=True)
@@ -556,10 +659,10 @@ class LLMDecodeEngine(DecodeEngine):
         return precompute_context_kv_cat(params, self.cfg, contexts,
                                          beam=self.beam)
 
-    def _dyn_reset(self, state: dict, b: jax.Array, w) -> dict:
+    def _dyn_reset(self, state: dict, bs: jax.Array, w) -> dict:
         B, K = self.slots, self.beam
         self_kv = [
-            {n: w(c[n].reshape((B, K) + c[n].shape[1:]), 0.0, b
+            {n: w(c[n].reshape((B, K) + c[n].shape[1:]), 0.0, bs
                   ).reshape(c[n].shape) for n in ("k", "v")}
             for c in state["self_kv"]]
         return {"self_kv": self_kv}

@@ -466,8 +466,9 @@ class CaptionService:
                     enc = self._encode_many(self._frozen, self._params,
                                             stacked)
                     np.asarray(next(iter(enc.values())))  # force execution
-                eng_fut, _ = batcher(batch)
+                eng_fut, enc1 = batcher(batch)
                 eng_fut.result(timeout=600)
+                eng.warm(enc1)   # AOT: remaining admission rungs
                 compiled.append(
                     f"engine@{w}xenc{batcher.warmup_sizes()}")
             if self.need_attention:   # replay compiles per width on demand

@@ -92,6 +92,43 @@ def drive_stream(eng, reqs, arrival_s):
     return time.perf_counter() - t0, lat, max_q
 
 
+def _phase_timers(eng):
+    """Wrap the engine's host-side phases with wall-clock accumulators so
+    a capacity anomaly (the r4 slots=128 collapse) can be ATTRIBUTED:
+    how much of the drive wall went to admit dispatches, chunk
+    dispatches, and blocking report drains."""
+    acc = {"admit_s": 0.0, "chunk_s": 0.0, "drain_block_s": 0.0,
+           "admits": 0, "drains_blocked": 0}
+
+    orig_admit, orig_chunk = eng._admit, eng._chunk
+    orig_drain = eng._drain_reports
+
+    def admit(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_admit(*a, **k)
+        acc["admit_s"] += time.perf_counter() - t0
+        acc["admits"] += 1
+        return out
+
+    def chunk(*a, **k):
+        t0 = time.perf_counter()
+        out = orig_chunk(*a, **k)
+        acc["chunk_s"] += time.perf_counter() - t0
+        return out
+
+    def drain(block_first=False):
+        t0 = time.perf_counter()
+        out = orig_drain(block_first)
+        dt = time.perf_counter() - t0
+        if block_first:
+            acc["drain_block_s"] += dt
+            acc["drains_blocked"] += 1
+        return out
+
+    eng._admit, eng._chunk, eng._drain_reports = admit, chunk, drain
+    return acc
+
+
 def sweep_config(params, cfg, slots, gen_len, dtype):
     from tell_tpu.serving.engine import DecodeEngine
     ecfg = dataclasses.replace(cfg, gen_len=gen_len)
@@ -99,17 +136,25 @@ def sweep_config(params, cfg, slots, gen_len, dtype):
                        chunk_steps=CHUNK, dtype=dtype)
     n = N_MULT * slots
     reqs = make_requests(cfg, n, dtype)
-    f = eng.submit(reqs[0])          # warm all compiled programs
+    eng.warm(reqs[0])                # AOT-compile every admit rung + chunk
+    f = eng.submit(reqs[0])          # execution warm
     eng.run_until_drained()
     f.result(timeout=900)
 
     # --- capacity: saturated (all upfront) ---
+    acc = _phase_timers(eng)
     wall, lat, _ = drive_stream(eng, reqs, 0.0)
     capacity = n / wall
     row = {"slots": slots, "beam": BEAM, "gen_len": gen_len, "n": n,
            "capacity_captions_per_sec": round(capacity, 2),
            "saturated_p50_ms": round(
-               float(np.percentile(lat, 50)) * 1e3, 1)}
+               float(np.percentile(lat, 50)) * 1e3, 1),
+           "saturated_wall_s": round(wall, 2),
+           "phase_admit_s": round(acc["admit_s"], 2),
+           "phase_chunk_dispatch_s": round(acc["chunk_s"], 2),
+           "phase_drain_block_s": round(acc["drain_block_s"], 2),
+           "chunks": eng.stats["chunks"], "admits": acc["admits"],
+           "drains_blocked": acc["drains_blocked"]}
 
     # --- 80% load: the well-provisioned regime ---
     wall, lat, _ = drive_stream(eng, reqs, 1.0 / (0.8 * capacity))
