@@ -496,7 +496,7 @@ def bench_engine_e2e(params, cfg, dtype, use_enc8: bool) -> dict:
 
     slots = int(os.environ.get("BENCH_ENGINE_E2E_SLOTS",
                                os.environ.get("BENCH_ENGINE_CAP_SLOTS",
-                                              "32")))
+                                              "128")))
     L = int(os.environ.get("BENCH_ENGINE_E2E_LEN", "100"))
     n = int(os.environ.get("BENCH_ENGINE_E2E_N", str(4 * slots)))
     # encode batch 32 at saturation: all requests are queued upfront, so
@@ -762,7 +762,10 @@ def bench_train_subprocess() -> dict:
     opt-in train benches regress silently)."""
     import subprocess
 
-    budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "1200"))
+    # 1800 s: the child measured 180-240 s typical, but one round-5 run
+    # hit a slow tunnel period and blew the old 1200 s budget (recorded
+    # as "timeout" while a standalone rerun measured 62.6 ms/batch fine)
+    budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "1800"))
     env = {**os.environ, "BENCH_TRAIN": "1"}
     env.setdefault("BENCH_DEVICE_TIMEOUT", "900")
     try:

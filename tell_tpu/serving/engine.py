@@ -23,22 +23,17 @@ on a fixed pytree, never a shape change):
   continuation, exactly the beam_search_core mechanism), are harvested on
   the host, and their slots take the next queued request.
 
-Harvest is PIPELINED and TWO-TIERED: each chunk emits (a) a tiny status
-array ([slots, 1+beam]: step counters + finished flags) whose
-device->host copy starts asynchronously and is the ONLY thing the host
-reads every chunk, and (b) the packed full report (paths + lengths +
-scores), fetched lazily — only for chunks whose status shows a pending,
-generation-current slot finished. The host inspects a status once it has
-arrived (`is_ready`), up to `max_lag` chunks later, so transfers ride
-behind the next chunks' compute instead of stalling the decode loop.
-The lazy big fetch is what makes many-slot engines viable on
-remote/tunneled devices: the per-chunk [slots, beam*(gen_len+1)] paths
-transfer was 94% of the saturated wall at slots=128 (15.3 of 16.3 s —
-tools/engine_capacity.py phase timers, round 5) and is now paid ~once
-per finished generation instead of every chunk. Reports are guarded by a
-per-slot admission generation: a report that predates a slot's
-re-admission can never resolve the new request with the old request's
-beams.
+Harvest is PIPELINED: each chunk also emits two packed report arrays
+(int32 bookkeeping + float32 scores) whose device->host copy starts
+asynchronously; the host inspects a report only once it has arrived
+(`is_ready`), up to `max_lag` chunks later, so result transfer rides
+behind the next chunks' compute instead of stalling the decode loop. This
+matters doubly on remote/tunneled devices where a blocking fetch carries a
+large fixed cost (a round-5 lazy-fetch variant that skipped the eager
+async copies degraded streaming latency ~15x — see _chunk_impl's note).
+Reports are guarded by a per-slot admission generation: a report that
+predates a slot's re-admission can never resolve the new request with the
+old request's beams.
 
 A slot's caption therefore NEVER depends on which other requests share the
 engine (asserted against one-shot `beam_search` in
@@ -410,46 +405,46 @@ class DecodeEngine:
             return i + 1, self._step(params, aux, s)
 
         _, state = jax.lax.while_loop(cond, body, (0, state))
-        # TWO report tiers (round-5 fix of the slots=128 collapse): a
-        # TINY per-chunk status array — the only thing the host fetches
-        # every chunk — and the big paths report, whose host copy tick()
-        # starts ONLY for chunks where the status shows a pending slot
-        # actually finished. The per-chunk [B, K*(L+1)] paths fetch was
-        # 94% of the saturated wall at slots=128 (15.3 of 16.3 s,
-        # tools/engine_capacity.py phase timers): large host transfers
-        # ride a slow path on remote/tunneled devices, and finished-slot
-        # detection never needed them.
-        status = jnp.concatenate(
-            [state["t"][:, None], state["finished"].astype(jnp.int32)],
-            axis=1)
+        # pack everything harvest needs into two arrays so the host fetch
+        # is two transfers, started asynchronously by tick(). (A round-5
+        # "two-tier" variant — tiny per-chunk status, big paths report
+        # fetched lazily on finish — was built while hunting the slots=128
+        # collapse and REVERTED: the collapse turned out to be per-request
+        # admit programs, and removing the async copy start degraded the
+        # streaming latency probe ~15x — a lazily-started fetch pays its
+        # whole tunnel RTT synchronously inside the tick loop, whereas the
+        # eager async copy has already landed by harvest time.)
         report_i = jnp.concatenate(
             [state["t"][:, None], state["finished"].astype(jnp.int32),
              state["lengths"], state["paths"].reshape(B, K * (L + 1))],
             axis=1)
-        return state, status, report_i, state["scores"]
+        return state, report_i, state["scores"]
 
     # ------------------------------------------------------------------
     # host loop
     # ------------------------------------------------------------------
 
     def warm(self, batch1: dict) -> None:
-        """Compile every admission-ladder rung and the chunk program
-        ahead of traffic (AOT lower/compile — no execution, no donated
-        buffers touched). With the persistent XLA compile cache this
-        makes the first real call at any rung a cache hit; without it a
-        cold rung compile would land inside someone's request (or a
-        capacity measurement — how the round-5 sweep first went wrong)."""
+        """Compile every admission-ladder rung + the chunk program by
+        DRIVING THE PRODUCTION PATH: for each rung, submit that many
+        copies of `batch1` in one burst (all slots free -> one admit at
+        exactly that rung) and drain. Anything less literal was measured
+        to miss: `jit.lower().compile()` does not populate the dispatch
+        cache, and a hand-built execution warm produced subtly different
+        avals — both left rung compiles landing inside real requests
+        (a ~15x streaming-latency regression on the tunneled chip).
+        Must be called before serving traffic."""
+        assert not self.pending and self.queue.empty(), \
+            "warm() must run before traffic"
         rung = 1
         while True:
-            batchN = {k: jnp.concatenate([jnp.asarray(v)] * rung, axis=0)
-                      for k, v in batch1.items()}
-            bs = jnp.zeros((rung,), jnp.int32)
-            self._admit.lower(self.params, self.state, batchN,
-                              bs).compile()
+            futs = [self.submit(batch1) for _ in range(rung)]
+            self.run_until_drained()
+            for f in futs:
+                f.result(timeout=900)
             if rung >= self._admit_cap:
                 break
             rung = min(rung * 2, self._admit_cap)
-        self._chunk.lower(self.params, self._aux, self.state).compile()
 
     def submit(self, batch1: dict) -> Future:
         """batch1: feature dict with leading dim 1 (one request)."""
@@ -546,23 +541,15 @@ class DecodeEngine:
             self.free.append(b)
 
     def _drain_reports(self, block_first: bool = False):
-        """Inspect every in-flight STATUS that has reached the host;
-        harvest (one big paths fetch) only when a status shows a pending,
-        generation-current slot finished. block_first forces the oldest
-        status through (pipeline bound / drain-time flush)."""
-        K, L = self.beam, self.cfg.gen_len
+        """Harvest every in-flight report that has reached the host;
+        block_first forces the oldest through (used to bound the pipeline
+        and to flush at drain time)."""
         while self._reports:
-            status, report_i, report_f, gen = self._reports[0]
-            if not block_first and not status.is_ready():
+            report_i, report_f, gen = self._reports[0]
+            if not block_first and not report_i.is_ready():
                 return
             self._reports.popleft()
-            st = np.asarray(status)
-            t = st[:, 0]
-            fin = st[:, 1:1 + K].astype(bool)
-            done = fin.all(axis=1) | (t >= L)
-            if any(done[b] and gen[b] == self._gen[b]
-                   for b in self.pending):
-                self._harvest_report(report_i, report_f, gen)
+            self._harvest_report(report_i, report_f, gen)
             block_first = False
 
     def tick(self) -> bool:
@@ -576,11 +563,11 @@ class DecodeEngine:
                 self._reports.clear()
             self._admit_queued()
             if self.pending:
-                self.state, status, report_i, report_f = self._chunk(
+                self.state, report_i, report_f = self._chunk(
                     self.params, self._aux, self.state)
-                status.copy_to_host_async()
-                self._reports.append((status, report_i, report_f,
-                                      self._gen.copy()))
+                report_i.copy_to_host_async()
+                report_f.copy_to_host_async()
+                self._reports.append((report_i, report_f, self._gen.copy()))
                 self.stats["chunks"] += 1
                 if len(self._reports) > self.max_lag:
                     self._drain_reports(block_first=True)

@@ -115,6 +115,23 @@ def test_engine_queued_not_stranded_after_backpressure_drain():
     assert eng.stats["requests"] == len(reqs)
 
 
+def test_engine_warm_then_results_match_one_shot():
+    """warm() executes every admit rung + one chunk with dummy data and
+    must leave the engine fully inert: requests decoded afterwards still
+    reproduce one-shot beam_search exactly."""
+    cfg, params = _setup()
+    reqs = [_request(cfg, 40 + s) for s in range(3)]
+    refs = [_ref(params, cfg, r, beam=2) for r in reqs]
+    eng = DecodeEngine(params, cfg, slots=3, beam=2, chunk_steps=2)
+    eng.warm(reqs[0])
+    assert sorted(eng.free) == [0, 1, 2]
+    assert eng.tick() is False          # nothing live after warm
+    futs = [eng.submit(r) for r in reqs]
+    eng.run_until_drained()
+    for fut, ref in zip(futs, refs):
+        _check(fut.result(timeout=0), ref)
+
+
 def test_engine_idle_tick():
     cfg, params = _setup()
     eng = DecodeEngine(params, cfg, slots=2, beam=2)

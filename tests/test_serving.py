@@ -530,7 +530,9 @@ def test_warmup_engine_mode(service):
     info = esvc.warmup()
     assert len(info["compiled"]) == 1
     assert info["compiled"][0].startswith("engine@16")  # + encode ladder
-    assert esvc.engine.stats["requests"] == 1
+    # one request through the batcher + the engine warm ladder's bursts
+    assert esvc.engine.stats["requests"] >= 1
+    assert not esvc.engine.pending and esvc.engine.queue.empty()
     out = esvc.caption({"context": "the news in the city"})
     assert "caption" in out and "error" not in out
     esvc.close()

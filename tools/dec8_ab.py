@@ -3,7 +3,7 @@
 Each combo re-traces (env levers are read at trace time), so every arm
 pays its own compile (persistent cache makes reruns free). Slope-timed
 exactly like bench.py. COMBOS env var picks arms, e.g.
-COMBOS="base,og,sm,sm+og,sm+dec8+og".
+COMBOS="base,sm,dec8,sm+dec8".
 """
 import os
 import sys
@@ -29,8 +29,9 @@ BEAM = int(os.environ.get("BEAM", "5"))
 GEN_LEN = int(os.environ.get("GEN_LEN", "100"))
 S = int(os.environ.get("S", "512"))
 
-LEVERS = {"og": "TELL_TPU_ONEHOT_GATHER", "sm": "TELL_TPU_DEC8_SM",
-          "dec8": "TELL_TPU_DEC8"}
+LEVERS = {"sm": "TELL_TPU_DEC8_SM", "dec8": "TELL_TPU_DEC8"}
+# ("og" one-hot gather arm removed with the lever: measured 272.6 vs 334.7
+#  captions/s and deleted — models/decoder.py round-5 note)
 
 import dataclasses
 cfg = dataclasses.replace(CaptionerConfig(), gen_len=GEN_LEN)

@@ -302,7 +302,11 @@ def main() -> int:
             ("kv8_flipped", "TELL_TPU_KV8",
              "0" if after_beam.get("kv_cache_mode") == "int8" else "1"),
             ("approx_topk", "TELL_TPU_APPROX_TOPK",
-             "0" if after_beam.get("topk_mode") == "approx" else "1")):
+             "0" if after_beam.get("topk_mode") == "approx" else "1"),
+            # round-5 TPU default: tanh GELU in the frozen article
+            # encoder (backbones/roberta.py::fast_gelu_mode)
+            ("fast_gelu", "TELL_TPU_FAST_GELU",
+             "erf" if after_beam.get("gelu_mode") == "tanh" else "tanh")):
         prev = os.environ.get(var)
         os.environ[var] = flipped
         try:
@@ -323,6 +327,7 @@ def main() -> int:
             "cider": m.get("cider"),
             "kv_cache_mode": m.get("kv_cache_mode"),
             "topk_mode": m.get("topk_mode"),
+            "gelu_mode": m.get("gelu_mode"),
         }
 
     with open(args.out, "w") as f:
