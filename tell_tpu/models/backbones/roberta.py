@@ -131,21 +131,28 @@ def _flash_ok(cfg: RobertaConfig, S: int, dtype) -> bool:
             and (cfg.dim // cfg.num_heads) % 64 == 0)
 
 
-def _flash_block_sizes(S: int, B: int = 0):
+def _flash_block_sizes(S: int, B: int = 0, dtype=None):
     """512-wide q/k blocks (measured fastest at S=512..2048 on v5e; the
     library defaults lose 6x at these lengths) and the largest
-    power-of-two batch block <= 8 dividing B (fewer grid cells: 388.6 ->
+    power-of-two batch block dividing B (fewer grid cells: 388.6 ->
     377.9 ms for the 128-article encode at block_b=8; the per-cell
-    pipeline overhead dominates flash at these small-S shapes).
-    TELL_TPU_FLASH_BLOCK / TELL_TPU_FLASH_BLOCK_B override for A/Bs
-    (tools/enc_variants.py)."""
+    pipeline overhead dominates flash at these small-S shapes). The
+    batch-block cap is DTYPE-aware: 8 for <=2-byte inputs, 4 for fp32 —
+    fp32 at block_b=8 overflows the 16 MB scoped-VMEM stack (measured:
+    16.75M requested in the round-5 quality loop, whose evaluate keeps
+    the frozen tower fp32). TELL_TPU_FLASH_BLOCK /
+    TELL_TPU_FLASH_BLOCK_B override for A/Bs (tools/enc_variants.py)."""
     import os
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
     b = int(os.environ.get("TELL_TPU_FLASH_BLOCK", "0")) or min(S, 512)
     b = min(b, S)
     bb = int(os.environ.get("TELL_TPU_FLASH_BLOCK_B", "0"))
     if not bb:
-        bb = next((c for c in (8, 4, 2, 1) if B % c == 0), 1) if B else 1
+        cap = 8
+        if dtype is not None and jnp.dtype(dtype).itemsize > 2:
+            cap = 4
+        bb = next((c for c in (cap, 4, 2, 1)
+                   if c <= cap and B % c == 0), 1) if B else 1
     return BlockSizes(
         block_q=b, block_k_major=b, block_k=b, block_b=bb,
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
@@ -214,7 +221,7 @@ def roberta_encode(params: dict, cfg: RobertaConfig, ids: jax.Array,
                 v.transpose(0, 2, 1, 3),
                 segment_ids=SegmentIds(q=seg, kv=seg),
                 sm_scale=hd ** -0.5,
-                block_sizes=_flash_block_sizes(S, B))
+                block_sizes=_flash_block_sizes(S, B, x.dtype))
             o = o.transpose(0, 2, 1, 3)
         else:
             scores = jnp.einsum("bthd,bshd->bhts", q, k,
