@@ -60,6 +60,37 @@ def test_r04_unattended_run_evidence():
     assert journal["train"]["result"]["epochs"] == 200
 
 
+def test_r05_run_evidence_with_all_three_default_abs():
+    """Round 5's unattended run (fixtures/quality/r05): CIDEr 0 -> the
+    identity max with 32/32 EXACT beam-5 reproduction, under the round-5
+    TPU defaults — and the committed artifact records 1.00 trained-margin
+    caption agreement for all three non-exact defaults (int8 K/V,
+    approximate top-k, tanh GELU)."""
+    r05 = os.path.join(os.path.dirname(R03), "r05")
+    m_before = score_file(os.path.join(r05, "generations-before.jsonl"))
+    assert m_before["cider"] < 50, m_before
+    m_after = score_file(os.path.join(r05, "generations-after-beam5.jsonl"))
+    assert m_after["cider"] > 800, m_after
+    rows = [json.loads(l) for l in open(
+        os.path.join(r05, "generations-after-beam5.jsonl"),
+        encoding="utf-8")]
+    assert len(rows) == 32
+    assert all(r["generation"] == r["caption"] for r in rows)
+    journal = json.load(open(os.path.join(r05, "quality-phases.json"),
+                             encoding="utf-8"))
+    assert {"preprocess", "before", "train"} <= set(journal)
+    repo = os.path.abspath(os.path.join(R03, "..", "..", "..", ".."))
+    q = json.load(open(os.path.join(repo, "QUALITY_r05.json"),
+                       encoding="utf-8"))
+    for ab in ("ab_kv8_flipped", "ab_approx_topk", "ab_fast_gelu"):
+        assert q[ab]["caption_agreement_vs_default"] == 1.0, (ab, q[ab])
+    assert q["after_beam"]["caption_reproduction_exact"] == 1.0
+    # the A/B flips actually flipped the lever they claim to test
+    assert q["ab_kv8_flipped"]["kv_cache_mode"] == "fp"
+    assert q["ab_approx_topk"]["topk_mode"] == "exact"
+    assert q["ab_fast_gelu"]["gelu_mode"] == "erf"
+
+
 def test_fixture_matches_committed_artifact():
     """The committed QUALITY_r03.json and the committed generation files
     must tell the same story (the artifact was assembled from these)."""
